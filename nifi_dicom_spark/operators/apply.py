@@ -1,0 +1,118 @@
+"""apply_changes — the engine's merge-apply planner (one micro-batch or one
+batch replay), composing SURVEY §2's operators:
+
+    route (P2/P8) → schema reconcile (§4 evolution) → LWW dedup (A1/W2)
+    → MERGE upsert (K3-K6) → lineage metrics (T6/K7)
+
+The whole pre-merge pipeline is one declarative DataFrame expression —
+Catalyst fuses route+reconcile into the scan and the dedup is a single
+shuffle with map-side combine (see tests/test_plans.py for plan assertions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nifi_dicom_spark.lake.snapshot_table import MergeStats, SnapshotTable
+from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA, KEY_COLUMNS, PAYLOAD_COLUMNS
+from nifi_dicom_spark.operators.dedup import lww_dedup
+from nifi_dicom_spark.operators.reconcile import conform_to_schema
+from nifi_dicom_spark.operators.routing import route_events
+
+
+@dataclass
+class ApplyResult:
+    merge: MergeStats
+    metrics: list[dict]  # one per source partition_id
+
+
+#: what the transcripts lake table physically stores: payload + the winning
+#: event's version columns (cross-batch LWW comparison) + op (tombstones)
+STORED_COLUMNS = [*KEY_COLUMNS, "op", "op_seq", "offset", *PAYLOAD_COLUMNS]
+
+
+def plan_upserts(events: DataFrame) -> DataFrame:
+    """valid events → ≤1 winner row per (conv_id, turn_idx) with op, the
+    winning (op_seq, offset) version, and payload.
+
+    Pure transformation (no actions) so it composes into streaming
+    foreachBatch and batch replay alike.
+    """
+    valid, _ = route_events(conform_to_schema(events, CHANGE_EVENTS_SCHEMA))
+    winners = lww_dedup(valid, KEY_COLUMNS)
+    return winners.select(*STORED_COLUMNS, "partition_id")
+
+
+def partition_metrics(events: DataFrame) -> DataFrame:
+    """Per-source-partition lineage: applied-op counts, quarantine count,
+    high-watermark offset (SURVEY T6/K7; reference provenance
+    ``ListenDICOM.java:163-164`` and cache-stats JSON
+    ``LogCacheStatistics.java:50-60``).
+
+    One aggregation pass over the batch — map-side combined.
+    """
+    from nifi_dicom_spark.operators.routing import validity_predicate
+
+    ok = validity_predicate()
+    return events.groupBy("partition_id").agg(
+        F.sum(F.when(ok & (F.col("op") == "insert"), 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(ok & (F.col("op") == "update"), 1).otherwise(0)).alias("n_update"),
+        F.sum(F.when(ok & (F.col("op") == "delete"), 1).otherwise(0)).alias("n_delete"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("n_quarantined"),
+        F.max("offset").alias("high_watermark_offset"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def apply_changes(
+    table: SnapshotTable,
+    events: DataFrame,
+    epoch: int | None = None,
+    quarantine_dir: str | None = None,
+) -> ApplyResult:
+    """Apply one batch of change events to the transcripts table with
+    idempotent commit keys (epoch, partition_id)."""
+    events = conform_to_schema(events, CHANGE_EVENTS_SCHEMA)
+    metrics_rows = [r.asDict() for r in partition_metrics(events).collect()]
+
+    commit_keys = None
+    if epoch is not None:
+        commit_keys = [(epoch, int(r["partition_id"])) for r in metrics_rows]
+        for r in metrics_rows:
+            r["checkpoint_epoch"] = epoch
+
+    if quarantine_dir is not None:
+        _, bad = route_events(events)
+        bad.write.mode("append").parquet(quarantine_dir)
+
+    upserts = plan_upserts(events).drop("partition_id")
+    stats = table.merge(
+        upserts, op_col="op", policy="versioned_upsert", commit_keys=commit_keys
+    )
+    return ApplyResult(merge=stats, metrics=metrics_rows)
+
+
+def create_transcripts_table(
+    spark, path: str, n_buckets: int = 16
+) -> SnapshotTable:
+    """DDL for the engine's target table (stored schema = transcripts payload
+    + LWW version columns; FIXTURES.md §1)."""
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+
+    by_name = {f.name: f for f in CHANGE_EVENTS_SCHEMA.fields}
+    stored = T.StructType([by_name[c] for c in STORED_COLUMNS])
+    return SnapshotTable.create(spark, path, stored, key_cols=KEY_COLUMNS, n_buckets=n_buckets)
+
+
+def read_final_state(table: SnapshotTable, version: int | None = None) -> DataFrame:
+    """The user-facing transcripts table: tombstones filtered, version
+    columns dropped, stable (conv_id, turn_idx) order left to the caller."""
+    df = table.read(version)
+    return df.filter(F.col("op") != F.lit("delete")).select(
+        *KEY_COLUMNS, *PAYLOAD_COLUMNS
+    )
