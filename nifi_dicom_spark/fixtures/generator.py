@@ -17,6 +17,22 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_ARROW_FIELDS = {
+    "offset": pa.int64(),
+    "partition_id": pa.int32(),
+    "op": pa.string(),
+    "op_seq": pa.int64(),
+    "conv_id": pa.string(),
+    "turn_idx": pa.int32(),
+    "role": pa.string(),
+    "text": pa.string(),
+    "tool": pa.string(),
+    "ts": pa.timestamp("us"),
+    "schema_ver": pa.int32(),
+}
 
 _EPOCH0 = np.datetime64("2024-01-01T00:00:00", "us")
 
@@ -177,6 +193,11 @@ def write_event_files(
         if drop_tool_for_v1 and len(part) and (part["schema_ver"] == 1).all():
             part = part.drop(columns=["tool"])
         p = os.path.join(out_dir, f"events-{i:05d}.parquet")
-        part.to_parquet(p, index=False)
+        # explicit Arrow schema: an all-null string column must still be
+        # physically string-typed, or readers see a null-typed column
+        schema = pa.schema([(c, _ARROW_FIELDS[c]) for c in part.columns])
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=schema, preserve_index=False), p
+        )
         paths.append(p)
     return paths

@@ -1,0 +1,114 @@
+"""CDCPipeline — the Structured Streaming change-log tail (SURVEY §2.1 S1,
+§2.9 T1/T5/T6).
+
+Reference shape: ``ListenDICOM`` receives pushed records, stamps provenance,
+transfers with ``commitAsync`` and rolls back on failure
+(``ListenDICOM.java:121-190``); downstream processors micro-batch via
+``session.get(N)`` (``DecryptReidentifyDICOM.java:97-114``). Spark-first
+shape: an offset-ordered file-source stream (``maxFilesPerTrigger`` ≙ the
+batch-size knob W3) driving ``foreachBatch``, whose body is the batch
+merge-apply planner. Exactly-once comes from TWO layers agreeing:
+
+* Spark's checkpoint replays an epoch after a crash (at-least-once), and
+* the SnapshotTable records ``(epoch, partition_id)`` commit keys atomically
+  with the data, so the replayed epoch is detected and skipped (idempotent).
+
+The dangerous window — crash AFTER the table merge but BEFORE the streaming
+checkpoint commit — is exactly what the ledger closes (tested by
+``tests/test_streaming.py::test_crash_between_merge_and_checkpoint``).
+
+Per-partition lineage metrics (applied-op counts, quarantine counts,
+high-watermark offsets; SURVEY T6/K7) are appended next to the checkpoint;
+re-run epochs may append duplicate metric rows, so ``read_metrics`` dedups by
+``(checkpoint_epoch, partition_id)`` — metrics follow the same idempotency
+key as commits.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+from nifi_dicom_spark.operators.apply import apply_changes
+
+
+@dataclass
+class CDCPipeline:
+    spark: SparkSession
+    events_dir: str
+    table: SnapshotTable
+    checkpoint_dir: str
+    quarantine_dir: str | None = None
+    metrics_dir: str | None = None
+    max_files_per_trigger: int = 1
+    #: test hook: called (epoch, result) after each successful apply
+    on_batch: Callable | None = None
+    epochs_applied: list[int] = field(default_factory=list)
+
+    def _source(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(CHANGE_EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            # consume strictly in file-name (offset) order
+            .option("latestFirst", "false")
+            .parquet(self.events_dir)
+        )
+
+    def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.monotonic()
+        result = apply_changes(
+            self.table, batch_df, epoch=epoch_id, quarantine_dir=self.quarantine_dir
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        if self.metrics_dir and result.metrics:
+            os.makedirs(self.metrics_dir, exist_ok=True)
+            pdf = pd.DataFrame(result.metrics)
+            pdf["wall_ms"] = wall_ms
+            pdf["applied"] = result.merge.applied
+            pdf.to_parquet(
+                os.path.join(
+                    self.metrics_dir, f"m-{epoch_id:012d}-{uuid.uuid4().hex[:8]}.parquet"
+                ),
+                index=False,
+            )
+        self.epochs_applied.append(epoch_id)
+        if self.on_batch is not None:
+            self.on_batch(epoch_id, result)
+
+    def run_available(self) -> None:
+        """Consume everything currently in events_dir (availableNow) and
+        stop — the replay/backfill mode; restartable from checkpoint."""
+        q = (
+            self._source()
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def read_metrics(self) -> pd.DataFrame:
+        """Lineage metrics, deduped by the idempotency key."""
+        if not self.metrics_dir or not os.path.isdir(self.metrics_dir):
+            return pd.DataFrame()
+        parts = [
+            pd.read_parquet(os.path.join(self.metrics_dir, f))
+            for f in sorted(os.listdir(self.metrics_dir))
+            if f.endswith(".parquet")
+        ]
+        if not parts:
+            return pd.DataFrame()
+        df = pd.concat(parts, ignore_index=True)
+        return (
+            df[df["applied"]]
+            .drop_duplicates(subset=["checkpoint_epoch", "partition_id"], keep="first")
+            .reset_index(drop=True)
+        )
