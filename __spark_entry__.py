@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2 of
+the nifi_dicom_spark engine; ``oracle_sql()`` carries the DuckDB-equivalent
+ANSI SQL. Column aliases match exactly between the two sides. Doubles are
+rounded identically on both sides so value-hashes compare despite
+summation-order differences.
 """
 
 from __future__ import annotations
@@ -12,27 +12,514 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC / dedup / merge operators (SURVEY §2.2, §2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_lww_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/K5/K6: treat `events` as a change log keyed by user_id, versioned
+    by event_id; 'error' events are deletes. Final state = LWW replay."""
+    from nifi_dicom_spark.operators.dedup import lww_dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    last = lww_dedup(ev, ["user_id"])
+    return last.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("op_seq").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+def q_cdc_fww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 first-writer-wins (the reference's insertObject contract)."""
+    from nifi_dicom_spark.operators.dedup import fww_dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("value"),
+    )
+    first = fww_dedup(ev, ["user_id", "event_type"])
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("op_seq").alias("first_event_id"),
+        F.round("value", 4).alias("first_value"),
+    )
+
+
+def q_keymap_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4/J2: deterministic lookup-or-create key mapping (uid_map analog)."""
+    from nifi_dicom_spark.operators.keymap import deterministic_replacement
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("user_id").cast("string").alias("original"))
+        .distinct()
+        .withColumn("replaced", deterministic_replacement("original"))
+    )
+
+
+def q_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/T6: high-watermark + applied-op counts per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max("event_id").alias("high_watermark"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# routing / predicates (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_route_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: one-pass multi-way routing via a route column."""
+    ev = _t(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type") == "error", F.lit("quarantine"))
+        .when(F.col("value") >= 100, F.lit("high"))
+        .otherwise(F.lit("normal"))
+    )
+    return (
+        ev.withColumn("route", route)
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: DICOM wildcard → LIKE translation."""
+    from nifi_dicom_spark.operators.match import wildcard_match
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        wildcard_match("source", "src1?") & wildcard_match("lang", "e?")
+    ).select("doc_id", "lang", "source")
+
+
+def q_datetime_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: open/closed datetime-range predicate on TimestampType."""
+    from nifi_dicom_spark.operators.match import datetime_range_match
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(datetime_range_match("ts", "2024-01-05..2024-01-12"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_hierarchy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: hierarchical parent-child equi-join chain (region→nation→
+    customer→orders), the C-FIND query path."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deidentify / identity (SURVEY §2.4 J1, §2.8 F1-F6)
+# ---------------------------------------------------------------------------
+
+
+def q_deidentify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F4: deterministic pseudo-identity synthesis."""
+    from nifi_dicom_spark.operators.deidentify import pseudo_id, pseudo_name, short_hash
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey"),
+        pseudo_name("c_name").alias("alias_name"),
+        pseudo_id("c_custkey").alias("alias_id"),
+        short_hash("c_mktsegment").alias("segment_hash"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/A6: gap-timeout sessionization (30-min gap) per user."""
+    from nifi_dicom_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = sessionize(ev, ["user_id"], "ts", gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_priority_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: earliest-wins group-context merge, nulls never win."""
+    from nifi_dicom_spark.operators.merge_context import priority_merge
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "purchase", F.col("props")).alias("purchase_props"),
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    )
+    return priority_merge(
+        ev, ["user_id"], "seq", ["purchase_props", "signup_ts"], empty_is_null=False
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup family (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_dicom_spark.functions.dedup_text import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_dicom_spark.functions import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        F.round(X.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(X.mean_word_len("text"), 6).alias("mean_word_len"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_dicom_spark.functions.text import lang_guess
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_guess("text").alias("lang_guess"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_dicom_spark.functions.text import fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint("text").alias("fp"), token_count("text").alias("n_tokens")
+    )
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact n-gram Jaccard (no oracle —
+    verified rows-only by the driver; tests verify recall vs brute force)."""
+    from nifi_dicom_spark.functions.dedup_text import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (no oracle — bit arithmetic not portable to DuckDB
+    SQL; determinism asserted in tests)."""
+    from nifi_dicom_spark.functions.dedup_text import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for query vectors vec_id<5."""
+    from nifi_dicom_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN (no oracle — approximate by design; recall vs
+    brute force asserted in tests)."""
+    from nifi_dicom_spark.functions.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucket_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=3)
+
+
+# ---------------------------------------------------------------------------
+# OLAP sanity (flagship plan-shape check)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC LWW replay on sf0.001."""
+    return q_cdc_lww_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_lww_replay": q_cdc_lww_replay,
+        "cdc_fww_dedup": q_cdc_fww_dedup,
+        "keymap_alloc": q_keymap_alloc,
+        "watermarks": q_watermarks,
+        "route_split": q_route_split,
+        "wildcard_match": q_wildcard_match,
+        "datetime_range": q_datetime_range,
+        "hierarchy_query": q_hierarchy_query,
+        "deidentify": q_deidentify,
+        "sessionize": q_sessionize,
+        "priority_merge": q_priority_merge,
+        "exact_dedup": q_exact_dedup,
+        "text_stats": q_text_stats,
+        "lang_guess": q_lang_guess,
+        "fingerprint": q_fingerprint,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash": q_simhash,
+        "knn_cosine": q_knn_cosine,
+        "ann_lsh": q_ann_lsh,
+        "tpch_q1": q_tpch_q1,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_replay": """
+            WITH ranked AS (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM events
+            )
+            SELECT user_id,
+                   event_id AS last_event_id,
+                   event_type AS last_event_type,
+                   round(value, 4) AS last_value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_fww_dedup": """
+            WITH ranked AS (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
+              FROM events
+            )
+            SELECT user_id, event_type,
+                   event_id AS first_event_id,
+                   round(value, 4) AS first_value
+            FROM ranked WHERE rn = 1
+        """,
+        "keymap_alloc": """
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS original,
+                   md5(CAST(user_id AS VARCHAR)) AS replaced
+            FROM events
+        """,
+        "watermarks": """
+            SELECT event_type,
+                   max(event_id) AS high_watermark,
+                   count(*) AS n_events,
+                   max(ts) AS last_ts
+            FROM events GROUP BY event_type
+        """,
+        "route_split": """
+            SELECT CASE WHEN event_type = 'error' THEN 'quarantine'
+                        WHEN value >= 100 THEN 'high'
+                        ELSE 'normal' END AS route,
+                   count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "wildcard_match": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE source LIKE 'src1_' AND lang LIKE 'e_'
+        """,
+        "datetime_range": """
+            SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                         AND TIMESTAMP '2024-01-12 23:59:59.999999'
+            GROUP BY event_type
+        """,
+        "hierarchy_query": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "deidentify": """
+            SELECT c_custkey,
+                   'Anonymous^' || upper(substr(md5(c_name), 1, 10)) AS alias_name,
+                   upper(md5(CAST(c_custkey AS VARCHAR) || 'PatientId')) AS alias_id,
+                   substr(md5(c_mktsegment), 1, 8) AS segment_hash
+            FROM customer
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id,
+                   CAST(sum(new_s) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "priority_merge": """
+            SELECT user_id,
+                   arg_min(props, event_id) FILTER (WHERE event_type = 'purchase')
+                     AS purchase_props,
+                   arg_min(ts, event_id) FILTER (WHERE event_type = 'signup')
+                     AS signup_ts
+            FROM events GROUP BY user_id
+        """,
+        "exact_dedup": """
+            SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   min(doc_id) AS doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "text_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+                     text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     len(list_filter(toks, x -> lower(x) IN
+                       ('the','a','of','and','to','in','is','it','that','for')))
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stop_ratio,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     list_sum(list_transform(toks, x -> len(x)))
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS mean_word_len,
+                   round((
+                     (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE len(toks) / 5.0 END)
+                     + (CASE WHEN len(toks) > 0
+                             AND list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE) BETWEEN 3 AND 10
+                             THEN 1.0 ELSE 0.5 END)
+                     + (CASE WHEN len(toks) > 0
+                             AND len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it','that','for'))) / CAST(len(toks) AS DOUBLE) > 0.0
+                             AND len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it','that','for'))) / CAST(len(toks) AS DOUBLE) < 0.6
+                             THEN 1.0 ELSE 0.5 END)
+                     + (CASE WHEN (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / CAST(greatest(len(text), 1) AS DOUBLE) < 0.2
+                             THEN 1.0 ELSE 0.3 END)
+                   ) / 4.0, 6) AS quality
+            FROM t
+        """,
+        "lang_guess": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), x -> lower(x)) AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x IN ('der','und','ist'))) AS s_de,
+                     len(list_filter(toks, x -> x IN ('the','and','is'))) AS s_en,
+                     len(list_filter(toks, x -> x IN ('el','y','es'))) AS s_es,
+                     len(list_filter(toks, x -> x IN ('le','et','est'))) AS s_fr
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_guess
+            FROM s
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(
+                       CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

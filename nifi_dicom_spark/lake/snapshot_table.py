@@ -324,21 +324,21 @@ class SnapshotTable:
                 merged = lww_dedup(combined, key_cols).withColumn("_bucket", bucket)
                 merged = merged.select(*schema.fieldNames(), "_bucket")
             elif policy in ("upsert", "insert_if_absent"):
-                # NOT MATCHED BY SOURCE arm: target rows outside the change
-                # set pass through untouched
-                survivors = target.join(
-                    src.select(*key_cols), on=key_cols, how="left_anti"
-                )
                 if policy == "upsert":
+                    # WHEN MATCHED → replaced: only unmatched target rows
+                    # survive (NOT MATCHED BY SOURCE arm)
+                    survivors = target.join(
+                        src.select(*key_cols), on=key_cols, how="left_anti"
+                    )
                     incoming = src
-                    if op_col is not None and op_col in incoming.columns:
-                        incoming = incoming.filter(F.col(op_col) != F.lit("delete"))
-                else:  # insert_if_absent (first-writer-wins)
+                else:  # insert_if_absent (first-writer-wins): existing rows
+                    # are NEVER updated — every target row survives
+                    survivors = target
                     incoming = src.join(
                         target.select(*key_cols), on=key_cols, how="left_anti"
                     )
-                    if op_col is not None and op_col in incoming.columns:
-                        incoming = incoming.filter(F.col(op_col) != F.lit("delete"))
+                if op_col is not None and op_col in incoming.columns:
+                    incoming = incoming.filter(F.col(op_col) != F.lit("delete"))
                 incoming = conform_to_schema(incoming, schema)
                 merged = (
                     survivors.unionByName(incoming)

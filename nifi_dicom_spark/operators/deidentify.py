@@ -1,0 +1,135 @@
+"""Deidentification transform — identity-dimension join + deterministic
+pseudo-identity + rule-driven column hygiene (SURVEY §2.4 J1, §2.8 F1-F5/F12).
+
+Reference semantics re-expressed Spark-first:
+
+* ``DeidentifyDICOM`` probes a CSV-loaded identity map by PatientID
+  (``DeidentifyDICOM.java:216-234``) — here a **broadcast hash join** against
+  a small dimension DataFrame;
+* a miss either routes ``not_matched`` (anti-join) or synthesizes a
+  deterministic pseudo-identity
+  (``IdentityEntry.createPseudoEntry``, ``IdentityEntry.java:28-41``:
+  name = ``"Anonymous^" + MD5(id)[0:10]`` upper-cased,
+  id = ``MD5(id ∥ "PatientId")``) — here ``F.when(dim.isNull, md5_fallback)``;
+* accession remap ``BigInteger(MD5(...)).toString()[0:16]``
+  (``IdentityEntry.generateAccessionNumber:75-81``) — decimal digits of the
+  hash;
+* rule-driven remove / null-out / replace-with-constant
+  (``ClinicalTrialsAttributes.removeOrNullIdentifyingAttributesRecursively``,
+  ``ClinicalTrialsAttributes.java:2528+``) — ``drop`` / ``F.lit`` /
+  ``F.when`` column rules, plus an audit column appended
+  (``F.array_union`` ≙ DeidentificationMethod audit trail, ``:2410-2482``).
+
+Everything is built-in expressions — whole-stage codegen, zero Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pseudo_name(col: str | Column) -> Column:
+    """``Anonymous^`` + first 10 hex chars of MD5, upper-cased (F2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit("Anonymous^"), F.upper(F.substring(F.md5(c), 1, 10)))
+
+
+def pseudo_id(col: str | Column, salt: str = "PatientId") -> Column:
+    """MD5(id ∥ salt) upper-cased (F2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.upper(F.md5(F.concat(c.cast("string"), F.lit(salt))))
+
+
+def remap_accession(*cols: str | Column, length: int = 16) -> Column:
+    """Decimal-digit remap: BigInteger(md5concat).toString()[0:length] (F3).
+
+    The md5 hex is 128 bits; conv(hex→dec) of the full hash overflows
+    built-ins, so take the first 15 hex chars (60 bits, exact in conv) —
+    deterministic, collision behavior equivalent for test purposes.
+    """
+    cs = [F.col(c).cast("string") if isinstance(c, str) else c for c in cols]
+    h = F.md5(F.concat(*cs))
+    return F.substring(F.conv(F.substring(h, 1, 15), 16, 10), 1, length)
+
+
+def short_hash(col: str | Column, n: int = 8) -> Column:
+    """MD5 prefix (F4: study-id hash, ``DeidentifyEncryptDICOM.java:242-243``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("string")), 1, n)
+
+
+def sanitize_filename(col: str | Column) -> Column:
+    """``replaceAll("[^a-zA-Z0-9.^]", "_")`` (F6, ``ExtractDICOMTags.java:138-161``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "[^a-zA-Z0-9.^]", "_")
+
+
+@dataclass
+class DeidentifyRules:
+    """Rule table analog of ClinicalTrialsAttributes' fixed rules (F12)."""
+
+    drop_columns: list[str] = field(default_factory=list)
+    null_columns: list[str] = field(default_factory=list)
+    replace_constants: dict[str, str] = field(default_factory=dict)
+    audit_column: str = "deid_methods"
+
+
+def apply_rules(df: DataFrame, rules: DeidentifyRules) -> DataFrame:
+    """Remove / null-out / replace-with-constant + audit-trail append."""
+    audit_entries = []
+    for c in rules.null_columns:
+        if c in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
+            audit_entries.append(f"nulled:{c}")
+    for c, v in rules.replace_constants.items():
+        if c in df.columns:
+            df = df.withColumn(c, F.lit(v))
+            audit_entries.append(f"replaced:{c}")
+    dropped = [c for c in rules.drop_columns if c in df.columns]
+    if dropped:
+        df = df.drop(*dropped)
+        audit_entries.extend(f"removed:{c}" for c in dropped)
+    base = (
+        F.col(rules.audit_column)
+        if rules.audit_column in df.columns
+        else F.array().cast("array<string>")
+    )
+    return df.withColumn(
+        rules.audit_column,
+        F.array_union(base, F.array(*[F.lit(a) for a in audit_entries])),
+    )
+
+
+def deidentify_with_dimension(
+    records: DataFrame,
+    identity_dim: DataFrame,
+    key: str,
+    dim_key: str,
+    generate_on_miss: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Broadcast-join identity lookup with miss handling (J1).
+
+    Returns ``(matched_or_generated, not_matched)``; with
+    ``generate_on_miss`` the second frame is empty and misses get
+    deterministic pseudo-identities (the reference's two modes,
+    ``DeidentifyDICOM.java:220-234``).
+    """
+    dim_cols = [c for c in identity_dim.columns if c != dim_key]
+    joined = records.join(
+        F.broadcast(identity_dim.withColumnRenamed(dim_key, key)), on=key, how="left"
+    )
+    miss = F.col(dim_cols[0]).isNull() if dim_cols else F.lit(False)
+    if generate_on_miss:
+        # materialize the miss flag BEFORE overwriting any dim column, or the
+        # predicate would re-evaluate against already-filled values
+        out = joined.withColumn("_miss", miss)
+        for c in dim_cols:
+            gen = pseudo_name(key) if "name" in c.lower() else pseudo_id(key, salt=c)
+            out = out.withColumn(c, F.when(F.col("_miss"), gen).otherwise(F.col(c)))
+        out = out.drop("_miss")
+        return out, out.limit(0)
+    return joined.filter(~miss), joined.filter(miss).select(records.columns)
