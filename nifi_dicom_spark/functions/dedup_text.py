@@ -64,18 +64,29 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
 # --- MinHash -----------------------------------------------------------------
 
 
-def _minhash_one(shingles: Column, seed: int) -> Column:
-    """One minhash: min over md5(seed ∥ shingle) hex strings (string min is a
-    valid total order; md5 is uniform). Cross-engine reproducible."""
+def _minhash_one(shingles: Column, seed: int, method: str) -> Column:
+    """One minhash over the shingle set.
+
+    * ``xxhash64`` (default): JVM-native 64-bit hash, one pass, no string
+      materialization — the hot-path choice (~10× cheaper than md5-hex).
+    * ``md5``: hex-string min — slower but reproducible in any SQL engine
+      (used when an external oracle must replay the signature).
+    """
+    if method == "md5":
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        )
     return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
     )
 
 
-def minhash_signature(col: str | Column, k: int = 8, shingle_n: int = 3) -> Column:
+def minhash_signature(
+    col: str | Column, k: int = 8, shingle_n: int = 3, method: str = "xxhash64"
+) -> Column:
     """Array of K independent minhashes."""
     sh = word_shingles(col, shingle_n)
-    return F.array(*[_minhash_one(sh, i) for i in range(k)])
+    return F.array(*[_minhash_one(sh, i, method) for i in range(k)])
 
 
 def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -85,10 +96,11 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                    )
+                F.xxhash64(
+                    *[
+                        F.element_at(sig, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -103,11 +115,18 @@ def minhash_lsh_candidates(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
 
     Plan shape at scale: explode bands → shuffle on (band, bucket) →
     self-join within buckets. No all-pairs comparison anywhere.
+
+    ``max_bucket_size`` guards the quadratic corner: a degenerate bucket
+    (boilerplate text, empty docs) of size B yields B²/2 candidates, so one
+    hot bucket can dominate the job. Buckets above the cap are dropped —
+    standard LSH practice; raise the cap (or add bands) to trade cost for
+    recall. At 10^8 docs this cap is what keeps the stage bounded.
     """
     rows_per_band = k // bands
     sig = minhash_signature(text_col, k=k, shingle_n=shingle_n)
@@ -115,8 +134,22 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("id"),
         F.explode(lsh_bands(sig, bands, rows_per_band)).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # signatures are the expensive part and `banded` is consumed three times
+    # (bucket counts, gate, self-join) — materialize once
+    banded = banded.persist()
+
+    # bucket-size gate: count per (band, bucket) — map-side combined — and
+    # keep only useful buckets (≥2 members, ≤ cap)
+    eligible = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= max_bucket_size))
+        .select("band", "bucket")
+    )
+    gated = banded.join(eligible, on=["band", "bucket"], how="left_semi")
+
+    left = gated.alias("l")
+    right = gated.alias("r")
     pairs = (
         left.join(
             right,
@@ -140,9 +173,12 @@ def near_dup_pairs(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, shingle_n)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, k, bands, shingle_n, max_bucket_size
+    )
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
     )

@@ -156,11 +156,25 @@ def lsh_bucket_topk(
         "query_id",
         "q_vec",
     )
-    cands = (
-        cb.join(F.broadcast(qb), on=["tbl", "bucket"])
+    # dedup candidate PAIRS on ids only (cheap fixed-width shuffle), then
+    # attach vectors once per surviving pair — never shuffle arrays through
+    # the distinct
+    pair_ids = (
+        cb.select("neighbor_id", "tbl", "bucket")
+        .join(F.broadcast(qb.select("query_id", "tbl", "bucket")), on=["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cands = (
+        pair_ids.join(cvecs, on="neighbor_id")
+        .join(F.broadcast(qvecs), on="query_id")
         .withColumn(
             "cos_sim",
             F.round(cosine_sim(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")), 6),
