@@ -307,6 +307,29 @@ class SnapshotTable:
 
         bucket = _bucket_expr(key_cols[0], n_buckets)
         src = source.withColumn("_bucket", bucket)
+
+        if policy == "versioned_upsert":
+            # bucket discovery from a column-pruned scan of the raw source
+            # (conv_id only — Catalyst prunes the rest); no materialization
+            touched = sorted(
+                r["_bucket"]
+                for r in source.select(bucket.alias("_bucket")).distinct().collect()
+            )
+            target = conform_to_schema(self.read(buckets=touched), schema)
+            # union + associative LWW reduce; ONE shuffle with map-side
+            # combine — the source may carry duplicate keys (raw events),
+            # the reduce dedups in-batch and cross-batch simultaneously
+            from nifi_dicom_spark.operators.dedup import lww_dedup
+
+            combined = target.unionByName(conform_to_schema(src, schema))
+            merged = lww_dedup(combined, key_cols).withColumn("_bucket", bucket)
+            merged = merged.select(*schema.fieldNames(), "_bucket")
+            tag = uuid.uuid4().hex[:12]
+            new_files = self._write_bucket_files(merged, tag, n_buckets)
+            return self._commit_merge(
+                m, schema, touched, new_files, commit_keys, policy, skipped
+            )
+
         # cache: we reuse source for bucket discovery + anti-join + projection
         src.persist()
         try:
@@ -315,15 +338,7 @@ class SnapshotTable:
             )
             target = conform_to_schema(self.read(buckets=touched), schema)
 
-            if policy == "versioned_upsert":
-                # union + associative LWW reduce; single shuffle, map-side
-                # combined (same operator as the in-batch dedup)
-                from nifi_dicom_spark.operators.dedup import lww_dedup
-
-                combined = target.unionByName(conform_to_schema(src, schema))
-                merged = lww_dedup(combined, key_cols).withColumn("_bucket", bucket)
-                merged = merged.select(*schema.fieldNames(), "_bucket")
-            elif policy in ("upsert", "insert_if_absent"):
+            if policy in ("upsert", "insert_if_absent"):
                 if policy == "upsert":
                     # WHEN MATCHED → replaced: only unmatched target rows
                     # survive (NOT MATCHED BY SOURCE arm)
@@ -353,6 +368,20 @@ class SnapshotTable:
         finally:
             src.unpersist()
 
+        return self._commit_merge(
+            m, schema, touched, new_files, commit_keys, policy, skipped
+        )
+
+    def _commit_merge(
+        self,
+        m: dict,
+        schema: T.StructType,
+        touched: list[int],
+        new_files: dict[str, list[str]],
+        commit_keys: list | None,
+        policy: str,
+        skipped: int,
+    ) -> MergeStats:
         # carry over untouched buckets; replace touched ones
         files = dict(m["files"])
         for b in touched:
@@ -364,8 +393,8 @@ class SnapshotTable:
             "version": m["version"] + 1,
             "parent": m["version"],
             "schema": schema.json(),
-            "key_cols": key_cols,
-            "n_buckets": n_buckets,
+            "key_cols": m["key_cols"],
+            "n_buckets": m["n_buckets"],
             "files": files,
             "applied_keys": m["applied_keys"]
             + ([list(k) for k in commit_keys] if commit_keys else []),

@@ -88,9 +88,13 @@ def apply_changes(
         _, bad = route_events(events)
         bad.write.mode("append").parquet(quarantine_dir)
 
-    upserts = plan_upserts(events).drop("partition_id")
+    # no pre-dedup: versioned_upsert's own LWW reduce dedups in-batch and
+    # cross-batch in ONE shuffle (pre-deduping here would add a second full
+    # shuffle for no correctness gain)
+    valid, _ = route_events(events)
+    source = valid.select(*STORED_COLUMNS)
     stats = table.merge(
-        upserts, op_col="op", policy="versioned_upsert", commit_keys=commit_keys
+        source, op_col="op", policy="versioned_upsert", commit_keys=commit_keys
     )
     return ApplyResult(merge=stats, metrics=metrics_rows)
 

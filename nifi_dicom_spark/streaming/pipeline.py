@@ -36,7 +36,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
-from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
 from nifi_dicom_spark.operators.apply import apply_changes
 
 
@@ -54,12 +53,10 @@ class CDCPipeline:
     epochs_applied: list[int] = field(default_factory=list)
 
     def _source(self) -> DataFrame:
-        return (
-            self.spark.readStream.schema(CHANGE_EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            # consume strictly in file-name (offset) order
-            .option("latestFirst", "false")
-            .parquet(self.events_dir)
+        from nifi_dicom_spark.sources.changelog import stream_change_log
+
+        return stream_change_log(
+            self.spark, self.events_dir, self.max_files_per_trigger
         )
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:

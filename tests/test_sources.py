@@ -1,0 +1,23 @@
+"""Regression: batch reads of mixed-schema change-log directories must not
+drop the late-added column (a bare spark.read.parquet adopts ONE file's
+schema; the engine's reader pins the superset schema)."""
+
+from __future__ import annotations
+
+from nifi_dicom_spark.fixtures.generator import (
+    GeneratorConfig,
+    generate_change_events,
+    write_event_files,
+)
+from nifi_dicom_spark.sources import read_change_log
+
+
+def test_mixed_schema_batch_read_keeps_tool(spark, tmp_path):
+    cfg = GeneratorConfig(seed=13, n_events=2000, schema_change_at=1000)
+    log = generate_change_events(cfg)
+    write_event_files(log, str(tmp_path / "ev"), n_files=8)
+
+    df = read_change_log(spark, str(tmp_path / "ev"))
+    assert "tool" in df.columns
+    n_tool = df.filter(df.tool.isNotNull()).count()
+    assert n_tool == int(log["tool"].notna().sum()) > 0
