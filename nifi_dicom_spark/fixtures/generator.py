@@ -72,14 +72,21 @@ class GeneratorConfig:
 
 def _texts(rng: np.random.Generator, n: int, widen: np.ndarray) -> np.ndarray:
     """Deterministic pseudo-text; `widen` marks rows that get longer text
-    (the widened-text schema-evolution case)."""
-    base_len = rng.integers(3, 12, size=n)
-    lens = np.where(widen, base_len * 8, base_len)
-    out = np.empty(n, dtype=object)
-    for i in range(n):
-        idx = rng.integers(0, len(_WORDS), size=lens[i])
-        out[i] = " ".join(_WORDS[idx])
-    return out
+    (the widened-text schema-evolution case).
+
+    Vectorized via a pre-built text pool (10k short + 2k wide variants) so
+    multi-million-event logs generate in seconds."""
+    pool_short = np.empty(10_000, dtype=object)
+    for i in range(len(pool_short)):
+        idx = rng.integers(0, len(_WORDS), size=rng.integers(3, 12))
+        pool_short[i] = " ".join(_WORDS[idx])
+    pool_wide = np.empty(2_000, dtype=object)
+    for i in range(len(pool_wide)):
+        idx = rng.integers(0, len(_WORDS), size=rng.integers(24, 96))
+        pool_wide[i] = " ".join(_WORDS[idx])
+    short = pool_short[rng.integers(0, len(pool_short), size=n)]
+    wide = pool_wide[rng.integers(0, len(pool_wide), size=n)]
+    return np.where(widen, wide, short)
 
 
 def generate_change_events(cfg: GeneratorConfig) -> pd.DataFrame:
@@ -103,18 +110,24 @@ def generate_change_events(cfg: GeneratorConfig) -> pd.DataFrame:
         np.where(r < cfg.delete_ratio + cfg.update_ratio, "update", "insert"),
     )
 
-    # per-key monotone version counter; duplicates deliberately reuse one
-    op_seq = np.zeros(n, dtype=np.int64)
-    counters: dict[tuple[int, int], int] = {}
+    # per-key monotone version counter; duplicates deliberately reuse one.
+    # vectorized: rows are 'effective' (advance the counter) unless flagged
+    # dup AND the key has been seen; dup rows draw a uniform existing seq.
     dup = rng.random(n) < cfg.duplicate_ratio
-    for i in range(n):
-        k = (int(conv[i]), int(turn[i]))
-        c = counters.get(k, 0)
-        if dup[i] and c > 0:
-            op_seq[i] = rng.integers(1, c + 1)  # reuse an existing seq → conflict
-        else:
-            counters[k] = c + 1
-            op_seq[i] = counters[k]
+    key = conv.astype(np.int64) * (cfg.max_turns + 2) + turn
+    s = pd.Series(np.arange(n))
+    grp_all = s.groupby(key)
+    first_occ = grp_all.cumcount().to_numpy() == 0
+    eff = ~dup | first_occ
+    inc = eff.astype(np.int64)
+    cum_incl = pd.Series(inc).groupby(key).cumsum().to_numpy()
+    op_seq = np.where(eff, cum_incl, 0)
+    c_before = cum_incl - inc  # effective count before this row (≥1 on dups)
+    dup_rows = ~eff
+    u = rng.random(n)
+    op_seq = np.where(
+        dup_rows, 1 + np.floor(u * np.maximum(c_before, 1)).astype(np.int64), op_seq
+    ).astype(np.int64)
 
     # --- payload -----------------------------------------------------------
     role = _ROLES[rng.integers(0, len(_ROLES), size=n)]
