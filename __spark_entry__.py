@@ -277,6 +277,175 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=3)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: change-capture diff join — synthesize insert/update/delete events
+    between two snapshot versions of the customer dimension."""
+    from nifi_dicom_spark.operators.diff import snapshot_diff
+
+    old = _t(spark, sf_dir, "customer")
+    new = (
+        old.filter(F.col("c_custkey") % 17 != 0)  # deletes
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 10.0, 2)
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(  # inserts: re-keyed copies
+            old.filter(F.col("c_custkey") % 23 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 10_000_000
+            )
+        )
+    )
+    d = snapshot_diff(old, new, ["c_custkey"], ["c_acctbal"])
+    return d.select(
+        "c_custkey",
+        "op",
+        F.round("old_c_acctbal", 4).alias("old_bal"),
+        F.round("new_c_acctbal", 4).alias("new_bal"),
+    )
+
+
+def q_anti_join_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/S6: remote-vs-local anti-join — entities present in the dimension
+    but absent from the fact log (the incremental-sync 'what is missing')."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (n=1) Jaccard near-dup pairs over a keyed subset — the exact
+    verification primitive of the dedup family, oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            F.transform(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""),
+                F.lower,
+            )
+        ).alias("toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force over a keyed
+    subset; the LSH/IVF scale paths are ann_lsh / ann_ivf)."""
+    from nifi_dicom_spark.functions.similarity import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_sim(
+                    F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (no oracle — approximate by design; recall vs brute
+    force asserted in tests)."""
+    from nifi_dicom_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=8)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata, Arrow
+    mapInPandas feature extraction (decode step is a deterministic stub —
+    sha256/n_bytes are the oracle-checkable outputs)."""
+    from nifi_dicom_spark.functions.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("doc_id") % 30 + 1).cast("int").alias("n_frames"),
+            F.lit("application/fake").alias("mime"),
+        ).alias("meta"),
+    )
+    return extract_features(media, dim=16).select(
+        "media_id", "kind", "sha256", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+
+
+def q_attr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 all-tags mode: every attribute stringified (200-char cap, W4) and
+    emitted as (id, attr, value) rows — explode(map_entries)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"),
+        F.lit("source"), F.col("source"),
+        F.lit("n_chars"), F.col("n_chars").cast("string"),
+        F.lit("text"), F.substring(F.col("text"), 1, 200),
+    )
+    return docs.select(F.col("doc_id"), F.explode(m).alias("attr", "value"))
+
+
+def q_path_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: filename sanitize + hierarchical path build."""
+    part = _t(spark, sf_dir, "part")
+    clean = lambda c: F.regexp_replace(F.col(c), "[^a-zA-Z0-9.^]", "_")  # noqa: E731
+    return part.select(
+        "p_partkey",
+        F.concat_ws(
+            "/",
+            clean("p_brand"),
+            clean("p_type"),
+            F.concat(F.col("p_partkey").cast("string"), F.lit(".dat")),
+        ).alias("path"),
+    )
+
+
+def q_expr_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: expression-language analog — column expressions compiled from
+    strings (base64/substring built-ins, the reference's
+    ``${...:base64Encode():substring(...)}``)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("substring(base64(encode(source, 'UTF-8')), 1, 8)").alias("src_b64"),
+        F.expr("upper(substring(md5(text), 1, 10))").alias("text_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # OLAP sanity (flagship plan-shape check)
 # ---------------------------------------------------------------------------
@@ -331,6 +500,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "snapshot_diff": q_snapshot_diff,
+        "anti_join_sync": q_anti_join_sync,
+        "token_jaccard": q_token_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "attr_explode": q_attr_explode,
+        "path_build": q_path_build,
+        "expr_lang": q_expr_lang,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -509,6 +687,89 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "snapshot_diff": """
+            WITH new AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 10.0, 2)
+                          ELSE c_acctbal END AS c_acctbal
+              FROM customer WHERE c_custkey % 17 <> 0
+              UNION ALL
+              SELECT c_custkey + 10000000 AS c_custkey, c_acctbal
+              FROM customer WHERE c_custkey % 23 = 0
+            )
+            SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+                   CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                        WHEN n.c_custkey IS NULL THEN 'delete'
+                        ELSE 'update' END AS op,
+                   round(o.c_acctbal, 4) AS old_bal,
+                   round(n.c_acctbal, 4) AS new_bal
+            FROM customer o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+            WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+                  OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        """,
+        "anti_join_sync": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+        """,
+        "token_jaccard": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                       x -> lower(x))) AS toks
+              FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT * FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+                           THEN len(list_intersect(a.toks, b.toks))
+                                / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+                           ELSE 0.0 END, 6) AS jaccard
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.5
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+                       AS cos_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.3
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   sha256(text) AS sha256,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        """,
+        "attr_explode": """
+            SELECT doc_id, 'lang' AS attr, lang AS value FROM documents
+            UNION ALL
+            SELECT doc_id, 'source', source FROM documents
+            UNION ALL
+            SELECT doc_id, 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT doc_id, 'text', substr(text, 1, 200) FROM documents
+        """,
+        "path_build": """
+            SELECT p_partkey,
+                   regexp_replace(p_brand, '[^a-zA-Z0-9.^]', '_', 'g') || '/' ||
+                   regexp_replace(p_type, '[^a-zA-Z0-9.^]', '_', 'g') || '/' ||
+                   CAST(p_partkey AS VARCHAR) || '.dat' AS path
+            FROM part
+        """,
+        "expr_lang": """
+            SELECT doc_id,
+                   substr(to_base64(encode(source)), 1, 8) AS src_b64,
+                   upper(substr(md5(text), 1, 10)) AS text_hash
+            FROM documents
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

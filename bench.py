@@ -30,17 +30,15 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # pre-touched fixed heap: lazy G1 heap page-commit otherwise injects
+    # multi-second stalls into early timed epochs (see BENCH/BASELINE.md)
+    os.environ.setdefault(
+        "SPARK_GRAFT_JAVA_OPTS",
+        f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '16g')} -XX:+AlwaysPreTouch",
+    )
+
     import __spark_entry__ as entry_mod
-    from nifi_dicom_spark.fixtures.generator import (
-        GeneratorConfig,
-        generate_change_events,
-        write_event_files,
-    )
-    from nifi_dicom_spark.operators.apply import (
-        apply_changes,
-        create_transcripts_table,
-        read_final_state,
-    )
+    from nifi_dicom_spark.bench_core import run_replay
     from nifi_dicom_spark.session import get_spark
 
     spark = get_spark(app_name="bench", cpus=cpus)
@@ -50,45 +48,20 @@ def main() -> None:
     # --- headline: sustained CDC replay ------------------------------------
     # deterministic scale: ~600k events at sf0.1 (≈ lineitem rows), applied
     # as 4 epochs into a growing table AFTER a warm-up epoch (JVM/codegen
-    # warm-up is one-time; the 10^10-event target runs steady-state)
+    # warm-up is one-time; the 10^10-event target runs steady-state).
+    # work dir on tmpfs: the bench measures the engine, not one local disk.
     n_events = max(20_000, int(6_000_000 * sf)) if sf > 0 else 100_000
     n_epochs = 4
-    work = tempfile.mkdtemp(prefix="bench-")
-    from nifi_dicom_spark.sources.changelog import read_change_log
-
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-", dir=shm)
     try:
-        per_epoch = n_events // n_epochs
-        dirs = []
-        for e in range(n_epochs + 1):  # +1 warm-up
-            cfg = GeneratorConfig(
-                seed=42 + e,
-                n_conversations=max(100, n_events // 50),
-                max_turns=20,
-                n_events=per_epoch if e else max(5_000, per_epoch // 10),
-                duplicate_ratio=0.05,
-                late_ratio=0.10,
-                hot_fraction=0.30,
-                n_hot=3,
-                malformed_ratio=0.01,
-                schema_change_at=(per_epoch // 2) if e == 1 else 0,
-            )
-            d = os.path.join(work, f"events-{e}")
-            write_event_files(generate_change_events(cfg), d, n_files=max(8, cpus))
-            dirs.append(d)
-
-        table = create_transcripts_table(
-            spark, os.path.join(work, "transcripts"), n_buckets=2 * cpus
+        replay = run_replay(
+            spark, n_events=n_events, n_epochs=n_epochs, n_buckets=64, work_dir=work
         )
-        apply_changes(table, read_change_log(spark, dirs[0]), epoch=0)  # warm-up
-
-        t0 = time.monotonic()
-        for e in range(1, n_epochs + 1):
-            apply_changes(table, read_change_log(spark, dirs[e]), epoch=e)
-        replay_sec = time.monotonic() - t0
-        n_final = read_final_state(table).count()
-        timings["cdc_replay"] = round(replay_sec, 3)
-        events_per_sec = (per_epoch * n_epochs) / replay_sec
-        n_events = per_epoch * n_epochs
+        timings["cdc_replay"] = replay["seconds"]
+        events_per_sec = replay["events_per_sec"]
+        n_events = replay["events"]
+        n_final = replay["final_rows"]
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -188,3 +188,86 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# --- IVF ----------------------------------------------------------------------
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``n_cells`` Voronoi cells
+    around deterministic centroids; each query searches only its ``n_probe``
+    closest cells.
+
+    Centroids are seeded pseudo-random hypervectors (no training pass — at
+    10^9+ vectors a k-means refinement job would precede this, but cell
+    assignment/probe mechanics are identical). Scale shape: corpus is
+    assigned once (narrow map), shuffle key is ``cell``; queries broadcast
+    with their probe lists. Recall < 1 by construction — verified against
+    ``brute_force_topk`` in tests.
+    """
+    from pyspark.sql import Window
+
+    cents = _projection_vectors(dim, n_cells, seed + 7)
+
+    def cell_sims(vec: Column) -> Column:
+        """array<struct<sim,cid>> of similarity to every centroid."""
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine_sim(
+                            vec.cast("array<double>"),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                        ),
+                        9,
+                    ).alias("sim"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("cell", F.array_max(cell_sims(F.col("c_vec"))).getField("cid"))
+
+    probes = F.slice(
+        F.reverse(F.array_sort(cell_sims(F.col("q_vec")))), 1, n_probe
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("probe", F.explode(probes))
+        .select("query_id", "q_vec", F.col("probe.cid").alias("cell"))
+    )
+    cands = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_sim(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -72,6 +72,40 @@ def _bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+#: n_buckets -> [preimage long per bucket]; process-wide (pure function of n)
+_PK_CACHE: dict[int, list[int]] = {}
+
+
+def _partition_preimages(spark: SparkSession, n: int) -> list[int]:
+    """``pk[b]`` = a long ``x`` with ``pmod(murmur3_hash(x), n) == b``.
+
+    ``repartition(n, pk_col)`` places rows in shuffle partition
+    ``pmod(murmur3(pk), n)``, so tagging bucket ``b``'s rows with ``pk[b]``
+    sends each bucket to exactly one output partition — partition index ==
+    bucket id. This replaces the dynamic-partition writer
+    (``write.partitionBy``), which adds its own sort + per-directory commit
+    and measurably anti-scales with executor count, with a plain columnar
+    write of one file per bucket. One tiny Spark job per distinct ``n`` per
+    process (cached); runs during table setup/warm-up, not per epoch.
+    """
+    pks = _PK_CACHE.get(n)
+    if pks is None:
+        rows = (
+            spark.range(0, max(4096, 64 * n))
+            .select(F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(n)).alias("b"))
+            .groupBy("b")
+            .agg(F.min("id").alias("pk"))
+            .collect()
+        )
+        got = {r["b"]: r["pk"] for r in rows}
+        missing = [b for b in range(n) if b not in got]
+        if missing:  # astronomically unlikely for the search range above
+            raise RuntimeError(f"no murmur3 preimage found for buckets {missing}")
+        pks = [got[b] for b in range(n)]
+        _PK_CACHE[n] = pks
+    return pks
+
+
 class SnapshotTable:
     """Versioned, bucketed parquet table with MERGE + idempotent commits."""
 
@@ -159,6 +193,9 @@ class SnapshotTable:
     def key_cols(self) -> list[str]:
         return list(self.manifest()["key_cols"])
 
+    def n_buckets(self) -> int:
+        return int(self.manifest()["n_buckets"])
+
     def applied_keys(self) -> set[tuple[int, int]]:
         return {tuple(k) for k in self.manifest()["applied_keys"]}
 
@@ -186,31 +223,38 @@ class SnapshotTable:
     def _write_bucket_files(
         self, df: DataFrame, commit_tag: str, n_buckets: int
     ) -> dict[str, list[str]]:
-        """Write df (must carry ``_bucket``) partitioned by bucket under a
-        fresh commit directory; return bucket -> [relpath]."""
+        """Write df (must carry ``_bucket``) as exactly one sorted parquet
+        file per non-empty bucket under a fresh commit directory; return
+        bucket -> [relpath].
+
+        Exact placement via murmur3 preimages (:func:`_partition_preimages`):
+        output partition index == bucket id, so file ``part-0000b-*`` IS
+        bucket ``b`` — no dynamic-partition writer, no extra sort, no
+        directory fan-out. The explicit ``repartition(n, col)`` is a
+        REPARTITION_BY_NUM shuffle, which AQE never coalesces, so the write
+        keeps full ``n_buckets`` parallelism at any cluster size."""
         out_rel = f"c-{commit_tag}"
         out_abs = os.path.join(self.data_dir, out_rel)
+        pks = _partition_preimages(self.spark, n_buckets)
+        mapping = F.create_map(
+            *[F.lit(v) for b in range(n_buckets) for v in (b, pks[b])]
+        )
+        data_cols = [c for c in df.columns if c not in ("_bucket", "_pk")]
         (
-            df.repartition(n_buckets, "_bucket")
+            df.withColumn("_pk", mapping[F.col("_bucket")].cast("long"))
+            .repartition(n_buckets, "_pk")
+            .select(*data_cols)
             .sortWithinPartitions(*self.key_cols())
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
+            .write.mode("overwrite")
             .parquet(out_abs)
         )
         files: dict[str, list[str]] = {}
-        for entry in os.listdir(out_abs):
-            if not entry.startswith("_bucket="):
+        for fn in os.listdir(out_abs):
+            if not fn.endswith(".parquet") or not fn.startswith("part-"):
                 continue
-            b = entry.split("=", 1)[1]
-            bdir = os.path.join(out_abs, entry)
-            rels = [
-                os.path.join(out_rel, entry, fn)
-                for fn in os.listdir(bdir)
-                if fn.endswith(".parquet")
-            ]
-            if rels:
-                files[b] = sorted(rels)
-        return files
+            b = str(int(fn.split("-")[1]))
+            files.setdefault(b, []).append(os.path.join(out_rel, fn))
+        return {b: sorted(v) for b, v in files.items()}
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the full table contents (initial snapshot load)."""
@@ -244,6 +288,7 @@ class SnapshotTable:
         policy: str = "upsert",
         commit_keys: list[tuple[int, int]] | None = None,
         assert_unique_source: bool = False,
+        touched_buckets: list[int] | None = None,
     ) -> MergeStats:
         """MERGE INTO this table USING ``source`` ON the key columns.
 
@@ -309,11 +354,17 @@ class SnapshotTable:
         src = source.withColumn("_bucket", bucket)
 
         if policy == "versioned_upsert":
-            # bucket discovery from a column-pruned scan of the raw source
-            # (conv_id only — Catalyst prunes the rest); no materialization
-            touched = sorted(
-                r["_bucket"]
-                for r in source.select(bucket.alias("_bucket")).distinct().collect()
+            # bucket discovery: callers that already aggregate over the batch
+            # (lineage metrics) pass the touched set in — zero extra jobs;
+            # otherwise one column-pruned scan of the raw source (conv_id
+            # only — Catalyst prunes the rest), no materialization
+            touched = (
+                sorted(touched_buckets)
+                if touched_buckets is not None
+                else sorted(
+                    r["_bucket"]
+                    for r in source.select(bucket.alias("_bucket")).distinct().collect()
+                )
             )
             target = conform_to_schema(self.read(buckets=touched), schema)
             # union + associative LWW reduce; ONE shuffle with map-side
@@ -333,8 +384,12 @@ class SnapshotTable:
         # cache: we reuse source for bucket discovery + anti-join + projection
         src.persist()
         try:
-            touched = sorted(
-                r["_bucket"] for r in src.select("_bucket").distinct().collect()
+            touched = (
+                sorted(touched_buckets)
+                if touched_buckets is not None
+                else sorted(
+                    r["_bucket"] for r in src.select("_bucket").distinct().collect()
+                )
             )
             target = conform_to_schema(self.read(buckets=touched), schema)
 

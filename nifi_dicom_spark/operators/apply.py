@@ -46,25 +46,32 @@ def plan_upserts(events: DataFrame) -> DataFrame:
     return winners.select(*STORED_COLUMNS, "partition_id")
 
 
-def partition_metrics(events: DataFrame) -> DataFrame:
+def partition_metrics(events: DataFrame, bucket_expr=None) -> DataFrame:
     """Per-source-partition lineage: applied-op counts, quarantine count,
     high-watermark offset (SURVEY T6/K7; reference provenance
     ``ListenDICOM.java:163-164`` and cache-stats JSON
     ``LogCacheStatistics.java:50-60``).
 
-    One aggregation pass over the batch — map-side combined.
+    One aggregation pass over the batch — map-side combined. When
+    ``bucket_expr`` is given, the same pass also collects the set of target
+    buckets touched by valid events (``_buckets`` column), so the merge
+    needs no separate bucket-discovery job.
     """
     from nifi_dicom_spark.operators.routing import validity_predicate
 
     ok = validity_predicate()
-    return events.groupBy("partition_id").agg(
+    aggs = [
         F.sum(F.when(ok & (F.col("op") == "insert"), 1).otherwise(0)).alias("n_insert"),
         F.sum(F.when(ok & (F.col("op") == "update"), 1).otherwise(0)).alias("n_update"),
         F.sum(F.when(ok & (F.col("op") == "delete"), 1).otherwise(0)).alias("n_delete"),
         F.sum(F.when(~ok, 1).otherwise(0)).alias("n_quarantined"),
         F.max("offset").alias("high_watermark_offset"),
         F.count(F.lit(1)).alias("n_events"),
-    )
+    ]
+    if bucket_expr is not None:
+        # collect_set skips nulls, so invalid events touch no bucket
+        aggs.append(F.collect_set(F.when(ok, bucket_expr)).alias("_buckets"))
+    return events.groupBy("partition_id").agg(*aggs)
 
 
 def apply_changes(
@@ -74,28 +81,49 @@ def apply_changes(
     quarantine_dir: str | None = None,
 ) -> ApplyResult:
     """Apply one batch of change events to the transcripts table with
-    idempotent commit keys (epoch, partition_id)."""
+    idempotent commit keys (epoch, partition_id).
+
+    One cached scan of the batch feeds (a) the fused lineage-metrics +
+    bucket-discovery aggregation and (b) the merge source — the batch is
+    decoded from parquet once, not three times.
+    """
+    from pyspark.sql import functions as SF
+
     events = conform_to_schema(events, CHANGE_EVENTS_SCHEMA)
-    metrics_rows = [r.asDict() for r in partition_metrics(events).collect()]
+    events.persist()
+    try:
+        bucket = SF.pmod(
+            SF.xxhash64(SF.col(KEY_COLUMNS[0])), SF.lit(table.n_buckets())
+        ).cast("int")
+        metrics_rows = [
+            r.asDict() for r in partition_metrics(events, bucket_expr=bucket).collect()
+        ]
+        touched = sorted({int(b) for r in metrics_rows for b in r.pop("_buckets")})
 
-    commit_keys = None
-    if epoch is not None:
-        commit_keys = [(epoch, int(r["partition_id"])) for r in metrics_rows]
-        for r in metrics_rows:
-            r["checkpoint_epoch"] = epoch
+        commit_keys = None
+        if epoch is not None:
+            commit_keys = [(epoch, int(r["partition_id"])) for r in metrics_rows]
+            for r in metrics_rows:
+                r["checkpoint_epoch"] = epoch
 
-    if quarantine_dir is not None:
-        _, bad = route_events(events)
-        bad.write.mode("append").parquet(quarantine_dir)
+        if quarantine_dir is not None:
+            _, bad = route_events(events)
+            bad.write.mode("append").parquet(quarantine_dir)
 
-    # no pre-dedup: versioned_upsert's own LWW reduce dedups in-batch and
-    # cross-batch in ONE shuffle (pre-deduping here would add a second full
-    # shuffle for no correctness gain)
-    valid, _ = route_events(events)
-    source = valid.select(*STORED_COLUMNS)
-    stats = table.merge(
-        source, op_col="op", policy="versioned_upsert", commit_keys=commit_keys
-    )
+        # no pre-dedup: versioned_upsert's own LWW reduce dedups in-batch and
+        # cross-batch in ONE shuffle (pre-deduping here would add a second
+        # full shuffle for no correctness gain)
+        valid, _ = route_events(events)
+        source = valid.select(*STORED_COLUMNS)
+        stats = table.merge(
+            source,
+            op_col="op",
+            policy="versioned_upsert",
+            commit_keys=commit_keys,
+            touched_buckets=touched,
+        )
+    finally:
+        events.unpersist()
     return ApplyResult(merge=stats, metrics=metrics_rows)
 
 

@@ -1,0 +1,77 @@
+"""Snapshot diff join — the change-event generator (SURVEY §2.4 J6).
+
+Reference semantics: ``originalTags.getRemovedOrModified(deidentifiedTags)``
+computes the attribute-level diff between two versions of a record
+(``DeidentifyEncryptDICOM.java:406-408``); the inverse merge re-applies it
+(``DecryptReidentifyDICOM.java:192-193``). Spark-first shape: ONE full-outer
+equi-join of the old and new snapshots on the key, with per-column null-safe
+``!=`` comparison deciding insert/update/delete — this is how CDC events are
+synthesized from table states (and how the engine's tests fabricate update
+streams).
+
+Scale notes: the join shuffles both snapshots on the key once; Catalyst
+picks broadcast when one side is a small dimension. Unchanged rows are
+filtered *before* any downstream work (predicate sits right on the join
+output, inside the same codegen stage).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change events turning ``old`` into ``new``.
+
+    Output: key columns (coalesced), ``op`` ∈ {insert, update, delete}
+    (+ ``unchanged`` if requested), and ``old_<c>`` / ``new_<c>`` for every
+    compared column.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [o[f"_ok_{k}"] == n[f"_nk_{k}"] for k in key_cols],
+    )
+    j = o.join(n, cond, "full_outer")
+
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare_cols],
+        F.lit(False),
+    )
+    op = (
+        F.when(F.col(f"_ok_{key_cols[0]}").isNull(), F.lit("insert"))
+        .when(F.col(f"_nk_{key_cols[0]}").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        op.alias("op"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("op") != "unchanged")
+    return out

@@ -51,6 +51,12 @@ def get_spark(
         # file-source streaming reads local paths; keep committers simple
         .config("spark.sql.streaming.schemaInference", "false")
     )
+    # benches set SPARK_GRAFT_JAVA_OPTS="-Xms16g -XX:+AlwaysPreTouch":
+    # committing the heap up front removes multi-second page-commit stalls
+    # observed during lazy G1 heap expansion under load
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

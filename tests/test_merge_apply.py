@@ -139,3 +139,35 @@ def test_duplicate_op_seq_conflict_policy(spark, tmp_path):
     apply_changes(table, _spark_events(spark, pdf), epoch=0)
     out = read_final_state(table).toPandas()
     assert out["text"].tolist() == ["second"]
+
+
+def test_one_file_per_bucket_layout(spark, small_log, tmp_path):
+    """Physical layout invariant: each committed data file holds exactly the
+    rows of its manifest bucket (file part-index == bucket id), so bucket
+    pruning at read/merge time is exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable, _bucket_expr
+
+    table = create_transcripts_table(spark, str(tmp_path / "transcripts"))
+    apply_changes(table, _spark_events(spark, small_log), epoch=0)
+
+    m = table.manifest()
+    n_buckets = m["n_buckets"]
+    for b_str, rels in m["files"].items():
+        for rel in rels:
+            df = spark.read.parquet(os.path.join(table.data_dir, rel))
+            got = df.select(
+                _bucket_expr("conv_id", n_buckets).alias("b")
+            ).distinct().collect()
+            assert {r["b"] for r in got} <= {int(b_str)}, (
+                f"file {rel} contains rows outside bucket {b_str}"
+            )
+    # bucket-pruned read returns exactly the rows of those buckets
+    some = [int(b) for b in list(m["files"])[:3]]
+    pruned = table.read(buckets=some)
+    full = table.read().withColumn("_b", _bucket_expr("conv_id", n_buckets))
+    expect = full.filter(F.col("_b").isin(some)).drop("_b")
+    assert pruned.count() == expect.count()

@@ -217,3 +217,47 @@ def test_deidentify_rules_and_dimension_join(spark):
     out = ruled.collect()[0]
     assert out["patient_name"] is None and out["serial"] == "SN000000"
     assert set(out["deid_methods"]) == {"nulled:patient_name", "replaced:serial"}
+
+
+def test_snapshot_diff_change_capture(spark):
+    """J6: full-outer diff join classifies insert/update/delete exactly."""
+    import pandas as pd
+
+    from nifi_dicom_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", None]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 3, 4, 5], "v": ["B", "c", None, "e"]})
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out[1]["op"] == "delete"
+    assert out[2]["op"] == "update" and out[2]["new_v"] == "B"
+    assert 3 not in out  # unchanged
+    assert 4 not in out  # null == null is unchanged (null-safe compare)
+    assert out[5]["op"] == "insert" and out[5]["old_v"] is None
+    # include_unchanged keeps everything
+    assert snapshot_diff(old, new, ["k"], ["v"], include_unchanged=True).count() == 5
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF ANN with generous n_probe recovers most exact neighbors."""
+    from pyspark.sql import functions as F
+
+    from nifi_dicom_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    approx = ivf_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=6).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # determinism
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=6).collect()
+    }
+    assert again == approx_pairs
