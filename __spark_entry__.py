@@ -250,7 +250,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nifi_dicom_spark.functions.dedup_text import simhash64
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64("text").alias("simhash"))
+    # partition by count, not bytes: tiny file, ms-per-row expression
+    n = spark.sparkContext.defaultParallelism
+    return docs.repartition(n).select("doc_id", simhash64("text").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +321,11 @@ def q_anti_join_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (n=1) Jaccard near-dup pairs over a keyed subset — the exact
     verification primitive of the dedup family, oracle-checkable."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = docs.select(
         F.col("doc_id"),
         F.array_distinct(
@@ -350,7 +356,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset; the LSH/IVF scale paths are ann_lsh / ann_ivf)."""
     from nifi_dicom_spark.functions.similarity import cosine_sim
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 3 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
@@ -385,7 +395,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256/n_bytes are the oracle-checkable outputs)."""
     from nifi_dicom_spark.functions.multimodal import extract_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
@@ -443,6 +455,29 @@ def q_expr_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("substring(base64(encode(source, 'UTF-8')), 1, 8)").alias("src_b64"),
         F.expr("upper(substring(md5(text), 1, 10))").alias("text_hash"),
+    )
+
+
+def q_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: AES-256-CBC payload envelope (Arrow-batched pandas UDFs) —
+    encrypt∘decrypt must be identity, the reference's round-trip oracle
+    (DeidentifyEncryptDICOMTest.java:97-123)."""
+    from nifi_dicom_spark.functions.crypto import (
+        decrypt_payload,
+        encrypt_payload,
+        is_envelope,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    enc = docs.withColumn("env", encrypt_payload("payload", "s3cret"))
+    dec = enc.withColumn("plain", decrypt_payload("env", "s3cret"))
+    return dec.select(
+        "doc_id",
+        (F.col("plain") == F.col("payload")).alias("roundtrip_ok"),
+        is_envelope("env").alias("detected"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
     )
 
 
@@ -509,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_explode": q_attr_explode,
         "path_build": q_path_build,
         "expr_lang": q_expr_lang,
+        "encrypt_roundtrip": q_encrypt_roundtrip,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -769,6 +805,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    substr(to_base64(encode(source)), 1, 8) AS src_b64,
                    upper(substr(md5(text), 1, 10)) AS text_hash
+            FROM documents
+        """,
+        "encrypt_roundtrip": """
+            SELECT doc_id,
+                   true AS roundtrip_ok,
+                   true AS detected,
+                   octet_length(encode(text)) AS n_bytes
             FROM documents
         """,
         "tpch_q1": """

@@ -34,7 +34,8 @@ def main() -> None:
     # multi-second stalls into early timed epochs (see BENCH/BASELINE.md)
     os.environ.setdefault(
         "SPARK_GRAFT_JAVA_OPTS",
-        f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '16g')} -XX:+AlwaysPreTouch",
+        f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '16g')} -XX:+AlwaysPreTouch "
+        "-XX:+UseParallelGC",
     )
 
     import __spark_entry__ as entry_mod
@@ -51,7 +52,7 @@ def main() -> None:
     # warm-up is one-time; the 10^10-event target runs steady-state).
     # work dir on tmpfs: the bench measures the engine, not one local disk.
     n_events = max(20_000, int(6_000_000 * sf)) if sf > 0 else 100_000
-    n_epochs = 4
+    n_epochs = 2
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="bench-", dir=shm)
     try:

@@ -1,0 +1,97 @@
+"""Reversible payload encryption — the engine's opaque-bytes transform
+exemplar (SURVEY §2.8 F9).
+
+Reference: AES-256-CBC CMS envelope with PBKDF2 (PKCS5 v2, salt+iterations)
+used to stash the original attributes inside the deidentified object for
+later re-identification (``util/Encryption.java:44-78``; applied
+``DeidentifyEncryptDICOM.java:425-443``, inverted
+``DecryptReidentifyDICOM.java:147-152``).
+
+Spark-first shape: **vectorized pandas UDFs over BinaryType** — Arrow moves
+the byte payloads in columnar batches; the cipher runs inside the batch (the
+"no per-row Python in the plan" rule means no row-at-a-time Python UDF
+*boundary*; the kernel itself is necessarily per-value, like the reference's
+per-object Java loop).
+
+Determinism deviation, by design: the reference draws a random salt per
+envelope; here salt and IV are derived from (password, plaintext) via HMAC,
+so encryption is a pure function — replaying an epoch produces byte-identical
+envelopes and the idempotent MERGE stays a no-op (the engine-wide
+determinism rule, SURVEY §7.1.3).
+
+Envelope layout: b"NDS1" ‖ salt(16) ‖ iv(16) ‖ AES-256-CBC(PKCS7(plaintext)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"NDS1"
+_ITERATIONS = 10_000  # reference default ballpark; PBKDF2 cost knob
+
+
+def _derive_key(password: str, salt: bytes) -> bytes:
+    return hashlib.pbkdf2_hmac("sha256", password.encode(), salt, _ITERATIONS, 32)
+
+
+def _encrypt_one(password: str, plaintext: bytes) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    from cryptography.hazmat.primitives.padding import PKCS7
+
+    mac = hmac.new(password.encode(), plaintext, hashlib.sha256).digest()
+    salt, iv = mac[:16], mac[16:32]
+    key = _derive_key(password, salt)
+    padder = PKCS7(128).padder()
+    padded = padder.update(plaintext) + padder.finalize()
+    enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    return MAGIC + salt + iv + enc.update(padded) + enc.finalize()
+
+
+def _decrypt_one(password: str, envelope: bytes) -> bytes | None:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    from cryptography.hazmat.primitives.padding import PKCS7
+
+    if envelope is None or not envelope.startswith(MAGIC):
+        return None  # the reference's "detect" path: not an envelope
+    salt, iv = envelope[4:20], envelope[20:36]
+    key = _derive_key(password, salt)
+    dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+    try:
+        padded = dec.update(envelope[36:]) + dec.finalize()
+        unpadder = PKCS7(128).unpadder()
+        return unpadder.update(padded) + unpadder.finalize()
+    except ValueError:
+        return None  # wrong key / corrupt envelope → failure route, not crash
+
+
+def encrypt_payload(col: str | Column, password: str) -> Column:
+    """BinaryType → BinaryType AES envelope (Arrow-batched)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _enc(s: pd.Series) -> pd.Series:
+        return s.map(lambda p: None if p is None else _encrypt_one(password, bytes(p)))
+
+    return _enc(F.col(col) if isinstance(col, str) else col)
+
+
+def decrypt_payload(col: str | Column, password: str) -> Column:
+    """Inverse of :func:`encrypt_payload`; non-envelopes decrypt to null
+    (detect-then-decrypt, ``DecryptReidentifyDICOM.java:147-152``)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _dec(s: pd.Series) -> pd.Series:
+        return s.map(lambda p: None if p is None else _decrypt_one(password, bytes(p)))
+
+    return _dec(F.col(col) if isinstance(col, str) else col)
+
+
+def is_envelope(col: str | Column) -> Column:
+    """Cheap JVM-side detect predicate (no Python): magic-prefix check."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, 4) == F.lit(MAGIC)

@@ -108,30 +108,33 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    k: int = 8,
-    bands: int = 4,
-    shingle_n: int = 3,
-    max_bucket_size: int = 64,
+def _shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
+    """(id, _sh) with shingles materialized ONCE and the frame repartitioned
+    to full parallelism.
 
-    Plan shape at scale: explode bands → shuffle on (band, bucket) →
-    self-join within buckets. No all-pairs comparison anywhere.
-
-    ``max_bucket_size`` guards the quadratic corner: a degenerate bucket
-    (boilerplate text, empty docs) of size B yields B²/2 candidates, so one
-    hot bucket can dominate the job. Buckets above the cap are dropped —
-    standard LSH practice; raise the cap (or add bands) to trade cost for
-    recall. At 10^8 docs this cap is what keeps the stage bounded.
+    Two deliberate moves for the compute shape: (a) higher-order-function
+    expressions get no common-subexpression elimination, so building shingles
+    as a named column stops every downstream minhash from re-deriving them;
+    (b) document inputs are often tiny in bytes but cost milliseconds per row
+    here — file-size-based partitioning would run the whole job in one task,
+    so repartition by row count, not bytes.
     """
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    return df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("_sh")
+    ).repartition(n_parts, "id")
+
+
+def _candidates_from_shingles(
+    sh_df: DataFrame, k: int, bands: int, max_bucket_size: int
+) -> DataFrame:
     rows_per_band = k // bands
-    sig = minhash_signature(text_col, k=k, shingle_n=shingle_n)
-    banded = df.select(
-        F.col(id_col).alias("id"),
+    sig = F.array(*[_minhash_one(F.col("_sh"), i, "xxhash64") for i in range(k)])
+    banded = sh_df.select(
+        "id",
         F.explode(lsh_bands(sig, bands, rows_per_band)).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     # signatures are the expensive part and `banded` is consumed three times
@@ -165,6 +168,30 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
+
+    Plan shape at scale: explode bands → shuffle on (band, bucket) →
+    self-join within buckets. No all-pairs comparison anywhere.
+
+    ``max_bucket_size`` guards the quadratic corner: a degenerate bucket
+    (boilerplate text, empty docs) of size B yields B²/2 candidates, so one
+    hot bucket can dominate the job. Buckets above the cap are dropped —
+    standard LSH practice; raise the cap (or add bands) to trade cost for
+    recall. At 10^8 docs this cap is what keeps the stage bounded.
+    """
+    sh_df = _shingle_frame(df, text_col, id_col, shingle_n)
+    return _candidates_from_shingles(sh_df, k, bands, max_bucket_size)
+
+
 def near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -175,16 +202,18 @@ def near_dup_pairs(
     shingle_n: int = 3,
     max_bucket_size: int = 64,
 ) -> DataFrame:
-    """LSH candidates verified by exact n-gram Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, k, bands, shingle_n, max_bucket_size
-    )
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh")
-    )
+    """LSH candidates verified by exact n-gram Jaccard ≥ threshold.
+
+    The shingle frame is shared (cached) between candidate generation and
+    verification — shingling is the expensive stage and runs exactly once.
+    """
+    sh_df = _shingle_frame(df, text_col, id_col, shingle_n).persist()
+    cands = _candidates_from_shingles(sh_df, k, bands, max_bucket_size)
+    a = sh_df.select(F.col("id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh_df.select(F.col("id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -60,7 +60,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -134,6 +136,9 @@ def lsh_bucket_topk(
     tables = [
         _projection_vectors(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
+    # rows are cheap in bytes but expensive to hash — partition by count,
+    # not file size, or a small corpus file runs the whole job in one task
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
 
     def bucketize(df, idc, vc):
         b = F.array(
@@ -218,6 +223,9 @@ def ivf_topk(
     from pyspark.sql import Window
 
     cents = _projection_vectors(dim, n_cells, seed + 7)
+    # see lsh_bucket_topk: partition the corpus by count before heavy per-row
+    # centroid scoring
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
 
     def cell_sims(vec: Column) -> Column:
         """array<struct<sim,cid>> of similarity to every centroid."""

@@ -79,18 +79,28 @@ def apply_changes(
     events: DataFrame,
     epoch: int | None = None,
     quarantine_dir: str | None = None,
+    cache_batch: bool | None = None,
 ) -> ApplyResult:
     """Apply one batch of change events to the transcripts table with
     idempotent commit keys (epoch, partition_id).
 
-    One cached scan of the batch feeds (a) the fused lineage-metrics +
-    bucket-discovery aggregation and (b) the merge source — the batch is
-    decoded from parquet once, not three times.
+    ``cache_batch`` (default on; env override ``NIFI_SPARK_CACHE_BATCH=0``)
+    persists the conformed batch so the fused lineage-metrics +
+    bucket-discovery pass and the merge source share one decode. On
+    memory-bandwidth-tight hosts re-decoding the columnar source twice can
+    beat the cache round-trip (decode is compute, cache fill+read is pure
+    memory traffic) — that trade is workload/hardware dependent, hence the
+    knob.
     """
+    import os as _os
+
     from pyspark.sql import functions as SF
 
+    if cache_batch is None:
+        cache_batch = _os.environ.get("NIFI_SPARK_CACHE_BATCH", "1") != "0"
     events = conform_to_schema(events, CHANGE_EVENTS_SCHEMA)
-    events.persist()
+    if cache_batch:
+        events.persist()
     try:
         bucket = SF.pmod(
             SF.xxhash64(SF.col(KEY_COLUMNS[0])), SF.lit(table.n_buckets())
@@ -123,7 +133,8 @@ def apply_changes(
             touched_buckets=touched,
         )
     finally:
-        events.unpersist()
+        if cache_batch:
+            events.unpersist()
     return ApplyResult(merge=stats, metrics=metrics_rows)
 
 

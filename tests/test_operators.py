@@ -261,3 +261,36 @@ def test_ivf_recall_vs_brute_force(spark):
         for r in ivf_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=6).collect()
     }
     assert again == approx_pairs
+
+
+def test_encrypt_decrypt_roundtrip(spark):
+    """F9: AES envelope round trip is identity; deterministic across replays;
+    wrong password fails cleanly; non-envelopes are detected."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nifi_dicom_spark.functions.crypto import (
+        decrypt_payload,
+        encrypt_payload,
+        is_envelope,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "t": ["alpha", "", "snow ☃ bytes"]})
+    ).select("id", F.encode("t", "UTF-8").alias("p"))
+    enc = df.withColumn("env", encrypt_payload("p", "pw")).cache()
+    out = enc.withColumn("back", decrypt_payload("env", "pw")).collect()
+    for r in sorted(out, key=lambda r: r["id"]):
+        assert bytes(r["back"]) == bytes(r["p"])
+        assert bytes(r["env"])[:4] == b"NDS1"
+    # deterministic: same plaintext+password → same envelope (replay no-op)
+    again = df.withColumn("env", encrypt_payload("p", "pw")).collect()
+    assert {bytes(r["env"]) for r in again} == {bytes(r["env"]) for r in out}
+    # detect: raw payloads are not envelopes
+    flags = df.select(is_envelope("p").alias("f")).collect()
+    assert not any(r["f"] for r in flags)
+    # wrong password must not round-trip
+    bad = enc.withColumn("back", decrypt_payload("env", "WRONG")).collect()
+    assert all(
+        r["back"] is None or bytes(r["back"]) != bytes(r["p"]) for r in bad
+    )
