@@ -114,3 +114,59 @@ def test_rerun_completed_stream_is_noop(spark, event_log, tmp_path):
     v = p.table.current_version()
     p.run_available()  # no new files → no new epochs
     assert p.table.current_version() == v
+
+
+def test_gap_timeout_conversation_completeness(spark, tmp_path):
+    """T2: applyInPandasWithState gap-timeout — a conversation completes only
+    after `gap` of event-time quiescence; later traffic advances the
+    watermark and flushes it (StudyReceiver.processStudyIfComplete analog)."""
+    import os
+
+    import pandas as pd
+
+    from nifi_dicom_spark.streaming.stateful import conversation_completeness
+
+    ev_dir = tmp_path / "events"
+    os.makedirs(ev_dir)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    early = pd.DataFrame(
+        {
+            "conv_id": ["A", "A", "B"],
+            "ts": [t0, t0 + pd.Timedelta(seconds=10), t0 + pd.Timedelta(seconds=5)],
+        }
+    )
+    late = pd.DataFrame(
+        {
+            "conv_id": ["C"],
+            "ts": [t0 + pd.Timedelta(hours=2)],  # advances watermark past A/B
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([("conv_id", pa.string()), ("ts", pa.timestamp("us"))])
+    for i, pdf in enumerate((early, late)):
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            ev_dir / f"part-{i:03d}.parquet",
+        )
+
+    src = (
+        spark.readStream.schema("conv_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ev_dir))
+    )
+    out = conversation_completeness(src, gap_seconds=60, watermark_delay="1 second")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("completions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["conv_id"]: r for r in spark.sql("select * from completions").collect()}
+    assert set(rows) == {"A", "B"}, rows  # C is still within its gap
+    assert rows["A"]["n_events"] == 2 and rows["A"]["completed"]
+    assert rows["B"]["n_events"] == 1
+    assert rows["A"]["last_ts"] == (t0 + pd.Timedelta(seconds=10)).to_pydatetime()
