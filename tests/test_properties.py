@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the engine's core correctness
+claims. The reference pins behavior with a handful of golden tests
+(SURVEY §5); these generalize the two load-bearing invariants:
+
+1. **Delivery-order invariance** — the LWW total order (op_seq, offset) makes
+   the final state a pure function of the event SET, not the delivery order.
+2. **Batch-split invariance** — any partition of the log into epochs applied
+   sequentially equals the single-batch apply (cross-batch LWW-max is
+   associative), which is what makes crash/replay/rebatching safe.
+
+The heavy search runs against the pure-pandas oracle (fast); Spark replay is
+spot-checked on a bounded number of generated cases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nifi_dicom_spark.fixtures.generator import GeneratorConfig, generate_change_events
+from nifi_dicom_spark.fixtures.oracle import assert_final_state_equal, replay_oracle
+
+
+def _log(seed: int, n: int, malformed: float = 0.05) -> pd.DataFrame:
+    return generate_change_events(
+        GeneratorConfig(
+            seed=seed,
+            n_conversations=6,
+            max_turns=4,
+            n_events=n,
+            duplicate_ratio=0.15,
+            late_ratio=0.25,
+            malformed_ratio=malformed,
+            schema_change_at=n // 3,
+        )
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000), perm_seed=st.integers(0, 10_000))
+def test_oracle_delivery_order_invariance(seed: int, perm_seed: int):
+    log = _log(seed, 300)
+    rng = np.random.default_rng(perm_seed)
+    shuffled = log.iloc[rng.permutation(len(log))].reset_index(drop=True)
+    a = replay_oracle(log).reset_index(drop=True)
+    b = replay_oracle(shuffled).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    seed=st.integers(0, 10_000),
+    frac=st.floats(0.0, 1.0),
+    perm_seed=st.integers(0, 10_000),
+)
+def test_oracle_redelivery_invariance(seed: int, frac: float, perm_seed: int):
+    """At-least-once delivery: re-appending any random subset of already-
+    delivered events (then shuffling) leaves the final state unchanged —
+    duplicates carry identical (op_seq, offset) and lose every LWW tie."""
+    log = _log(seed, 300)
+    dups = log.sample(frac=frac, random_state=perm_seed)
+    redelivered = pd.concat([log, dups], ignore_index=True)
+    rng = np.random.default_rng(perm_seed)
+    redelivered = redelivered.iloc[rng.permutation(len(redelivered))]
+    a = replay_oracle(log).reset_index(drop=True)
+    b = replay_oracle(redelivered).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_spark_replay_split_invariance_spot_checks(spark, tmp_path):
+    """Spark end-to-end: for a few generated logs, applying the log in k
+    random epochs equals the oracle (cross-batch LWW-max associativity on
+    the real merge path)."""
+    from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+    from nifi_dicom_spark.operators.apply import (
+        apply_changes,
+        create_transcripts_table,
+        read_final_state,
+    )
+
+    for case, (seed, k) in enumerate([(101, 3), (202, 1), (303, 5)]):
+        log = _log(seed, 600)
+        rng = np.random.default_rng(seed)
+        table = create_transcripts_table(
+            spark, str(tmp_path / f"t{case}"), n_buckets=8
+        )
+        chunks = np.array_split(rng.permutation(len(log)), k)
+        for epoch, idx in enumerate(chunks):
+            batch = spark.createDataFrame(
+                log.iloc[np.sort(idx)], schema=CHANGE_EVENTS_SCHEMA
+            )
+            apply_changes(table, batch, epoch=epoch)
+        assert_final_state_equal(
+            read_final_state(table).toPandas(), replay_oracle(log)
+        )

@@ -21,3 +21,43 @@ def test_mixed_schema_batch_read_keeps_tool(spark, tmp_path):
     assert "tool" in df.columns
     n_tool = df.filter(df.tool.isNotNull()).count()
     assert n_tool == int(log["tool"].notna().sum()) > 0
+
+
+def test_schema_evolution_rules():
+    """evolve/conform: widenings allowed, narrowings rejected, adds appended."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.operators.reconcile import evolve_schema
+
+    cur = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    inc = T.StructType(
+        [
+            T.StructField("a", T.LongType()),  # widen int → bigint
+            T.StructField("c", T.DoubleType()),  # new column
+        ]
+    )
+    out = evolve_schema(cur, inc)
+    assert [f.name for f in out.fields] == ["a", "b", "c"]
+    assert out["a"].dataType == T.LongType()
+
+    bad = T.StructType([T.StructField("b", T.IntegerType())])  # string→int
+    with pytest.raises(ValueError, match="incompatible"):
+        evolve_schema(cur, bad)
+
+
+def test_conform_rejects_narrowing(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.operators.reconcile import conform_to_schema
+
+    df = spark.createDataFrame([(1.5,)], "x double")
+    target = T.StructType([T.StructField("x", T.IntegerType())])
+    with pytest.raises(ValueError, match="cannot reconcile"):
+        conform_to_schema(df, target)
