@@ -24,11 +24,14 @@ VALID_OPS = ("insert", "update", "delete")
 
 
 def split_malformed(events: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """(valid, quarantined) — same predicate the engine uses."""
+    """(valid, quarantined) — same predicate the engine uses (a null in any
+    keyed/tested field is malformed: an unkeyable event cannot be applied)."""
     bad = (
         events["conv_id"].isna()
+        | events["turn_idx"].isna()
         | (events["turn_idx"] < 0)
         | ~events["op"].isin(VALID_OPS)
+        | events["op_seq"].isna()
     )
     return events[~bad], events[bad]
 

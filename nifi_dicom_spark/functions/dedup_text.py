@@ -44,13 +44,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:
-    """n-word shingles (space-joined), distinct, of the lower-cased text."""
+    """n-word shingles (space-joined), distinct, of the lower-cased text.
+
+    Documents shorter than ``n`` tokens yield an empty shingle set — guarded
+    explicitly because ``sequence(1, k)`` with ``k <= 0`` produces a
+    DESCENDING array ([1, 0]) whose 0 index crashes ``slice``.
+    """
     t = F.transform(tokens(col), F.lower)
     k = F.size(t) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))
-    )
+    sh = F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(t, i, n))
+    )).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh)
 
 

@@ -148,7 +148,41 @@ class SnapshotTable:
     def load(cls, spark: SparkSession, path: str) -> "SnapshotTable":
         t = cls(spark, path)
         t.current_version()  # validates existence
+        t._repair_orphans()
         return t
+
+    def _repair_orphans(self, min_age_s: float = 0.0) -> int:
+        """Remove manifest files ahead of CURRENT.
+
+        A writer that dies between creating ``v{N}.json`` and flipping
+        ``CURRENT`` leaves an orphan that would make every future commit of
+        version N fail its O_EXCL create (a permanently wedged table). At
+        ``load()`` time (no writer active — the table is single-writer: one
+        streaming query owns the sink) any manifest beyond CURRENT is
+        known-dead. In the commit path an age guard (``min_age_s``) protects
+        a hypothetical concurrent writer mid-flip from losing its fresh
+        manifest. Returns the number of orphans removed."""
+        import time
+
+        cur = self.current_version()
+        removed = 0
+        now = time.time()
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    v = int(fn[1:-5])
+                except ValueError:
+                    continue
+                if v > cur:
+                    p = os.path.join(self.meta_dir, fn)
+                    try:
+                        if now - os.path.getmtime(p) < min_age_s:
+                            continue
+                        os.unlink(p)
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
+        return removed
 
     # ------------------------------------------------------------- manifests
 
@@ -181,6 +215,16 @@ class SnapshotTable:
         try:
             self._write_manifest(manifest)
         except FileExistsError as e:
+            # an orphan from a crashed writer (manifest written, CURRENT not
+            # flipped) is repaired and the commit retried once; a real
+            # concurrent commit will have advanced CURRENT and still conflict.
+            # The age guard keeps a mid-flip concurrent writer's manifest safe.
+            if self._repair_orphans(min_age_s=10.0):
+                try:
+                    self._write_manifest(manifest)
+                    return
+                except FileExistsError:
+                    pass
             raise CommitConflict(
                 f"version {manifest['version']} already committed"
             ) from e
@@ -437,12 +481,18 @@ class SnapshotTable:
         policy: str,
         skipped: int,
     ) -> MergeStats:
-        # carry over untouched buckets; replace touched ones
+        # carry over untouched buckets; replace ONLY touched ones. The write
+        # may emit files for buckets outside the touched set (Spark always
+        # materializes shuffle partition 0, possibly empty) — registering
+        # those would overwrite an untouched bucket's manifest entry with an
+        # empty file (silent data loss); they are discarded here.
+        touched_set = set(touched)
         files = dict(m["files"])
         for b in touched:
             files.pop(str(b), None)
         for b, rels in new_files.items():
-            files[b] = rels
+            if int(b) in touched_set:
+                files[b] = rels
 
         new = {
             "version": m["version"] + 1,

@@ -11,6 +11,7 @@ shuffle with map-side combine (see tests/test_plans.py for plan assertions).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -71,7 +72,10 @@ def partition_metrics(events: DataFrame, bucket_expr=None) -> DataFrame:
     if bucket_expr is not None:
         # collect_set skips nulls, so invalid events touch no bucket
         aggs.append(F.collect_set(F.when(ok, bucket_expr)).alias("_buckets"))
-    return events.groupBy("partition_id").agg(*aggs)
+    # null partition_id (malformed source metadata) groups under -1 rather
+    # than producing a null-keyed row that breaks int(...) commit keys
+    pid = F.coalesce(F.col("partition_id"), F.lit(-1)).alias("partition_id")
+    return events.groupBy(pid).agg(*aggs)
 
 
 def apply_changes(
@@ -92,12 +96,10 @@ def apply_changes(
     memory traffic) — that trade is workload/hardware dependent, hence the
     knob.
     """
-    import os as _os
-
     from pyspark.sql import functions as SF
 
     if cache_batch is None:
-        cache_batch = _os.environ.get("NIFI_SPARK_CACHE_BATCH", "1") != "0"
+        cache_batch = os.environ.get("NIFI_SPARK_CACHE_BATCH", "1") != "0"
     events = conform_to_schema(events, CHANGE_EVENTS_SCHEMA)
     if cache_batch:
         events.persist()
@@ -118,7 +120,15 @@ def apply_changes(
 
         if quarantine_dir is not None:
             _, bad = route_events(events)
-            bad.write.mode("append").parquet(quarantine_dir)
+            if epoch is not None:
+                # epoch-keyed dir + overwrite ⇒ replaying the epoch rewrites
+                # the same quarantine rows (exactly-once for the reject
+                # channel, same idempotency key as the merge ledger)
+                bad.write.mode("overwrite").parquet(
+                    os.path.join(quarantine_dir, f"epoch={int(epoch)}")
+                )
+            else:
+                bad.write.mode("append").parquet(quarantine_dir)
 
         # no pre-dedup: versioned_upsert's own LWW reduce dedups in-batch and
         # cross-batch in ONE shuffle (pre-deduping here would add a second

@@ -119,10 +119,14 @@ def deidentify_with_dimension(
     ``DeidentifyDICOM.java:220-234``).
     """
     dim_cols = [c for c in identity_dim.columns if c != dim_key]
-    joined = records.join(
-        F.broadcast(identity_dim.withColumnRenamed(dim_key, key)), on=key, how="left"
+    # explicit match flag: probing a payload column's null-ness would
+    # misclassify a matched row whose first dimension value is legitimately
+    # null as a miss (and overwrite its real mappings)
+    dim = identity_dim.withColumnRenamed(dim_key, key).withColumn(
+        "_dim_matched", F.lit(True)
     )
-    miss = F.col(dim_cols[0]).isNull() if dim_cols else F.lit(False)
+    joined = records.join(F.broadcast(dim), on=key, how="left")
+    miss = F.col("_dim_matched").isNull()
     if generate_on_miss:
         # materialize the miss flag BEFORE overwriting any dim column, or the
         # predicate would re-evaluate against already-filled values
@@ -130,6 +134,9 @@ def deidentify_with_dimension(
         for c in dim_cols:
             gen = pseudo_name(key) if "name" in c.lower() else pseudo_id(key, salt=c)
             out = out.withColumn(c, F.when(F.col("_miss"), gen).otherwise(F.col(c)))
-        out = out.drop("_miss")
+        out = out.drop("_miss", "_dim_matched")
         return out, out.limit(0)
-    return joined.filter(~miss), joined.filter(miss).select(records.columns)
+    return (
+        joined.filter(~miss).drop("_dim_matched"),
+        joined.filter(miss).select(records.columns),
+    )

@@ -11,6 +11,8 @@ no query-string assembly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -46,32 +48,61 @@ def wildcard_match(col: str | Column, pattern: str) -> Column:
     return c.like(wildcard_to_like(pattern))
 
 
+#: one date/datetime value: compact DICOM (yyyymmdd[hhmmss[.f]]) or ISO
+_VALUE_RE = r"(?:\d{8}(?:\d{2}){0,3}(?:\.\d+)?|\d{4}-\d{2}-\d{2}(?:[ T][0-9:.]+)?)"
+_RANGE_RE = re.compile(rf"({_VALUE_RE})\s*-\s*({_VALUE_RE})$")
+
+
+def _normalize_dt(v: str) -> str:
+    """Compact DICOM ``yyyymmdd[hh[mm[ss[.f]]]]`` → ``'yyyy-mm-dd hh:mm:ss.f'``
+    (the reference's ``convertToSQLTimestampFormat``,
+    ``DateTimeRangeMatch.java:28-63``); ISO strings pass through."""
+    if not v.isascii() or "-" in v or ":" in v:
+        return v
+    head, _, frac = v.partition(".")
+    if not head.isdigit() or len(head) < 8:
+        return v
+    out = f"{head[0:4]}-{head[4:6]}-{head[6:8]}"
+    hh = head[8:10] or "00"
+    mm = head[10:12] or "00"
+    ss = head[12:14] or "00"
+    if len(head) > 8 or frac:
+        out += f" {hh}:{mm}:{ss}"
+        if frac:
+            out += f".{frac}"
+    return out
+
+
 def parse_datetime_range(spec: str) -> tuple[str, str]:
     """``"a-b"`` / ``"a-"`` / ``"-b"`` / ``"a"`` → [lower, upper] with open
     ends filled by sentinels (``DateTimeRangeMatch.java:65-133``).
 
-    Accepts ISO-ish date or datetime strings; a bare date upper bound is
-    extended to end-of-day (the reference combines date+time pairs into one
-    timestamp range).
+    Accepts compact DICOM values (``20240101-20240201``) and ISO date or
+    datetime strings — including the ambiguous ISO ``a-b`` form
+    (``2024-01-01-2024-02-01``), matched structurally; ``a..b`` and
+    ``a - b`` also work. A bare date upper bound extends to end-of-day (the
+    reference combines date+time pairs into one timestamp range).
     """
     spec = spec.strip()
-    if "--" in spec:
-        raise ValueError(f"malformed range {spec!r}")
-    # split on the dash BETWEEN two date parts: a date itself contains '-'
-    # only in ISO form, so ranges use ' - ' or a single '-' between full
-    # values; we accept 'a..b' too for unambiguous ISO datetimes
     if ".." in spec:
         lo, _, hi = spec.partition("..")
+    elif " - " in spec:
+        lo, _, hi = spec.partition(" - ")
+    elif m := _RANGE_RE.fullmatch(spec):
+        lo, hi = m.group(1), m.group(2)
     elif spec.startswith("-"):
         lo, hi = "", spec[1:]
     elif spec.endswith("-"):
         lo, hi = spec[:-1], ""
-    elif " - " in spec:
-        lo, _, hi = spec.partition(" - ")
     else:
         lo, hi = spec, spec  # single value: exact day/instant
-    lo = lo.strip() or _RANGE_MIN
-    hi = hi.strip() or _RANGE_MAX
+    lo, hi = _normalize_dt(lo.strip()), _normalize_dt(hi.strip())
+    if not re.fullmatch(rf"{_VALUE_RE}|", lo) or not re.fullmatch(
+        rf"{_VALUE_RE}|", hi
+    ):
+        raise ValueError(f"malformed datetime range {spec!r}")
+    lo = lo or _RANGE_MIN
+    hi = hi or _RANGE_MAX
     if len(hi) == 10:  # bare date upper bound → end of day
         hi = hi + " 23:59:59.999999"
     if len(lo) == 10:

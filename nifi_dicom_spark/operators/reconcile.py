@@ -25,14 +25,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: widenings considered safe (never lossy), smallest → widest
-_WIDEN_ORDER = {
-    "byte": 0,
-    "short": 1,
-    "int": 2,
-    "bigint": 3,
-    "float": 4,
-    "double": 5,
+#: widenings that are EXACT (value-preserving for every input). Integer
+#: chains widen freely among themselves; int fits double's 53-bit mantissa
+#: but NOT float's 24; bigint fits neither float nor double — allowing
+#: bigint→double would silently collapse distinct LWW version numbers
+#: (op_seq/offset) above 2^53, flipping merge winners.
+_EXACT_WIDENINGS = {
+    "byte": {"short", "int", "bigint", "float", "double"},
+    "short": {"int", "bigint", "float", "double"},
+    "int": {"bigint", "double"},
+    "bigint": set(),
+    "float": {"double"},
+    "double": set(),
 }
 
 
@@ -40,8 +44,8 @@ def _can_widen(src: T.DataType, dst: T.DataType) -> bool:
     s, d = src.simpleString(), dst.simpleString()
     if s == d:
         return True
-    if s in _WIDEN_ORDER and d in _WIDEN_ORDER:
-        return _WIDEN_ORDER[s] <= _WIDEN_ORDER[d]
+    if d in _EXACT_WIDENINGS.get(s, ()):
+        return True
     # ntz → instant is exact under the engine's UTC session time zone
     if s == "timestamp_ntz" and d == "timestamp":
         return True

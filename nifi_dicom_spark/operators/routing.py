@@ -22,13 +22,20 @@ ROUTE_QUARANTINE = "quarantine"
 
 
 def validity_predicate() -> Column:
-    """Is this change event well-formed? (the engine's 'is DICOM' predicate)"""
-    return (
+    """Is this change event well-formed? (the engine's 'is DICOM' predicate)
+
+    Wrapped in ``coalesce(..., False)`` so the predicate is two-valued: a
+    NULL in any tested column (e.g. null ``turn_idx``) must land the event in
+    quarantine — with a raw three-valued predicate both ``filter(ok)`` and
+    ``filter(~ok)`` would drop the row, silently losing it from BOTH routes.
+    """
+    raw = (
         F.col("conv_id").isNotNull()
         & (F.col("turn_idx") >= 0)
         & F.col("op").isin(*OPS)
         & F.col("op_seq").isNotNull()
     )
+    return F.coalesce(raw, F.lit(False))
 
 
 def with_route(events: DataFrame) -> DataFrame:

@@ -104,8 +104,12 @@ class CDCPipeline:
         if not parts:
             return pd.DataFrame()
         df = pd.concat(parts, ignore_index=True)
+        # prefer the original applied=True row per idempotency key, but keep
+        # a replay-recomputed (applied=False) row when it is the ONLY record
+        # of an epoch — the crash-after-merge-before-metrics-write window
+        # would otherwise leave a permanent hole in lineage
+        df = df.sort_values("applied", ascending=False, kind="stable")
         return (
-            df[df["applied"]]
-            .drop_duplicates(subset=["checkpoint_epoch", "partition_id"], keep="first")
+            df.drop_duplicates(subset=["checkpoint_epoch", "partition_id"], keep="first")
             .reset_index(drop=True)
         )

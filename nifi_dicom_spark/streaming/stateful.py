@@ -47,8 +47,6 @@ _STATE_SCHEMA = T.StructType(
 
 
 def _completeness_fn(gap_seconds: int):
-    gap_us = gap_seconds * 1_000_000
-
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:

@@ -171,3 +171,111 @@ def test_one_file_per_bucket_layout(spark, small_log, tmp_path):
     full = table.read().withColumn("_b", _bucket_expr("conv_id", n_buckets))
     expect = full.filter(F.col("_b").isin(some)).drop("_b")
     assert pruned.count() == expect.count()
+
+
+def test_untouched_bucket_survives_incremental_merge(spark, tmp_path):
+    """Regression: Spark always materializes shuffle partition 0 (possibly
+    empty); a merge NOT touching bucket 0 must not replace bucket 0's files
+    with that empty artifact (was: silent data loss)."""
+    from pyspark.sql import functions as F
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable, _bucket_expr
+
+    n_buckets = 4
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=n_buckets)
+    # find conv_ids landing in bucket 0 and in some other bucket
+    probe = spark.range(0, 200).select(
+        F.concat(F.lit("conv-"), F.col("id").cast("string")).alias("conv_id")
+    ).withColumn("b", _bucket_expr("conv_id", n_buckets))
+    by_bucket = {r["b"]: r["conv_id"] for r in probe.collect()}
+    assert 0 in by_bucket and any(b != 0 for b in by_bucket)
+    other = next(b for b in by_bucket if b != 0)
+
+    def ev(conv_id, offset):
+        return pd.DataFrame(
+            {
+                "offset": [offset], "partition_id": [0], "op": ["insert"],
+                "op_seq": [1], "conv_id": [conv_id], "turn_idx": [0],
+                "role": ["user"], "text": [f"row-{conv_id}"], "tool": [None],
+                "ts": pd.to_datetime(["2024-01-01"]), "schema_ver": [2],
+            }
+        )
+
+    apply_changes(table, _spark_events(spark, ev(by_bucket[0], 0)), epoch=0)
+    assert read_final_state(table).count() == 1
+    apply_changes(table, _spark_events(spark, ev(by_bucket[other], 1)), epoch=1)
+    rows = {r["conv_id"] for r in read_final_state(table).collect()}
+    assert rows == {by_bucket[0], by_bucket[other]}, rows
+
+
+def test_null_keyed_events_quarantined_not_lost(spark, tmp_path):
+    """Regression: a NULL in a validity-tested field must route to
+    quarantine (three-valued predicate dropped it from BOTH streams)."""
+    pdf = pd.DataFrame(
+        {
+            "offset": [0, 1, 2],
+            "partition_id": [0, None, 0],
+            "op": ["insert", "update", "insert"],
+            "op_seq": [1, 5, None],
+            "conv_id": ["A", "B", "C"],
+            "turn_idx": [0, None, 1],
+            "role": ["user"] * 3,
+            "text": ["ok", "null-turn", "null-seq"],
+            "tool": [None] * 3,
+            "ts": pd.to_datetime(["2024-01-01"] * 3),
+            "schema_ver": [2] * 3,
+        }
+    )
+    for c in ("turn_idx", "op_seq", "partition_id"):
+        pdf[c] = pd.Series(
+            [int(v) if pd.notna(v) else None for v in pdf[c]], dtype=object
+        )
+    # inject through parquet: schema nullability is advisory on read, and a
+    # real change-log file CAN carry nulls in any field
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.fixtures.generator import _ARROW_FIELDS
+    from nifi_dicom_spark.sources.changelog import read_change_log
+
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    schema = pa.schema([(c, _ARROW_FIELDS[c]) for c in pdf.columns])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        str(ev_dir / "events-0.parquet"),
+    )
+    events = read_change_log(spark, str(ev_dir))
+    table = create_transcripts_table(spark, str(tmp_path / "t"))
+    qdir = str(tmp_path / "quarantine")
+    res = apply_changes(table, events, epoch=0, quarantine_dir=qdir)
+    final = read_final_state(table).toPandas()
+    assert final["conv_id"].tolist() == ["A"]
+    quarantined = spark.read.parquet(qdir + "/epoch=0").toPandas()
+    assert set(quarantined["conv_id"]) == {"B", "C"}
+    mt = pd.DataFrame(res.metrics)
+    assert mt["n_quarantined"].sum() == 2
+    assert mt["n_events"].sum() == 3  # nothing vanished
+    # replaying the epoch must not duplicate quarantine rows
+    apply_changes(table, events, epoch=0, quarantine_dir=qdir)
+    assert spark.read.parquet(qdir + "/epoch=0").count() == 2
+
+
+def test_orphan_manifest_recovery(spark, small_log, tmp_path):
+    """Regression: a crash between writing v{N}.json and flipping CURRENT
+    must not wedge the table forever."""
+    import json as _json
+    import os
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"))
+    apply_changes(table, _spark_events(spark, small_log), epoch=0)
+    cur = table.current_version()
+    # simulate the crash: orphan manifest ahead of CURRENT, old mtime
+    orphan = os.path.join(table.meta_dir, f"v{cur + 1}.json")
+    with open(orphan, "w") as f:
+        _json.dump({"version": cur + 1}, f)
+    os.utime(orphan, (1, 1))
+    # next merge must repair and commit as version cur+1
+    r = apply_changes(table, _spark_events(spark, small_log), epoch=1)
+    assert r.merge.applied and table.current_version() == cur + 1
+    assert_final_state_equal(read_final_state(table).toPandas(), replay_oracle(small_log))

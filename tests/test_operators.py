@@ -294,3 +294,86 @@ def test_encrypt_decrypt_roundtrip(spark):
     assert all(
         r["back"] is None or bytes(r["back"]) != bytes(r["p"]) for r in bad
     )
+
+
+def test_datetime_range_iso_and_compact_forms():
+    from nifi_dicom_spark.operators.match import parse_datetime_range
+
+    # ambiguous ISO a-b form (regression: silently became a NULL range)
+    assert parse_datetime_range("2024-01-01-2024-02-01") == (
+        "2024-01-01 00:00:00",
+        "2024-02-01 23:59:59.999999",
+    )
+    # compact DICOM forms incl. F7 reformat yyyymmddhhmmss → ISO
+    assert parse_datetime_range("20240101-20240201") == (
+        "2024-01-01 00:00:00",
+        "2024-02-01 23:59:59.999999",
+    )
+    assert parse_datetime_range("20240101120000.5-") == (
+        "2024-01-01 12:00:00.5",
+        "2099-12-31 23:59:59.999999",
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_datetime_range("not-a-date")
+
+
+def test_word_shingles_short_docs(spark):
+    """Regression: docs with < n tokens crashed slice() via a descending
+    sequence; they must yield empty shingle sets instead."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nifi_dicom_spark.functions.dedup_text import near_dup_pairs, word_shingles
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["", "one", "two words", "three words here"]})
+    )
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", F.size(word_shingles("text")).alias("n")).collect()
+    }
+    assert sizes == {1: 0, 2: 0, 3: 0, 4: 1}
+    # whole pipeline survives short docs
+    assert near_dup_pairs(df, "text", "doc_id", threshold=0.5).count() == 0
+
+
+def test_widening_rejects_lossy_int_to_float():
+    import pytest
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.operators.reconcile import evolve_schema
+
+    cur = T.StructType([T.StructField("op_seq", T.LongType())])
+    for bad in (T.FloatType(), T.DoubleType()):
+        with pytest.raises(ValueError):
+            evolve_schema(cur, T.StructType([T.StructField("op_seq", bad)]))
+    # int → double is exact and allowed
+    out = evolve_schema(
+        T.StructType([T.StructField("x", T.IntegerType())]),
+        T.StructType([T.StructField("x", T.DoubleType())]),
+    )
+    assert out["x"].dataType == T.DoubleType()
+
+
+def test_dimension_match_with_null_payload_value(spark):
+    """Regression: a matched dimension row whose first payload column is null
+    must NOT be treated as a miss (its other mappings were discarded)."""
+    import pandas as pd
+
+    from nifi_dicom_spark.operators.deidentify import deidentify_with_dimension
+
+    records = spark.createDataFrame(pd.DataFrame({"pid": ["P5", "P9"]}))
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {"patient_id": ["P5"], "name": [None], "mrn": ["M123"]}
+        ).astype({"name": object})
+    )
+    out, missed = deidentify_with_dimension(
+        records, dim, key="pid", dim_key="patient_id", generate_on_miss=False
+    )
+    rows = {r["pid"]: r for r in out.collect()}
+    assert set(rows) == {"P5"}
+    assert rows["P5"]["mrn"] == "M123" and rows["P5"]["name"] is None
+    assert [r["pid"] for r in missed.collect()] == ["P9"]
