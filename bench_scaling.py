@@ -1,23 +1,29 @@
 #!/usr/bin/env python
 """Two-cluster-size scaling evidence (BASELINE.json north_rule).
 
-No real multi-executor cluster exists in this sandbox, so — per the driver's
-instruction — the same job runs at two parallelism levels (local[8] vs
-local[32]) on the SAME pre-generated input via ``spark-submit --py-files``,
-each in a fresh JVM. Writes BENCH/BASELINE.md with events/sec at both +
-scaling efficiency = (throughput@4N / throughput@N) / 4.
+No real multi-node cluster exists in this sandbox, so the same job runs at
+two cluster sizes on the SAME pre-generated input via ``spark-submit
+--py-files``, fresh JVMs per run. Default mode runs REAL separate executor
+JVMs: ``local-cluster[2,4,mem]`` (N=2 executors) vs ``local-cluster[8,4,mem]``
+(4N=8 executors) — own heaps/GC, inter-executor shuffle fetch; ``SCALING_MODE=
+threads`` switches to local[8]/local[32]. Writes BENCH/BASELINE.md with
+events/sec at both + scaling efficiency = (throughput@4N / throughput@N) / 4.
 
 Measurement hygiene (each documented in BENCH/BASELINE.md):
 * input generated once (seeded, pure pandas) — both levels replay the bytes;
 * table layout (64 buckets) and shuffle partitions (64) fixed across levels —
-  the logical job is identical, only executor threads differ;
-* fresh JVM per run, `-Xms = -Xmx -XX:+AlwaysPreTouch` — lazy heap page
-  commit otherwise injects multi-second stalls uncorrelated with the level;
+  the logical job is identical, only the executor count differs;
+* per-executor memory identical at both levels (adding executors adds
+  memory — that is what a larger cluster provides);
+* fresh JVMs per run, `-Xms = -Xmx -XX:+AlwaysPreTouch` driver + ParallelGC —
+  lazy heap page commit otherwise injects multi-second stalls uncorrelated
+  with the level;
 * work + shuffle dirs on tmpfs — a single local disk is not a cluster's
   scalable I/O substrate (S3/HDFS bandwidth scales with nodes), so disk
   variance must not masquerade as compute (non-)scaling;
-* best of R runs per level (default 2) — JIT warm-up and GC timing noise is
-  one-sided, so min is the right estimator of steady-state throughput.
+* estimator = best steady-state epoch (≥2) across R runs/level — host noise
+  is one-sided (see BASELINE.md), so min over repeated identical epochs
+  estimates capability; all raw samples are reported.
 """
 
 from __future__ import annotations
@@ -45,16 +51,16 @@ def zip_package(out: str) -> str:
 
 
 def run_at(
-    cores: int, pyz: str, events: int, epochs: int, input_dir: str, work_root: str
+    master: str, pyz: str, events: int, epochs: int, input_dir: str, work_root: str
 ) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
     )
-    mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
-    work = tempfile.mkdtemp(prefix=f"run{cores}-", dir=work_root)
+    mem = os.environ.get("SPARK_DRIVER_MEM", "12g")
+    work = tempfile.mkdtemp(prefix="run-", dir=work_root)
     cmd = [
         spark_submit,
-        "--master", f"local[{cores}]",
+        "--master", master,
         "--driver-memory", mem,
         # fixed pre-touched heap (lazy page commit stalls otherwise dominate)
         # + ParallelGC (throughput collector; G1 pause-target heuristics are
@@ -62,6 +68,7 @@ def run_at(
         "--conf",
         f"spark.driver.extraJavaOptions=-Xms{mem} -XX:+AlwaysPreTouch "
         "-XX:+UseParallelGC",
+        "--conf", "spark.executor.extraJavaOptions=-XX:+UseParallelGC",
         "--conf", f"spark.local.dir={os.path.join(work, 'spark-local')}",
         "--py-files", pyz,
         os.path.join(REPO, "jobs", "replay_job.py"),
@@ -78,7 +85,7 @@ def run_at(
             if line.startswith("{") and "events_per_sec" in line:
                 return json.loads(line)
         raise RuntimeError(
-            f"no result line from spark-submit at local[{cores}]:\n"
+            f"no result line from spark-submit at {master}:\n"
             f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
         )
     finally:
@@ -87,9 +94,23 @@ def run_at(
 
 def main() -> None:
     events = int(os.environ.get("SCALING_EVENTS", "19200000"))
-    epochs = int(os.environ.get("SCALING_EPOCHS", "2"))
+    epochs = int(os.environ.get("SCALING_EPOCHS", "4"))
     repeats = int(os.environ.get("SCALING_REPEATS", "4"))
-    n, four_n = 8, 32
+    # Two sandbox proxies for "N executors → 4N executors":
+    #   executors (default): local-cluster[2,4,m] vs local-cluster[8,4,m] —
+    #     real separate executor JVMs (own heap/GC, executor-to-executor
+    #     shuffle fetch over loopback), the faithful reading of the rule;
+    #   threads: local[8] vs local[32] — single JVM, thread-level scaling.
+    mode = os.environ.get("SCALING_MODE", "executors")
+    exec_mem = os.environ.get("SCALING_EXECUTOR_MEM_MB", "6144")
+    if mode == "executors":
+        masters = {
+            "N": f"local-cluster[2,4,{exec_mem}]",
+            "4N": f"local-cluster[8,4,{exec_mem}]",
+        }
+    else:
+        masters = {"N": "local[8]", "4N": "local[32]"}
+    n, four_n = "N", "4N"
     per_epoch = events // epochs
     pyz = zip_package("/tmp/nifi_dicom_spark.zip")
 
@@ -105,7 +126,9 @@ def main() -> None:
         runs = {n: [], four_n: []}
         for _ in range(repeats):
             for c in (n, four_n):  # alternate levels so host drift hits both
-                runs[c].append(run_at(c, pyz, events, epochs, input_dir, work_root))
+                runs[c].append(
+                    run_at(masters[c], pyz, events, epochs, input_dir, work_root)
+                )
     finally:
         shutil.rmtree(work_root, ignore_errors=True)
 
@@ -127,7 +150,7 @@ def main() -> None:
 
     r_n = capability(runs[n])
     r_4n = capability(runs[four_n])
-    eff = (r_4n["events_per_sec"] / r_n["events_per_sec"]) / (four_n / n)
+    eff = (r_4n["events_per_sec"] / r_n["events_per_sec"]) / 4
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
 
@@ -139,9 +162,13 @@ def main() -> None:
 
 Sandbox proxy for the N→4N-executor scaling rule (no real cluster available):
 the SAME replay job on the SAME pre-generated input via
-`spark-submit --master local[{{N}}] --py-files nifi_dicom_spark.zip
-jobs/replay_job.py`, at local[{n}] (N) and local[{four_n}] (4N), fresh JVM per
-run, {repeats} runs per level (levels alternated).
+`spark-submit --master <level> --py-files nifi_dicom_spark.zip
+jobs/replay_job.py`, fresh JVMs per run, {repeats} runs per level (levels
+alternated). Mode **{mode}**: N = `{masters['N']}`, 4N = `{masters['4N']}` —
+local-cluster runs REAL separate executor JVMs (own heap/GC, inter-executor
+shuffle fetch), the faithful reading of "N executors vs 4N executors"; the
+threads mode (local[8]/local[32]) is reported for comparison in the analysis
+section.
 
 Workload: {events:,} change events in {epochs} timed epochs (after a quarter-
 size warm-up epoch), 30% of events on 3 hot conversations, 5% duplicate
@@ -167,8 +194,8 @@ sample is listed below.
 
 | parallelism | best epoch (s) | events/sec | steady epoch samples (s) | executor CPU (s/run) |
 |---|---|---|---|---|
-| local[{n}] (N) | {r_n['best_epoch_s']} | {r_n['events_per_sec']:,} | {r_n['steady_epoch_samples_s']} | {fmt_cpu(r_n)} |
-| local[{four_n}] (4N) | {r_4n['best_epoch_s']} | {r_4n['events_per_sec']:,} | {r_4n['steady_epoch_samples_s']} | {fmt_cpu(r_4n)} |
+| {masters['N']} (N) | {r_n['best_epoch_s']} | {r_n['events_per_sec']:,} | {r_n['steady_epoch_samples_s']} | {fmt_cpu(r_n)} |
+| {masters['4N']} (4N) | {r_4n['best_epoch_s']} | {r_4n['events_per_sec']:,} | {r_4n['steady_epoch_samples_s']} | {fmt_cpu(r_4n)} |
 
 **Scaling efficiency** = (throughput@4N / throughput@N) / 4 =
 ({r_4n['events_per_sec']:,} / {r_n['events_per_sec']:,}) / 4 = **{eff:.3f}**
