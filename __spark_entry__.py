@@ -212,7 +212,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        X.token_count("text").alias("n_tokens"),
+        X.token_count("text").cast("long").alias("n_tokens"),
         F.round(X.stopword_ratio("text"), 6).alias("stop_ratio"),
         F.round(X.mean_word_len("text"), 6).alias("mean_word_len"),
         X.quality_score("text").alias("quality"),
@@ -231,7 +231,9 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", fingerprint("text").alias("fp"), token_count("text").alias("n_tokens")
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        token_count("text").cast("long").alias("n_tokens"),
     )
 
 
@@ -458,6 +460,31 @@ def q_expr_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cfind_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/J3/P3/P4: C-FIND-style hierarchical identifier query — exact keys
+    pinned above the target level (gating), wildcard + range matching at the
+    target level."""
+    from nifi_dicom_spark.operators.query import Level, hierarchical_query
+
+    levels = [
+        Level("region", _t(spark, sf_dir, "region"), "r_regionkey"),
+        Level("nation", _t(spark, sf_dir, "nation"), "n_nationkey", "n_regionkey"),
+        Level("customer", _t(spark, sf_dir, "customer"), "c_custkey", "c_nationkey"),
+        Level("orders", _t(spark, sf_dir, "orders"), "o_orderkey", "o_custkey"),
+    ]
+    return hierarchical_query(
+        levels,
+        target="orders",
+        filters={
+            "region": {"r_regionkey": 2},
+            "nation": {"n_nationkey": 2},
+            "orders": {"o_orderstatus": "?"},  # single-char wildcard
+        },
+        return_cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+        relational=True,  # the reference's relational-query mode relaxes P6
+    ).withColumn("o_totalprice", F.round("o_totalprice", 4))
+
+
 def q_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: AES-256-CBC payload envelope (Arrow-batched pandas UDFs) —
     encrypt∘decrypt must be identity, the reference's round-trip oracle
@@ -545,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_build": q_path_build,
         "expr_lang": q_expr_lang,
         "encrypt_roundtrip": q_encrypt_roundtrip,
+        "cfind_query": q_cfind_query,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -813,6 +841,16 @@ def oracle_sql() -> dict[str, str]:
                    true AS detected,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "cfind_query": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice, 4) AS o_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_regionkey = 2 AND n_nationkey = 2
+              AND o_orderstatus LIKE '_'
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

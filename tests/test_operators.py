@@ -377,3 +377,48 @@ def test_dimension_match_with_null_payload_value(spark):
     assert set(rows) == {"P5"}
     assert rows["P5"]["mrn"] == "M123" and rows["P5"]["name"] is None
     assert [r["pid"] for r in missed.collect()] == ["P9"]
+
+
+def test_hierarchical_query_gating_and_match(spark):
+    """P6: ancestors above the query level must pin exact unique keys;
+    wildcards there are rejected at analysis time."""
+    import pytest
+
+    from nifi_dicom_spark.operators.query import Level, hierarchical_query
+
+    SF = "/root/testdata/sf0.001"
+    levels = [
+        Level("region", spark.read.parquet(f"{SF}/region.parquet"), "r_regionkey"),
+        Level(
+            "nation",
+            spark.read.parquet(f"{SF}/nation.parquet"),
+            "n_nationkey",
+            "n_regionkey",
+        ),
+    ]
+    # valid: exact region key, wildcard at target level
+    out = hierarchical_query(
+        levels,
+        target="nation",
+        filters={"region": {"r_regionkey": 2}, "nation": {"n_name": "*A*"}},
+        return_cols=["n_name"],
+    )
+    names = {r["n_name"] for r in out.collect()}
+    assert names and all("A" in n for n in names)
+    # P6 violations: missing or non-exact ancestor key
+    with pytest.raises(ValueError, match="requires an exact"):
+        hierarchical_query(
+            levels, "nation", {"nation": {"n_name": "*A*"}}, ["n_name"]
+        )
+    with pytest.raises(ValueError, match="requires an exact"):
+        hierarchical_query(
+            levels,
+            "nation",
+            {"region": {"r_regionkey": "1*"}, "nation": {}},
+            ["n_name"],
+        )
+    # P7 analog: unknown filter column
+    with pytest.raises(ValueError, match="no column"):
+        hierarchical_query(
+            levels, "region", {"region": {"nope": 1}}, ["r_name"]
+        )
