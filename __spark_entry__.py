@@ -460,6 +460,22 @@ def q_expr_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/A3: ordered per-entity assembly — collect each user's event-type
+    sequence in event order (the sorted-TreeMap iteration analog: stable
+    (conv_id, turn_idx)-style ordering via sort inside the aggregate)."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col("event_id"), F.col("event_type")))
+    )
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ">", F.transform(seq, lambda x: x.getField("event_type"))
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_cfind_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/J3/P3/P4: C-FIND-style hierarchical identifier query — exact keys
     pinned above the target level (gating), wildcard + range matching at the
@@ -573,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_lang": q_expr_lang,
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "cfind_query": q_cfind_query,
+        "session_path": q_session_path,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -841,6 +858,12 @@ def oracle_sql() -> dict[str, str]:
                    true AS detected,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "session_path": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY event_id) AS path,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         "cfind_query": """
             SELECT o_orderkey, o_custkey, o_orderstatus,

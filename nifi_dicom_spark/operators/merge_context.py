@@ -38,3 +38,56 @@ def priority_merge(
             F.min_by(v, F.when(v.isNotNull(), F.col(seq_col))).alias(c)
         )
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+def connected_groups(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the full
+    ``MergeCompositeContext.addToGroups`` semantics (groups united by ANY
+    shared identifier, colliding groups merged transitively via hash-map
+    union, ``apps/MergeCompositeContext.java:171-239``).
+
+    Spark-first shape: iterative label propagation — every node repeatedly
+    adopts the minimum label in its neighborhood until a fixpoint. Each round
+    is one self-join + one aggregation (both shuffle on the node id, so AQE
+    reuses the partitioning); rounds needed = graph diameter in the worst
+    case, O(log n) for the clustered shapes this models (instances sharing
+    study identifiers form near-cliques). Returns (node, component) with
+    component = min node id of the group.
+
+    Driver-side loop is bounded and data-independent per round — no
+    ``collect`` of node data; only the convergence check (a count) touches
+    the driver.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # undirected + self edges so isolated endpoints keep their own label
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.unionByName(
+        sym.select("a").distinct().select(F.col("a"), F.col("a").alias("b"))
+    )
+    labels = sym.select("a").distinct().select(
+        F.col("a").alias("node"), F.col("a").alias("component")
+    )
+    for _ in range(max_iterations):
+        # candidate label per node: min over neighbors' current labels
+        cand = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("component").alias("new_component"))
+        )
+        joined = labels.join(cand, on="node", how="left").select(
+            "node",
+            "component",
+            F.least(F.col("component"), F.col("new_component")).alias("new_component"),
+        )
+        changed = joined.filter(F.col("new_component") < F.col("component")).count()
+        labels = joined.select(
+            "node", F.col("new_component").alias("component")
+        ).localCheckpoint(eager=False)
+        if changed == 0:
+            break
+    return labels

@@ -422,3 +422,27 @@ def test_hierarchical_query_gating_and_match(spark):
         hierarchical_query(
             levels, "region", {"region": {"nope": 1}}, ["r_name"]
         )
+
+
+def test_connected_groups_transitive_merge(spark):
+    """A2: groups united transitively by shared identifiers (the union-find
+    semantics of MergeCompositeContext) via iterative label propagation."""
+    import pandas as pd
+
+    from nifi_dicom_spark.operators.merge_context import connected_groups
+
+    # components: {1,2,3,4} via chain, {10,11}, {20} isolated (self-edge only)
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 3, 10, 20], "dst": [2, 3, 4, 11, 20]})
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_groups(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_session_path_ordered_assembly(spark):
+    import __spark_entry__ as E
+
+    out = E.q_session_path(spark, "/root/testdata/sf0.001").collect()
+    assert all(r["path"].count(">") == r["n_events"] - 1 for r in out)
