@@ -8,9 +8,12 @@ size, ~2 events/row of lineitem) through route→reconcile→dedup→merge into 
 snapshot lake table — plus per-query timings of every __spark_entry__ query
 at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-`value` = total seconds of the headline replay; `queries` carries per-query
-seconds (the driver compares these against BASELINE.md). Events/sec of the
-replay is reported inside "extra".
+`value` = total seconds of the whole suite (headline replay + every query);
+`queries` carries the per-component seconds (the driver compares these
+against BASELINE.md). Events/sec of the replay is reported inside "extra".
+Each query is timed against a `noop`-sink write so every output column is
+fully materialized — a bare count() would let Catalyst prune the projection
+and time an empty scan.
 """
 
 from __future__ import annotations
@@ -28,7 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
 
     # pre-touched fixed heap: lazy G1 heap page-commit otherwise injects
     # multi-second stalls into early timed epochs (see BENCH/BASELINE.md)
@@ -48,7 +54,7 @@ def main() -> None:
 
     # --- headline: sustained CDC replay ------------------------------------
     # deterministic scale: ~600k events at sf0.1 (≈ lineitem rows), applied
-    # as 4 epochs into a growing table AFTER a warm-up epoch (JVM/codegen
+    # as 2 epochs into a growing table AFTER a warm-up epoch (JVM/codegen
     # warm-up is one-time; the 10^10-event target runs steady-state).
     # work dir on tmpfs: the bench measures the engine, not one local disk.
     n_events = max(20_000, int(6_000_000 * sf)) if sf > 0 else 100_000
@@ -68,9 +74,13 @@ def main() -> None:
 
     # --- per-query timings ------------------------------------------------
     for name, fn in entry_mod.queries().items():
+        spark.catalog.clearCache()  # library-persisted frames (e.g. LSH
+        # shingles) must not skew later queries' memory/timings
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: full materialization of every output column (count()
+        # would prune projections and time an empty scan)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = sum(timings.values())

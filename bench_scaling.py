@@ -115,13 +115,29 @@ def main() -> None:
     pyz = zip_package("/tmp/nifi_dicom_spark.zip")
 
     keep_input = os.environ.get("SCALING_INPUT_DIR")  # reuse across invocations
-    work_root = tempfile.mkdtemp(prefix="scaling-", dir="/dev/shm")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work_root = tempfile.mkdtemp(prefix="scaling-", dir=shm)
     try:
         from nifi_dicom_spark.bench_core import generate_epoch_dirs
 
         input_dir = keep_input or os.path.join(work_root, "input")
         os.makedirs(input_dir, exist_ok=True)
+        # guard reuse: a pre-generated input from a different (events, epochs)
+        # would be silently replayed while throughput divides by the NEW
+        # events value — refuse instead of producing wrong evidence
+        spec = {"events": events, "epochs": epochs}
+        spec_path = os.path.join(input_dir, "input-spec.json")
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                found = json.load(f)
+            if found != spec:
+                raise SystemExit(
+                    f"SCALING_INPUT_DIR {input_dir} was generated with {found}, "
+                    f"requested {spec}; delete it or change the env to match"
+                )
         generate_epoch_dirs(input_dir, events, epochs)
+        with open(spec_path, "w") as f:
+            json.dump(spec, f)
 
         runs = {n: [], four_n: []}
         for _ in range(repeats):
@@ -138,6 +154,8 @@ def main() -> None:
         injects one-sided multi-second page-fault stalls — see BASELINE.md —
         so min over repeated identical epochs is the right estimator)."""
         steady = [t for r in rs for t in r["epoch_seconds"][1:]]
+        if not steady:  # single-epoch runs have no steady sample; use epoch 1
+            steady = [t for r in rs for t in r["epoch_seconds"]]
         best = min(steady)
         return {
             "best_epoch_s": best,

@@ -59,10 +59,15 @@ def main() -> None:
 
     input_dirs = None
     if args.input_dir:
+        # numeric epoch sort — lexicographic would replay events-10 before
+        # events-2 for 10+ unpadded epochs
         input_dirs = sorted(
-            os.path.join(args.input_dir, d)
-            for d in os.listdir(args.input_dir)
-            if d.startswith("events-")
+            (
+                os.path.join(args.input_dir, d)
+                for d in os.listdir(args.input_dir)
+                if d.startswith("events-")
+            ),
+            key=lambda p: int(p.rsplit("-", 1)[-1]),
         )
         assert len(input_dirs) == args.epochs + 1, input_dirs
 
@@ -79,13 +84,14 @@ def main() -> None:
         try:
             import urllib.request
 
-            app = json.load(
-                urllib.request.urlopen("http://localhost:4040/api/v1/applications")
-            )[0]["id"]
+            # this driver's own UI (4040 may belong to another app if taken)
+            ui = spark.sparkContext.uiWebUrl
+            app = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))[0][
+                "id"
+            ]
             stages = json.load(
                 urllib.request.urlopen(
-                    f"http://localhost:4040/api/v1/applications/{app}/stages"
-                    "?status=complete"
+                    f"{ui}/api/v1/applications/{app}/stages?status=complete"
                 )
             )
             result["executor_run_s"] = round(
