@@ -238,23 +238,38 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates verified by exact n-gram Jaccard (no oracle —
-    verified rows-only by the driver; tests verify recall vs brute force)."""
+    """MinHash+LSH candidates verified by exact n-gram Jaccard. The md5
+    minhash/bucket method makes every stage reproducible in DuckDB SQL, so
+    the full banded-LSH pipeline is oracle-checked end-to-end (the xxhash64
+    method is the cheaper JVM-native variant of the same plan)."""
     from nifi_dicom_spark.functions.dedup_text import near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+    return near_dup_pairs(docs, "text", "doc_id", threshold=0.5, method="md5")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (no oracle — bit arithmetic not portable to DuckDB
-    SQL; determinism asserted in tests)."""
-    from nifi_dicom_spark.functions.dedup_text import simhash64
+    """SimHash signatures via the explode + codegen-aggregation fast path
+    (md5-based bit votes — reproduced bit-exactly by the DuckDB oracle)."""
+    from nifi_dicom_spark.functions.dedup_text import simhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
     # partition by count, not bytes: tiny file, ms-per-row expression
     n = spark.sparkContext.defaultParallelism
-    return docs.repartition(n).select("doc_id", simhash64("text").alias("simhash"))
+    return simhash_signatures(
+        docs.repartition(n), "text", "doc_id"
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded hamming-≤3 join over 15-bit signature
+    chunks (pigeonhole), verified by bit_count(xor) — the pairing operator
+    the signature feeds."""
+    from nifi_dicom_spark.functions.dedup_text import simhash_near_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    return simhash_near_dup(docs.repartition(n), "text", "doc_id", max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -272,8 +287,10 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed ANN (no oracle — approximate by design; recall vs
-    brute force asserted in tests)."""
+    """SRP-LSH bucketed ANN. Deterministic seeded hyperplanes are inlined
+    into the DuckDB oracle, which replays the exact bucket/candidate/rank
+    pipeline — so this approximate operator is value-checked end-to-end,
+    and recall vs brute force is additionally asserted in tests."""
     from nifi_dicom_spark.functions.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -382,8 +399,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN (no oracle — approximate by design; recall vs brute
-    force asserted in tests)."""
+    """IVF-cell ANN. Deterministic seeded centroids are inlined into the
+    DuckDB oracle, which replays cell assignment, probe selection and
+    ranking — value-checked end-to-end; recall vs brute force is
+    additionally asserted in tests."""
     from nifi_dicom_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -524,6 +543,79 @@ def q_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_person_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: person-name fuzzy match — normalize-at-write search columns
+    (canonical / phonetic / component-swap) + OR-block probe expressed as a
+    union of broadcast equi-joins
+    (``DicomDatabaseQueryResponseGenerator.java:456-512``,
+    ``DatabaseInformationModel.java:590-610``)."""
+    from nifi_dicom_spark.operators.person_match import (
+        add_search_columns,
+        person_name_match,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.regexp_replace("c_name", "#", "^").alias("person_name")
+    )
+    recs = add_search_columns(c, "person_name")
+    probes = spark.createDataFrame(
+        [
+            ("customer^000000007",),  # case-folded → canonical (+phonetic) hit
+            ("000000014^Customer",),  # component-swapped → swap hit
+            ("Castemer^000000021",),  # misspelled → phonetic hit only
+        ],
+        ["probe"],
+    )
+    return person_name_match(recs, probes).select("probe", "c_custkey", "match_mode")
+
+
+def q_nested_deidentify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/F13 nested-sequence recursion: rules + deterministic remap swept
+    INSIDE an ARRAY<STRUCT> column via F.transform (the SequenceAttribute
+    recursion of ``ClinicalTrialsAttributes:1618-1648,2528+``), then exploded
+    back to flat rows for value comparison."""
+    from nifi_dicom_spark.operators.deidentify import (
+        DeidentifyRules,
+        apply_rules_nested,
+        remap_nested,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_id", "event_type", "props"))
+        ).alias("turns")
+    )
+    deid = apply_rules_nested(
+        nested, "turns", DeidentifyRules(null_columns=["props"])
+    )
+    remapped = remap_nested(deid, "turns", ["event_type"])
+    out = remapped.select(
+        "user_id", F.explode("turns").alias("t"), "deid_methods"
+    )
+    return out.select(
+        "user_id",
+        F.col("t.event_id").alias("event_id"),
+        F.col("t.event_type").alias("event_type_remapped"),
+        F.col("t.props").alias("props_nulled"),
+        F.array_join("deid_methods", ",").alias("audit"),
+    )
+
+
+def q_stats_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: metrics serialized as JSON rows (``LogCacheStatistics.java:50-60``
+    → ``F.to_json(F.struct(...))``)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.max("event_id").alias("high_watermark"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        F.to_json(F.struct("high_watermark", "n_events")).alias("stats_json"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # OLAP sanity (flagship plan-shape check)
 # ---------------------------------------------------------------------------
@@ -576,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "knn_cosine": q_knn_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -590,8 +683,272 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "cfind_query": q_cfind_query,
         "session_path": q_session_path,
+        "person_match": q_person_match,
+        "nested_deidentify": q_nested_deidentify,
+        "stats_json": q_stats_json,
         "tpch_q1": q_tpch_q1,
     }
+
+
+# ---------------------------------------------------------------------------
+# generated DuckDB oracles (deterministic parameters inlined as literals)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle(k: int = 8, bands: int = 4, cap: int = 64, thr: float = 0.5) -> str:
+    """Full MinHash+LSH pipeline in DuckDB: 3-word shingles → K md5
+    minhashes → md5 band buckets → gated bucket self-join → exact Jaccard."""
+    rpb = k // bands
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))" for i in range(k)
+    )
+    band_elems = " , ".join(f"mh[{rpb} * band + {r + 1}]" for r in range(rpb))
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> ''), x -> lower(x)) AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END AS shingles
+          FROM t
+        ), sig AS (
+          SELECT doc_id, shingles, [{mh}] AS mh FROM sh
+        ), banded AS (
+          SELECT doc_id, band, md5(concat_ws('|', {band_elems})) AS bucket
+          FROM sig CROSS JOIN (SELECT unnest([{", ".join(map(str, range(bands)))}]) AS band) b
+        ), eligible AS (
+          SELECT band, bucket FROM banded GROUP BY band, bucket
+          HAVING count(*) >= 2 AND count(*) <= {cap}
+        ), gated AS (
+          SELECT banded.* FROM banded JOIN eligible USING (band, bucket)
+        ), pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM gated l JOIN gated r ON l.band = r.band AND l.bucket = r.bucket
+                                   AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT p.id_a, p.id_b,
+                 round(CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) > 0
+                       THEN len(list_intersect(sa.shingles, sb.shingles))
+                            / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+                       ELSE 0.0 END, 6) AS jaccard
+          FROM pairs p JOIN sh sa ON p.id_a = sa.doc_id
+                       JOIN sh sb ON p.id_b = sb.doc_id
+        ) WHERE jaccard >= {thr}
+    """
+
+
+def _simhash_sig_cte(n_bits: int = 60) -> str:
+    """CTEs computing (doc_id, simhash): per-token 60-bit md5 value, per-bit
+    majority votes, bits packed into a BIGINT — mirrors simhash_signatures."""
+    val = " + ".join(
+        f"((strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)::BIGINT"
+        f" << {4 * (15 - p)})"
+        for p in range(1, 16)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2 * coalesce(list_sum(list_transform(vals, v -> (v >> {b}) & 1)), 0) > n"
+        f" THEN 1::BIGINT << {b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+        t AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                   x -> lower(x))) AS toks
+          FROM documents
+        ), v AS (
+          SELECT doc_id, len(toks) AS n,
+                 list_transform(toks, tok -> {val}) AS vals
+          FROM t
+        ), sigs AS (
+          SELECT doc_id, ({sig}) AS simhash FROM v
+        )
+    """
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_sig_cte()} SELECT doc_id, simhash FROM sigs"
+
+
+def _simhash_near_dup_oracle(
+    max_hamming: int = 3, n_bits: int = 60, n_bands: int = 4, cap: int = 256
+) -> str:
+    bounds = [b * n_bits // n_bands for b in range(n_bands + 1)]
+    chunks = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {bounds[b]}) & {(1 << (bounds[b + 1] - bounds[b])) - 1} AS chunk"
+        " FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH {_simhash_sig_cte(n_bits)}, banded AS ({chunks}),
+        eligible AS (
+          SELECT band, chunk FROM banded GROUP BY band, chunk
+          HAVING count(*) >= 2 AND count(*) <= {cap}
+        ), gated AS (
+          SELECT banded.* FROM banded JOIN eligible USING (band, chunk)
+        ), pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 l.simhash AS sig_a, r.simhash AS sig_b
+          FROM gated l JOIN gated r ON l.band = r.band AND l.chunk = r.chunk
+                                   AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+def _vec_lit(v: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _ann_lsh_oracle(
+    dim: int = 64, k: int = 5, n_planes: int = 6, n_tables: int = 3, seed: int = 42
+) -> str:
+    """SRP-LSH replayed exactly: the same seeded hyperplanes as the Spark
+    side (``_projection_vectors``) inlined as literals; sign buckets, bucket
+    join, cosine rank."""
+    from nifi_dicom_spark.functions.similarity import _projection_vectors
+
+    tables = [
+        _projection_vectors(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_vec_lit(p)}) > 0"
+            f" THEN 1::BIGINT << {i} ELSE 0 END)"
+            for i, p in enumerate(tables[t])
+        )
+
+    cb = "\nUNION ALL\n".join(
+        f"SELECT neighbor_id, {t} AS tbl, ({bucket(t)}) AS bucket FROM c"
+        for t in range(n_tables)
+    )
+    qb = "\nUNION ALL\n".join(
+        f"SELECT query_id, {t} AS tbl, ({bucket(t)}) AS bucket FROM q"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 5),
+        cb AS ({cb}), qb AS ({qb}),
+        pair_ids AS (
+          SELECT DISTINCT query_id, neighbor_id
+          FROM cb JOIN qb USING (tbl, bucket) WHERE neighbor_id <> query_id
+        ), scored AS (
+          SELECT p.query_id, p.neighbor_id,
+                 round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+          FROM pair_ids p
+          JOIN c cv ON p.neighbor_id = cv.neighbor_id
+          JOIN q qv ON p.query_id = qv.query_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ann_ivf_oracle(
+    dim: int = 64, k: int = 5, n_cells: int = 16, n_probe: int = 8, seed: int = 42
+) -> str:
+    """IVF replayed exactly: seeded centroids inlined; cell = argmax cosine
+    (6-dp rounded, cid tie-break), probe = top n_probe cells."""
+    from nifi_dicom_spark.functions.similarity import _projection_vectors
+
+    cents = _projection_vectors(dim, n_cells, seed + 7)
+    values = ",\n".join(f"({i}, {_vec_lit(c)})" for i, c in enumerate(cents))
+    return f"""
+        WITH cent(cid, cv) AS (VALUES {values}),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 5),
+        csims AS (
+          SELECT neighbor_id, cid, round(list_cosine_similarity(v, cv), 6) AS sim
+          FROM c CROSS JOIN cent
+        ), ccell AS (
+          SELECT neighbor_id, cid AS cell FROM (
+            SELECT neighbor_id, cid, row_number() OVER (
+              PARTITION BY neighbor_id ORDER BY sim DESC, cid DESC) AS rn
+            FROM csims) WHERE rn = 1
+        ), qsims AS (
+          SELECT query_id, cid, round(list_cosine_similarity(v, cv), 6) AS sim
+          FROM q CROSS JOIN cent
+        ), qprobe AS (
+          SELECT query_id, cid AS cell FROM (
+            SELECT query_id, cid, row_number() OVER (
+              PARTITION BY query_id ORDER BY sim DESC, cid DESC) AS rn
+            FROM qsims) WHERE rn <= {n_probe}
+        ), scored AS (
+          SELECT p.query_id, cc.neighbor_id,
+                 round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+          FROM qprobe p
+          JOIN ccell cc ON p.cell = cc.cell
+          JOIN c cv ON cc.neighbor_id = cv.neighbor_id
+          JOIN q qv ON p.query_id = qv.query_id
+          WHERE cc.neighbor_id <> p.query_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _person_match_oracle() -> str:
+    """The three probe names and the normalize-at-write search columns,
+    replayed with the same regexp/translate expressions as the Spark side."""
+    canon = (
+        "lower(regexp_replace({src}, '[^A-Za-z0-9^]', '', 'g'))"
+    )
+    phon = (
+        "concat(substr(upper(regexp_replace({src}, '[^A-Za-z0-9]', '', 'g')), 1, 1),"
+        " translate(regexp_replace("
+        "substr(upper(regexp_replace({src}, '[^A-Za-z0-9]', '', 'g')), 2),"
+        " '[AEIOUYHW]', '', 'g'),"
+        " 'BFPVCGJKQSXZDTLMNR', '111122222222334556'))"
+    )
+    swap = (
+        "CASE WHEN len(string_split({c}, '^')) >= 2"
+        " THEN string_split({c}, '^')[2] || '^' || string_split({c}, '^')[1]"
+        " ELSE {c} END"
+    )
+    name = "replace(c_name, '#', '^')"
+    rc, rp = canon.format(src=name), phon.format(src=name)
+    rs = swap.format(c=rc)
+    pc, pp = canon.format(src="probe"), phon.format(src="probe")
+    ps = swap.format(c=pc)
+    return f"""
+        WITH probes(probe) AS (VALUES ('customer^000000007'),
+                                      ('000000014^Customer'),
+                                      ('Castemer^000000021')),
+        p AS (SELECT probe, {pc} AS p_canon, {pp} AS p_phon, {ps} AS p_swap
+              FROM probes),
+        recs AS (SELECT c_custkey, {rc} AS pm_canonical, {rp} AS pm_phonetic,
+                        {rs} AS pm_swapped
+                 FROM customer)
+        SELECT probe, c_custkey, 'canonical' AS match_mode
+        FROM recs JOIN p ON p_canon = pm_canonical
+        UNION ALL
+        SELECT probe, c_custkey, 'phonetic' FROM recs JOIN p ON p_phon = pm_phonetic
+        UNION ALL
+        SELECT probe, c_custkey, 'swap' FROM recs JOIN p ON p_swap = pm_canonical
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -751,6 +1108,25 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
                    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
             FROM documents
+        """,
+        "minhash_near_dup": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "simhash_near_dup": _simhash_near_dup_oracle(),
+        "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
+        "person_match": _person_match_oracle(),
+        "nested_deidentify": """
+            SELECT user_id, event_id,
+                   md5(event_type) AS event_type_remapped,
+                   CAST(NULL AS VARCHAR) AS props_nulled,
+                   'nulled:turns.props' AS audit
+            FROM events
+        """,
+        "stats_json": """
+            SELECT event_type,
+                   to_json(struct_pack(high_watermark := max(event_id),
+                                       n_events := count(*)))::VARCHAR AS stats_json
+            FROM events GROUP BY event_type
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec

@@ -14,13 +14,21 @@ the byte payloads in columnar batches; the cipher runs inside the batch (the
 per-object Java loop).
 
 Determinism deviation, by design: the reference draws a random salt per
-envelope; here the KDF salt is per-(password, column) and the IV is derived
-from (password, plaintext) via HMAC, so encryption is a pure function —
-replaying an epoch produces byte-identical envelopes and the idempotent
-MERGE stays a no-op (the engine-wide determinism rule, SURVEY §7.1.3) — and
-the deliberately-slow PBKDF2 runs once per column, not once per row.
+envelope; here the KDF salt is derived from the password alone (per-VALUE
+uniqueness comes from the IV, which is derived from (password, plaintext)
+via HMAC), so encryption is a pure function — replaying an epoch produces
+byte-identical envelopes and the idempotent MERGE stays a no-op (the
+engine-wide determinism rule, SURVEY §7.1.3) — and the deliberately-slow
+PBKDF2 runs once per password, not once per row.
 
-Envelope layout: b"NDS1" ‖ salt(16) ‖ iv(16) ‖ AES-256-CBC(PKCS7(plaintext)).
+The envelope is authenticated: an HMAC-SHA256 tag (truncated to 16 bytes)
+over iv‖ciphertext, keyed by the AES key, is appended. Decrypting with a
+wrong password (or a corrupted envelope) fails the tag check and
+deterministically returns null — without the tag, PKCS7 unpadding passes
+with ~1/256 probability per value and silently returns garbage.
+
+Envelope layout:
+b"NDS1" ‖ salt(16) ‖ iv(16) ‖ AES-256-CBC(PKCS7(plaintext)) ‖ hmac_tag(16).
 """
 
 from __future__ import annotations
@@ -68,24 +76,30 @@ def _encrypt_one(password: str, plaintext: bytes) -> bytes:
     padder = PKCS7(128).padder()
     padded = padder.update(plaintext) + padder.finalize()
     enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
-    return MAGIC + salt + iv + enc.update(padded) + enc.finalize()
+    ct = enc.update(padded) + enc.finalize()
+    tag = hmac.new(key, iv + ct, hashlib.sha256).digest()[:16]
+    return MAGIC + salt + iv + ct + tag
 
 
 def _decrypt_one(password: str, envelope: bytes) -> bytes | None:
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
     from cryptography.hazmat.primitives.padding import PKCS7
 
-    if envelope is None or not envelope.startswith(MAGIC):
+    if envelope is None or not envelope.startswith(MAGIC) or len(envelope) < 52:
         return None  # the reference's "detect" path: not an envelope
     salt, iv = envelope[4:20], envelope[20:36]
+    ct, tag = envelope[36:-16], envelope[-16:]
     key = _derive_key(password, salt)
+    want = hmac.new(key, iv + ct, hashlib.sha256).digest()[:16]
+    if not hmac.compare_digest(tag, want):
+        return None  # wrong key / corrupt envelope → deterministic null
     dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
     try:
-        padded = dec.update(envelope[36:]) + dec.finalize()
+        padded = dec.update(ct) + dec.finalize()
         unpadder = PKCS7(128).unpadder()
         return unpadder.update(padded) + unpadder.finalize()
     except ValueError:
-        return None  # wrong key / corrupt envelope → failure route, not crash
+        return None  # unreachable post-tag-check; kept as defense in depth
 
 
 def encrypt_payload(col: str | Column, password: str) -> Column:

@@ -93,20 +93,25 @@ def minhash_signature(
     return F.array(*[_minhash_one(sh, i, method) for i in range(k)])
 
 
-def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+def lsh_bands(
+    sig: Column, bands: int, rows_per_band: int, method: str = "xxhash64"
+) -> Column:
     """Band the signature: array of (band_id, bucket_hash) structs; docs
-    sharing any band bucket are candidate pairs."""
+    sharing any band bucket are candidate pairs. ``method="md5"`` buckets via
+    md5 over the pipe-joined band rows — reproducible in external SQL engines
+    (the xxhash64 default is the cheap JVM-native hot path)."""
+
+    def bucket(b: int) -> Column:
+        els = [
+            F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)
+        ]
+        if method == "md5":
+            return F.md5(F.concat_ws("|", *[e.cast("string") for e in els]))
+        return F.xxhash64(*els)
+
     return F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at(sig, b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
             for b in range(bands)
         ]
     )
@@ -133,43 +138,52 @@ def _shingle_frame(
 
 
 def _candidates_from_shingles(
-    sh_df: DataFrame, k: int, bands: int, max_bucket_size: int
+    sh_df: DataFrame,
+    k: int,
+    bands: int,
+    max_bucket_size: int,
+    method: str = "xxhash64",
 ) -> DataFrame:
     rows_per_band = k // bands
-    sig = F.array(*[_minhash_one(F.col("_sh"), i, "xxhash64") for i in range(k)])
+    sig = F.array(*[_minhash_one(F.col("_sh"), i, method) for i in range(k)])
     banded = sh_df.select(
         "id",
-        F.explode(lsh_bands(sig, bands, rows_per_band)).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+        F.explode(lsh_bands(sig, bands, rows_per_band, method)).alias("bb"),
+    ).select("id", "bb.band", F.col("bb.bucket").cast("string").alias("bucket"))
     # signatures are the expensive part and `banded` is consumed three times
-    # (bucket counts, gate, self-join) — materialize once
+    # (bucket counts, gate, self-join) — materialize once. The pair set is
+    # eagerly computed (localCheckpoint) so the cache can be released HERE
+    # instead of leaking storage blocks for the session lifetime; candidate
+    # pairs are orders of magnitude smaller than the banded frame.
     banded = banded.persist()
-
-    # bucket-size gate: count per (band, bucket) — map-side combined — and
-    # keep only useful buckets (≥2 members, ≤ cap)
-    eligible = (
-        banded.groupBy("band", "bucket")
-        .count()
-        .filter((F.col("count") >= 2) & (F.col("count") <= max_bucket_size))
-        .select("band", "bucket")
-    )
-    gated = banded.join(eligible, on=["band", "bucket"], how="left_semi")
-
-    left = gated.alias("l")
-    right = gated.alias("r")
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col("l.id") < F.col("r.id"),
-            ],
+    try:
+        # bucket-size gate: count per (band, bucket) — map-side combined —
+        # and keep only useful buckets (≥2 members, ≤ cap)
+        eligible = (
+            banded.groupBy("band", "bucket")
+            .count()
+            .filter((F.col("count") >= 2) & (F.col("count") <= max_bucket_size))
+            .select("band", "bucket")
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
-    return pairs
+        gated = banded.join(eligible, on=["band", "bucket"], how="left_semi")
+
+        left = gated.alias("l")
+        right = gated.alias("r")
+        pairs = (
+            left.join(
+                right,
+                on=[
+                    F.col("l.band") == F.col("r.band"),
+                    F.col("l.bucket") == F.col("r.bucket"),
+                    F.col("l.id") < F.col("r.id"),
+                ],
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        banded.unpersist()
 
 
 def minhash_lsh_candidates(
@@ -180,6 +194,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int = 64,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded MinHash-LSH.
 
@@ -193,7 +208,7 @@ def minhash_lsh_candidates(
     recall. At 10^8 docs this cap is what keeps the stage bounded.
     """
     sh_df = _shingle_frame(df, text_col, id_col, shingle_n)
-    return _candidates_from_shingles(sh_df, k, bands, max_bucket_size)
+    return _candidates_from_shingles(sh_df, k, bands, max_bucket_size, method)
 
 
 def near_dup_pairs(
@@ -205,23 +220,32 @@ def near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int = 64,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard ≥ threshold.
 
     The shingle frame is shared (cached) between candidate generation and
     verification — shingling is the expensive stage and runs exactly once.
+    The verified pair set is computed eagerly so both caches are released
+    before returning (no storage-block leak across calls).
     """
     sh_df = _shingle_frame(df, text_col, id_col, shingle_n).persist()
-    cands = _candidates_from_shingles(sh_df, k, bands, max_bucket_size)
-    a = sh_df.select(F.col("id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sh_df.select(F.col("id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    try:
+        cands = _candidates_from_shingles(sh_df, k, bands, max_bucket_size, method)
+        a = sh_df.select(F.col("id").alias("id_a"), F.col("_sh").alias("sh_a"))
+        b = sh_df.select(F.col("id").alias("id_b"), F.col("_sh").alias("sh_b"))
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "jaccard", F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh_df.unpersist()
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -265,8 +289,111 @@ def simhash64(col: str | Column) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (popcount of xor)."""
-    x = a.bitwiseXOR(b)
-    out = F.lit(0)
-    for i in range(64):
-        out = out + F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("int")
-    return out
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 60
+) -> DataFrame:
+    """(id, simhash) via explode + whole-stage-codegen aggregation — the fast
+    path for :func:`simhash64` (identical signatures, several-fold cheaper).
+
+    The HOF formulation interprets 60 shiftright lambdas per token outside
+    codegen; here each distinct token is exploded to a row, hashed ONCE to a
+    60-bit value, and the per-bit votes are 60 ``SUM((v>>b)&1)`` aggregate
+    expressions — all inside whole-stage codegen with map-side partial
+    aggregation, so the shuffle carries one 60-int vote vector per doc per
+    map partition. Scale shape: one shuffle on the doc id, skew-free.
+    """
+    t = F.array_distinct(F.transform(tokens(text_col), F.lower))
+    toks = df.select(F.col(id_col).alias("id"), F.explode_outer(t).alias("tok"))
+    val = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("bigint")
+    )
+    per_tok = toks.withColumn("_v", val)
+    votes = [
+        F.sum(F.shiftright(F.col("_v"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(n_bits)
+    ]
+    agg = per_tok.groupBy("id").agg(F.count(F.col("tok")).alias("_n"), *votes)
+    sig = F.lit(0).cast("bigint")
+    for b in range(n_bits):
+        bit = F.coalesce(F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(False))
+        sig = sig.bitwiseOR(F.shiftleft(bit.cast("bigint"), b))
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 60,
+    n_bands: int = 4,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Near-dup pairs by SimHash signature: banded hamming-≤k join.
+
+    Pigeonhole: with ``n_bands`` equal bit-chunks, two signatures within
+    hamming distance < n_bands share at least one identical chunk — so
+    candidates are pairs colliding on (band, chunk), verified exactly with
+    ``bit_count(xor)``. Shuffle key is (band, chunk); no all-pairs join
+    anywhere, same scale shape as MinHash-LSH. ``max_bucket_size`` caps the
+    quadratic corner (identical boilerplate signatures).
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands}); raise n_bands"
+        )
+    bounds = [b * n_bits // n_bands for b in range(n_bands + 1)]
+    sigs = simhash_signatures(df, text_col, id_col, n_bits)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), bounds[b])
+                .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
+                .alias("chunk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        "id", "simhash", F.explode(chunks).alias("bb")
+    ).select("id", "simhash", "bb.band", "bb.chunk")
+    banded = banded.persist()
+    try:
+        eligible = (
+            banded.groupBy("band", "chunk")
+            .count()
+            .filter((F.col("count") >= 2) & (F.col("count") <= max_bucket_size))
+            .select("band", "chunk")
+        )
+        gated = banded.join(eligible, on=["band", "chunk"], how="left_semi")
+        left, right = gated.alias("l"), gated.alias("r")
+        pairs = (
+            left.join(
+                right,
+                on=[
+                    F.col("l.band") == F.col("r.band"),
+                    F.col("l.chunk") == F.col("r.chunk"),
+                    F.col("l.id") < F.col("r.id"),
+                ],
+            )
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.simhash").alias("sig_a"),
+                F.col("r.simhash").alias("sig_b"),
+            )
+            .distinct()
+            .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        banded.unpersist()

@@ -228,7 +228,12 @@ def ivf_topk(
     corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
 
     def cell_sims(vec: Column) -> Column:
-        """array<struct<sim,cid>> of similarity to every centroid."""
+        """array<struct<sim,cid>> of similarity to every centroid.
+
+        Rounded to 6 dp so cell assignment is reproducible across engines
+        (summation-order FP noise ~1e-16 cannot flip a 1e-6 quantum except
+        exactly at a rounding boundary); ties broken deterministically by
+        cid via the struct ordering."""
         return F.array(
             *[
                 F.struct(
@@ -237,7 +242,7 @@ def ivf_topk(
                             vec.cast("array<double>"),
                             F.array(*[F.lit(float(x)) for x in c]),
                         ),
-                        9,
+                        6,
                     ).alias("sim"),
                     F.lit(i).alias("cid"),
                 )

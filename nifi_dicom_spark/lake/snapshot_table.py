@@ -148,7 +148,10 @@ class SnapshotTable:
     def load(cls, spark: SparkSession, path: str) -> "SnapshotTable":
         t = cls(spark, path)
         t.current_version()  # validates existence
-        t._repair_orphans()
+        # same age guard as the commit path: a reader loading while a writer
+        # is between _write_manifest and the CURRENT flip must not delete the
+        # writer's fresh manifest (that would wedge the table permanently)
+        t._repair_orphans(min_age_s=10.0)
         return t
 
     def _repair_orphans(self, min_age_s: float = 0.0) -> int:

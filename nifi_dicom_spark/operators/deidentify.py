@@ -26,10 +26,12 @@ hot path.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pseudo_name(col: str | Column) -> Column:
@@ -102,6 +104,106 @@ def apply_rules(df: DataFrame, rules: DeidentifyRules) -> DataFrame:
         rules.audit_column,
         F.array_union(base, F.array(*[F.lit(a) for a in audit_entries])),
     )
+
+
+def _nested_struct_fields(df: DataFrame, array_col: str) -> list[T.StructField]:
+    dt = df.schema[array_col].dataType
+    if not isinstance(dt, T.ArrayType) or not isinstance(dt.elementType, T.StructType):
+        raise ValueError(
+            f"{array_col!r} must be ARRAY<STRUCT<...>> (got {dt.simpleString()})"
+        )
+    return list(dt.elementType.fields)
+
+
+def transform_nested(
+    df: DataFrame,
+    array_col: str,
+    field_fns: dict[str, Callable[[Column], Column]],
+    drop_fields: list[str] | None = None,
+) -> DataFrame:
+    """Rewrite fields INSIDE an ``ARRAY<STRUCT<...>>`` column with
+    ``F.transform`` — the nested-sequence recursion of the reference's
+    deidentify/remap sweep (``ClinicalTrialsAttributes.
+    removeOrNullIdentifyingAttributesRecursively:2528+`` and
+    ``findUIDToRemap:1618-1648`` descend into ``SequenceAttribute`` nests).
+
+    ``field_fns`` maps struct-field name → Column function applied to that
+    field in every element; ``drop_fields`` removes fields entirely (the
+    'remove' rule). Whole-stage-codegen higher-order expression — no
+    explode/regroup shuffle, no Python.
+    """
+    fields = _nested_struct_fields(df, array_col)
+    names = [f.name for f in fields]
+    drop = set(drop_fields or [])
+    for f in list(field_fns) + list(drop):
+        if f not in names:
+            raise ValueError(f"{array_col!r} element has no field {f!r}; has {names}")
+
+    def rebuild(x: Column) -> Column:
+        parts = []
+        for f in names:
+            if f in drop:
+                continue
+            c = field_fns[f](x[f]) if f in field_fns else x[f]
+            parts.append(c.alias(f))
+        return F.struct(*parts)
+
+    return df.withColumn(array_col, F.transform(F.col(array_col), rebuild))
+
+
+def apply_rules_nested(
+    df: DataFrame, array_col: str, rules: DeidentifyRules
+) -> DataFrame:
+    """F12 recursion: apply a rule table to the fields of a nested
+    ``ARRAY<STRUCT>`` column, with the same audit-trail contract as
+    :func:`apply_rules` (entries read ``nulled:turns.props`` etc.)."""
+    fields = {f.name: f for f in _nested_struct_fields(df, array_col)}
+    fns: dict[str, Callable[[Column], Column]] = {}
+    audit_entries = []
+    for c in rules.null_columns:
+        if c in fields:
+            dt = fields[c].dataType
+            fns[c] = lambda _x, _dt=dt: F.lit(None).cast(_dt)
+            audit_entries.append(f"nulled:{array_col}.{c}")
+    for c, v in rules.replace_constants.items():
+        if c in fields:
+            fns[c] = lambda _x, _v=v: F.lit(_v)
+            audit_entries.append(f"replaced:{array_col}.{c}")
+    dropped = [c for c in rules.drop_columns if c in fields]
+    audit_entries.extend(f"removed:{array_col}.{c}" for c in dropped)
+    out = transform_nested(df, array_col, fns, drop_fields=dropped)
+    base = (
+        F.col(rules.audit_column)
+        if rules.audit_column in out.columns
+        else F.array().cast("array<string>")
+    )
+    return out.withColumn(
+        rules.audit_column,
+        F.array_union(base, F.array(*[F.lit(a) for a in audit_entries])),
+    )
+
+
+def remap_nested(
+    df: DataFrame,
+    array_col: str,
+    fields: list[str],
+    remap_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """F13 recursion: deterministic key remap swept over fields inside a
+    nested ``ARRAY<STRUCT>`` column (the UID-remap analog for transcript
+    ``turns``/``attachments`` nests). ``remap_fn`` defaults to the engine's
+    md5-based :func:`~nifi_dicom_spark.operators.keymap.deterministic_replacement`
+    — deterministic, so no join into array elements is needed and replay is
+    idempotent. Nulls stay null (nothing to remap)."""
+    if remap_fn is None:
+        from nifi_dicom_spark.operators.keymap import deterministic_replacement
+
+        remap_fn = deterministic_replacement
+    fns = {
+        f: (lambda x, _fn=remap_fn: F.when(x.isNotNull(), _fn(x)))
+        for f in fields
+    }
+    return transform_nested(df, array_col, fns)
 
 
 def deidentify_with_dimension(

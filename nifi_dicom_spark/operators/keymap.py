@@ -47,14 +47,34 @@ def create_keymap(spark: SparkSession, path: str, n_buckets: int = 8) -> Snapsho
 def lookup_or_create(
     keymap: SnapshotTable, keys: DataFrame, key_col: str
 ) -> DataFrame:
-    """Ensure every distinct key has a mapping; return the full map for the
-    requested keys (two-step lookup-or-create, set-based — no lock)."""
+    """Ensure every distinct key has a mapping; return the map rows for the
+    requested keys (two-step lookup-or-create, set-based — no lock).
+
+    The map table is bucketed, so both the merge and the read-back prune to
+    the buckets of the requested keys: at 10^9 stored keys a micro-batch
+    touching a handful of buckets scans only those bucket files, never the
+    full table. Bucket discovery is one collect bounded by ``n_buckets``
+    (O(config), not O(data))."""
+    from nifi_dicom_spark.lake.snapshot_table import _bucket_expr
+
     distinct = keys.select(F.col(key_col).alias("original")).distinct()
+    n = keymap.n_buckets()
+    touched = sorted(
+        r["b"]
+        for r in distinct.select(_bucket_expr("original", n).alias("b"))
+        .distinct()
+        .collect()
+    )
     new_mappings = distinct.withColumn(
         "replaced", deterministic_replacement("original")
     )
-    keymap.merge(new_mappings, op_col=None, policy="insert_if_absent")
-    return keymap.read().join(distinct, on="original", how="left_semi")
+    keymap.merge(
+        new_mappings,
+        op_col=None,
+        policy="insert_if_absent",
+        touched_buckets=touched,
+    )
+    return keymap.read(buckets=touched).join(distinct, on="original", how="left_semi")
 
 
 def remap_column(

@@ -51,17 +51,19 @@ def connected_groups(
     shared identifier, colliding groups merged transitively via hash-map
     union, ``apps/MergeCompositeContext.java:171-239``).
 
-    Spark-first shape: iterative label propagation — every node repeatedly
-    adopts the minimum label in its neighborhood until a fixpoint. Each round
-    is one self-join + one aggregation (both shuffle on the node id, so AQE
-    reuses the partitioning); rounds needed = graph diameter in the worst
-    case, O(log n) for the clustered shapes this models (instances sharing
-    study identifiers form near-cliques). Returns (node, component) with
-    component = min node id of the group.
+    Spark-first shape: iterative label propagation with a pointer-doubling
+    shortcut — every node adopts the minimum label in its neighborhood, then
+    additionally adopts *its label's* label (path halving). The shortcut
+    makes convergence O(log diameter) rounds instead of O(diameter), so the
+    default iteration bound covers graphs of astronomical diameter (2^20+
+    node chains). Each round is two self-joins + one aggregation (all
+    shuffling on the node id, so AQE reuses the partitioning). Returns
+    (node, component) with component = min node id of the group.
 
     Driver-side loop is bounded and data-independent per round — no
     ``collect`` of node data; only the convergence check (a count) touches
-    the driver.
+    the driver. If the bound is ever exhausted before the fixpoint, this
+    RAISES rather than silently returning a wrong grouping.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # undirected + self edges so isolated endpoints keep their own label
@@ -72,6 +74,7 @@ def connected_groups(
     labels = sym.select("a").distinct().select(
         F.col("a").alias("node"), F.col("a").alias("component")
     )
+    converged = False
     for _ in range(max_iterations):
         # candidate label per node: min over neighbors' current labels
         cand = (
@@ -85,9 +88,25 @@ def connected_groups(
             F.least(F.col("component"), F.col("new_component")).alias("new_component"),
         )
         changed = joined.filter(F.col("new_component") < F.col("component")).count()
-        labels = joined.select(
-            "node", F.col("new_component").alias("component")
-        ).localCheckpoint(eager=False)
+        stepped = joined.select("node", F.col("new_component").alias("component"))
+        # pointer-doubling shortcut: adopt the label of your label (labels
+        # are always node ids, so the self-join always hits)
+        lab2 = stepped.select(
+            F.col("node").alias("_n2"), F.col("component").alias("_c2")
+        )
+        labels = (
+            stepped.join(lab2, stepped.component == lab2._n2, "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.col("_c2")).alias("component"),
+            )
+            .localCheckpoint(eager=False)
+        )
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_groups did not converge in {max_iterations} iterations"
+        )
     return labels

@@ -1,0 +1,110 @@
+"""Person-name fuzzy matching — the C-FIND PN attribute match (SURVEY §2.3 P5).
+
+Reference: ``DicomDatabaseQueryResponseGenerator`` matches person names with
+an OR-block over (a) the canonical form, (b) a phonetic form, and (c)
+component-swapped variants, all probed against **search columns precomputed
+at write time** (``DicomDatabaseQueryResponseGenerator.java:456-512``; the
+derived ``PM_`` columns are created on insert,
+``DatabaseInformationModel.java:590-610``).
+
+Spark-first shape — normalize-at-write: :func:`add_search_columns` derives
+``pm_canonical`` / ``pm_phonetic`` / ``pm_swapped`` columns once at write
+time (plain ``withColumn`` expressions, whole-stage codegen); probing is
+then a UNION of equality matches against those columns — each one an
+equi-predicate Catalyst can push down / hash-join, never a per-row fuzzy
+scan. The phonetic key is a deterministic soundex-style consonant skeleton
+built only from ``upper``/``regexp_replace``/``translate`` so it is exactly
+reproducible in any SQL engine (DuckDB oracle); classic soundex needs
+adjacent-duplicate collapsing (regex backreferences) which RE2-based engines
+lack.
+
+Name model: DICOM PN components separated by ``^`` (family^given^middle...),
+``PersonNameAttribute`` semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: soundex-style consonant classes (B/F/P/V→1, C/G/J/K/Q/S/X/Z→2, D/T→3,
+#: L→4, M/N→5, R→6); vowels + H/W/Y dropped from the tail, digits kept
+_CONS = "BFPVCGJKQSXZDTLMNR"
+_CODE = "111122222222334556"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def canonical_name(col: str | Column) -> Column:
+    """Lower-cased, stripped of everything but letters/digits/``^``."""
+    return F.lower(F.regexp_replace(_c(col).cast("string"), "[^A-Za-z0-9^]", ""))
+
+
+def phonetic_key(col: str | Column) -> Column:
+    """Deterministic phonetic skeleton: first character + consonant-class
+    digits of the rest (vowels/H/W/Y removed), digits preserved."""
+    up = F.upper(F.regexp_replace(_c(col).cast("string"), "[^A-Za-z0-9]", ""))
+    first = F.substring(up, 1, 1)
+    rest = F.regexp_replace(F.substring(up, 2, 2_000_000), "[AEIOUYHW]", "")
+    return F.concat(first, F.translate(rest, _CONS, _CODE))
+
+
+def swapped_name(col: str | Column) -> Column:
+    """Canonical form with the first two ``^`` components (family, given)
+    swapped; further components are dropped from the swap variant (they
+    don't participate in the reference's swap probe either); names without
+    a ``^`` swap to themselves."""
+    canon = canonical_name(col)
+    parts = F.split(canon, r"\^")
+    return F.when(
+        F.size(parts) >= 2,
+        F.concat_ws("^", F.element_at(parts, 2), F.element_at(parts, 1)),
+    ).otherwise(canon)
+
+
+def add_search_columns(df: DataFrame, name_col: str) -> DataFrame:
+    """Normalize-at-write: derive the three search columns the probe matches
+    against (the ``PM_`` columns of ``DatabaseInformationModel.java:590-610``)."""
+    return (
+        df.withColumn("pm_canonical", canonical_name(name_col))
+        .withColumn("pm_phonetic", phonetic_key(name_col))
+        .withColumn("pm_swapped", swapped_name(name_col))
+    )
+
+
+def person_name_match(
+    records: DataFrame, probes: DataFrame, probe_col: str = "probe"
+) -> DataFrame:
+    """Match probe names against precomputed search columns.
+
+    ``records`` must carry ``pm_canonical``/``pm_phonetic``/``pm_swapped``
+    (see :func:`add_search_columns`). Returns one row per (probe, record,
+    match_mode) — the reference's OR-block expressed as a UNION of three
+    broadcast equi-joins (each mode keeps an exact join key, so every arm is
+    a hash join; the OR-predicate formulation would force a nested-loop
+    join). Probe sets are small by construction (a query identifier), so the
+    probe side broadcasts."""
+    p = probes.select(
+        _c(probe_col).alias("probe"),
+        canonical_name(probe_col).alias("_p_canon"),
+        phonetic_key(probe_col).alias("_p_phon"),
+        swapped_name(probe_col).alias("_p_swap"),
+    )
+    arms = [
+        ("canonical", F.col("_p_canon"), "pm_canonical"),
+        ("phonetic", F.col("_p_phon"), "pm_phonetic"),
+        ("swap", F.col("_p_swap"), "pm_canonical"),
+    ]
+    out = None
+    for mode, probe_key, rec_col in arms:
+        arm = records.join(
+            F.broadcast(p), on=probe_key == F.col(rec_col), how="inner"
+        ).select(
+            "probe",
+            *[c for c in records.columns],
+            F.lit(mode).alias("match_mode"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out

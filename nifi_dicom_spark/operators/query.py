@@ -91,6 +91,19 @@ def hierarchical_query(
         raise ValueError(f"unknown query level {target!r}; declared: {names}")
     depth = names.index(target)
 
+    # every filter key must name a declared level at or above the target —
+    # the reference planner rejects unknown/below-level identifier keys
+    # rather than silently returning a superset
+    for fname in filters:
+        if fname not in names:
+            raise ValueError(
+                f"filter references unknown level {fname!r}; declared: {names}"
+            )
+        if names.index(fname) > depth:
+            raise ValueError(
+                f"filter level {fname!r} is below the query level {target!r}"
+            )
+
     for i, lv in enumerate(levels[: depth + 1]):
         fl = filters.get(lv.name, {})
         for c in fl:

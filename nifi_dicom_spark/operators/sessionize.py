@@ -12,8 +12,19 @@ key; the session id is a running sum (no Python).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_seconds(col: Column) -> Column:
+    """Timestamp → fractional epoch seconds, robust to TIMESTAMP_NTZ inputs.
+
+    A session with ``inferTimestampNTZ=true`` reads pandas-written parquet
+    (``timestamp[us]``, no tz) as TIMESTAMP_NTZ, which cannot be cast to
+    DOUBLE directly.  NTZ→LTZ is exact under the engine's pinned UTC session
+    timezone (see ``operators/reconcile.py``), so route through LTZ first.
+    """
+    return col.cast("timestamp_ltz").cast("double")
 
 
 def sessionize(
@@ -23,7 +34,7 @@ def sessionize(
     gap from the previous event > gap_seconds."""
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
     prev = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    gap = _epoch_seconds(F.col(ts_col)) - _epoch_seconds(prev)
     new_session = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         "session_id",
@@ -54,6 +65,7 @@ def quiescent_groups(
     process' (processStudyIfComplete's predicate)."""
     agg = df.groupBy(*key_cols).agg(F.max(ts_col).alias("last_ts"))
     return agg.filter(
-        F.lit(now).cast("timestamp").cast("double") - F.col("last_ts").cast("double")
+        _epoch_seconds(F.lit(now).cast("timestamp"))
+        - _epoch_seconds(F.col("last_ts"))
         > gap_seconds
     )

@@ -6,13 +6,17 @@ from __future__ import annotations
 
 import math
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 keeps the suite fast; the driver gates at sf0.01 —
+# override with ORACLE_SF_DIR to validate at that scale
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region",
     "nation",

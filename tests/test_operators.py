@@ -53,6 +53,31 @@ def test_keymap_idempotent_allocation(spark, tmp_path):
     assert got[1] == a["uid-3"] and got[2] == "unknown"
 
 
+def test_lookup_or_create_prunes_to_touched_buckets(spark, tmp_path):
+    """The read-back after allocation scans only the bucket files of the
+    requested keys, not the whole map table."""
+    from nifi_dicom_spark.lake.snapshot_table import _bucket_expr
+    from nifi_dicom_spark.operators.keymap import create_keymap, lookup_or_create
+
+    km = create_keymap(spark, str(tmp_path / "km"), n_buckets=8)
+    # seed the table with many keys across all buckets
+    seed = spark.createDataFrame([(f"uid-{i}",) for i in range(200)], ["k"])
+    lookup_or_create(km, seed, "k")
+    assert len(set(km.read().inputFiles())) == 8  # one file per bucket
+
+    # now look up TWO keys — the pruned read must touch ≤2 bucket files
+    two = spark.createDataFrame([("uid-0",), ("uid-1",)], ["k"])
+    out = lookup_or_create(km, two, "k")
+    assert out.count() == 2
+    all_files = set(km.read().inputFiles())  # post-merge snapshot
+    buckets = {
+        r["b"]
+        for r in two.select(_bucket_expr("k", 8).alias("b")).distinct().collect()
+    }
+    pruned = set(km.read(buckets=sorted(buckets)).inputFiles())
+    assert pruned < all_files and len(pruned) == len(buckets)
+
+
 # --- match predicates --------------------------------------------------------
 
 
@@ -80,19 +105,38 @@ def test_datetime_range_parse():
 
 
 def test_lsh_recall_vs_brute_force(spark):
+    """Planted-neighbor corpus: every query has 3 true near neighbors
+    (high-cosine perturbations); LSH must recover ≥0.8 of the exact top-3.
+    (The old uniform-random corpus test was toothless — near-orthogonal
+    vectors have no neighbors an LSH is supposed to find.)"""
+    import numpy as np
+
     from nifi_dicom_spark.functions.similarity import brute_force_topk, lsh_bucket_topk
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") < 10)
-    exact = brute_force_topk(emb, queries, k=5).collect()
-    approx = lsh_bucket_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=6).collect()
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(20):  # 20 clusters: base + 3 planted neighbors + noise
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for _j in range(4):
+            v = base + rng.normal(scale=0.08, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(80):  # background noise vectors
+        v = rng.normal(size=64)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") % 4 == 0).filter(F.col("vec_id") < 40)
+    exact = brute_force_topk(emb, queries, k=3).collect()
+    approx = lsh_bucket_topk(
+        emb, queries, dim=64, k=3, n_planes=6, n_tables=8
+    ).collect()
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
-    # random 64-d embeddings are near-orthogonal (hard case); just require
-    # meaningfully better than the ~3% random-candidate baseline and that
-    # every returned neighbor is scored correctly
-    assert recall >= 0.2, f"LSH recall too low: {recall}"
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
     exact_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
     for r in approx:
         k = (r["query_id"], r["neighbor_id"])
@@ -113,6 +157,73 @@ def test_minhash_finds_planted_near_dups(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
     assert all(3 not in p for p in got)
+
+
+def test_minhash_methods_agree(spark):
+    """The md5 (oracle-reproducible) and xxhash64 (JVM hot path) methods are
+    different hash families over the SAME banded-LSH plan; on a planted-dup
+    corpus both must verify the same high-Jaccard pairs."""
+    from nifi_dicom_spark.functions.dedup_text import near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    rows = [
+        (1, base),
+        (2, base + " today"),
+        (3, "completely different words entirely unrelated content here"),
+        (4, base.replace("quick", "slow")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for method in ("xxhash64", "md5"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in near_dup_pairs(
+                df, "text", "doc_id", threshold=0.4, k=8, bands=8, method=method
+            ).collect()
+        }
+        assert (1, 2) in got, method
+        assert all(3 not in p for p in got), method
+
+
+def test_simhash_near_dup_planted_recall(spark):
+    """The banded hamming join recovers planted near-duplicates (docs
+    differing by one token of many) and never pairs unrelated docs."""
+    from nifi_dicom_spark.functions.dedup_text import simhash_near_dup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+        "xi omicron pi rho sigma tau upsilon phi chi psi omega one two three"
+    )
+    rows = [(1, base)]
+    # 5 planted near-dups: one token replaced in each
+    toks = base.split()
+    for i in range(5):
+        t = list(toks)
+        t[3 + i] = f"changed{i}"
+        rows.append((2 + i, " ".join(t)))
+    # unrelated docs
+    rows += [
+        (100, "astrophysics conference keynote about galactic rotation curves"),
+        (101, "cooking recipes for winter stews and hearty soups tonight"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = simhash_near_dup(df, "text", "doc_id", max_hamming=14, n_bands=15)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(1, 2 + i) for i in range(5)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, f"planted recall too low: {recall} ({got})"
+    assert all(100 not in p and 101 not in p for p in got)
+
+
+def test_simhash_signatures_match_hof_variant(spark):
+    """The codegen-aggregation fast path produces bit-identical signatures
+    to the original higher-order-function formulation."""
+    from nifi_dicom_spark.functions.dedup_text import simhash64, simhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    old = docs.select(F.col("doc_id").alias("id"), simhash64("text").alias("s"))
+    new = simhash_signatures(docs, "text", "doc_id")
+    j = old.join(new, on="id")
+    assert j.filter(F.col("s") != F.col("simhash")).count() == 0
 
 
 def test_simhash_close_for_near_dups(spark):
@@ -289,11 +400,22 @@ def test_encrypt_decrypt_roundtrip(spark):
     # detect: raw payloads are not envelopes
     flags = df.select(is_envelope("p").alias("f")).collect()
     assert not any(r["f"] for r in flags)
-    # wrong password must not round-trip
+    # wrong password deterministically decrypts to null (HMAC tag check),
+    # never to garbage bytes
     bad = enc.withColumn("back", decrypt_payload("env", "WRONG")).collect()
-    assert all(
-        r["back"] is None or bytes(r["back"]) != bytes(r["p"]) for r in bad
-    )
+    assert all(r["back"] is None for r in bad)
+    # corrupt envelope (flipped ciphertext byte) also → null
+    corrupt = enc.select(
+        decrypt_payload(
+            F.concat(
+                F.substring("env", 1, 40),
+                F.encode(F.lit("X"), "UTF-8"),
+                F.expr("substring(env, 42)"),
+            ),
+            "pw",
+        ).alias("back")
+    ).collect()
+    assert all(r["back"] is None for r in corrupt)
 
 
 def test_datetime_range_iso_and_compact_forms():
@@ -422,6 +544,22 @@ def test_hierarchical_query_gating_and_match(spark):
         hierarchical_query(
             levels, "region", {"region": {"nope": 1}}, ["r_name"]
         )
+    # filters keyed by an unknown level name are rejected, not ignored
+    with pytest.raises(ValueError, match="unknown level"):
+        hierarchical_query(
+            levels,
+            "nation",
+            {"region": {"r_regionkey": 2}, "natoin": {"n_name": "*A*"}},
+            ["n_name"],
+        )
+    # filters keyed by a level BELOW the target are rejected, not ignored
+    with pytest.raises(ValueError, match="below the query level"):
+        hierarchical_query(
+            levels,
+            "region",
+            {"region": {"r_regionkey": 2}, "nation": {"n_name": "*A*"}},
+            ["r_name"],
+        )
 
 
 def test_connected_groups_transitive_merge(spark):
@@ -439,6 +577,131 @@ def test_connected_groups_transitive_merge(spark):
         r["node"]: r["component"] for r in connected_groups(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_person_match_modes(spark):
+    """P5: canonical / phonetic / component-swap probes hit the precomputed
+    search columns; unrelated names never match."""
+    from nifi_dicom_spark.operators.person_match import (
+        add_search_columns,
+        person_name_match,
+        phonetic_key,
+    )
+
+    recs = add_search_columns(
+        spark.createDataFrame(
+            [
+                (1, "Doe^Jane"),
+                (2, "Smith^John"),
+                (3, "Mueller^Hans"),
+            ],
+            ["pid", "name"],
+        ),
+        "name",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("doe^jane",),  # case-folded canonical
+            ("John^Smith",),  # swapped components
+            ("Miller^Hans",),  # phonetic (MLLR ~ MLR? no) — see below
+            ("Mewller^Hans",),  # phonetic: vowel/W differences collapse
+            ("Totally^Other",),
+        ],
+        ["probe"],
+    )
+    out = person_name_match(recs, probes).collect()
+    got = {(r["probe"], r["pid"], r["match_mode"]) for r in out}
+    assert ("doe^jane", 1, "canonical") in got
+    assert ("John^Smith", 2, "swap") in got
+    assert ("Mewller^Hans", 3, "phonetic") in got
+    assert all("Totally^Other" != p for p, _i, _m in got)
+    # the phonetic key itself is deterministic + engine-reproducible
+    k = (
+        spark.range(1)
+        .select(phonetic_key(F.lit("Mueller^Hans")).alias("k"))
+        .collect()[0]["k"]
+    )
+    assert k == spark.range(1).select(
+        phonetic_key(F.lit("Mewller^Hans")).alias("k")
+    ).collect()[0]["k"]
+
+
+def test_nested_deidentify_and_remap(spark):
+    """F12/F13 recursion: rules + deterministic remap applied INSIDE an
+    ARRAY<STRUCT> column, flat columns untouched."""
+    from pyspark.sql import Row
+
+    from nifi_dicom_spark.operators.deidentify import (
+        DeidentifyRules,
+        apply_rules_nested,
+        remap_nested,
+        transform_nested,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                conv_id="c1",
+                turns=[
+                    Row(turn_idx=0, role="user", text="hi", attachment="uidA"),
+                    Row(turn_idx=1, role="assistant", text="hello", attachment=None),
+                ],
+            )
+        ]
+    )
+    deid = apply_rules_nested(
+        df,
+        "turns",
+        DeidentifyRules(
+            null_columns=["text"], replace_constants={"role": "REDACTED"},
+            drop_columns=["missing_field_is_ignored"],
+        ),
+    )
+    row = deid.collect()[0]
+    assert [t["text"] for t in row["turns"]] == [None, None]
+    assert {t["role"] for t in row["turns"]} == {"REDACTED"}
+    assert set(row["deid_methods"]) == {"nulled:turns.text", "replaced:turns.role"}
+
+    remapped = remap_nested(df, "turns", ["attachment"]).collect()[0]
+    import hashlib
+
+    assert remapped["turns"][0]["attachment"] == hashlib.md5(b"uidA").hexdigest()
+    assert remapped["turns"][1]["attachment"] is None  # nulls stay null
+
+    # drop_fields removes the field from the element schema entirely
+    dropped = transform_nested(df, "turns", {}, drop_fields=["attachment"])
+    assert "attachment" not in dropped.schema["turns"].dataType.elementType.names
+    # unknown fields are rejected at analysis time
+    with pytest.raises(ValueError, match="no field"):
+        transform_nested(df, "turns", {"nope": lambda c: c})
+    with pytest.raises(ValueError, match="ARRAY<STRUCT"):
+        transform_nested(df, "conv_id", {})
+
+
+def test_sessionize_accepts_timestamp_ntz(spark):
+    """Regression (round-1 red row): a session with inferTimestampNTZ=true
+    reads pandas-written parquet as TIMESTAMP_NTZ, which cannot be cast to
+    DOUBLE directly — sessionize must work regardless of session config."""
+    from nifi_dicom_spark.operators.sessionize import quiescent_groups, sessionize
+
+    df = spark.range(6).select(
+        (F.col("id") % 2).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.to_timestamp_ntz(
+            F.concat(
+                F.lit("2024-01-01 0"),
+                (F.col("id") % 2).cast("string"),  # hour: parallel sessions
+                F.lit(":"),
+                F.lpad(((F.col("id") * 20) % 60).cast("string"), 2, "0"),
+                F.lit(":00"),
+            )
+        ).alias("ts"),
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = sessionize(df, ["user_id"], "ts", gap_seconds=1800).collect()
+    assert {r["session_id"] for r in out} == {0}
+    quiet = quiescent_groups(df, ["user_id"], "ts", "2024-01-02 00:00:00", 60)
+    assert quiet.count() == 2
 
 
 def test_session_path_ordered_assembly(spark):
