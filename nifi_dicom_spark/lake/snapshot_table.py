@@ -14,22 +14,34 @@ insert-if-absent at ``DatabaseInformationModel.java:805-892``):
    ``WHEN MATCHED [AND op='delete'] THEN DELETE / UPDATE, WHEN NOT MATCHED
    THEN INSERT`` via copy-on-write of only the *touched* key-buckets.
 3. **Idempotent commits.** Application-level commit keys
-   ``(checkpoint_epoch, partition_id)`` are recorded in the manifest
-   atomically with the data — re-applying an epoch after a crash/restart is a
-   detected no-op (exactly-once; SURVEY §2.9 T5).
+   ``(checkpoint_epoch, partition_id)`` are compacted into per-partition
+   high-watermark epochs recorded in the manifest atomically with the data —
+   re-applying an epoch after a crash/restart is a detected no-op
+   (exactly-once; SURVEY §2.9 T5). The ledger is O(partitions), not
+   O(epochs): at 10^10 events / thousands of epochs the manifest stays
+   constant-size (a raw key list would be parsed + rewritten per commit).
 4. **Schema evolution.** The manifest carries the table schema; merges with
    new/widened columns evolve it (ADD COLUMN analog of
    ``DatabaseInformationModel.java:672-698``); old files are read through the
    evolved schema (missing columns → nulls).
 
-Scale design: data is hash-bucketed by the merge key's first column
-(``pmod(xxhash64(conv_id), n_buckets)``), so a merge touches only buckets the
-source contains — merge cost scales with the change set, not table size. On a
-1000-executor cluster the same layout gives (a) bucket-pruned merges,
-(b) shuffle-free co-location of target-vs-source by making both sides
-partition on the same bucket function, and (c) a natural unit for compaction.
-If an Iceberg runtime jar is present, :func:`iceberg_available` lets callers
-swap in real ``MERGE INTO`` — the operator API is identical.
+Scale design: data is hash-bucketed by the merge key's first column with
+**Spark's own shuffle hash** (``pmod(hash(conv_id), n_buckets)`` — murmur3,
+identical to ``HashPartitioning``), so ``repartition(n_buckets, conv_id)``
+places bucket *b*'s rows in output partition *b* with no auxiliary mapping:
+bucket placement, the LWW reduce and the per-bucket write all share ONE
+exchange (the reduce's ``groupBy(conv_id, turn_idx)`` is satisfied by the
+conv_id clustering, so no second shuffle of payload bytes ever happens).
+Merges touch only buckets the source contains, and the **merge-on-read**
+mode (``mode="mor"``, the default for ``versioned_upsert``) appends
+per-bucket DELTA files instead of rewriting touched buckets — epoch cost is
+∝ the change set, not the table size; reads LWW-merge base∪deltas (exact —
+the reduce is associative) and ``compact()`` folds deltas back into base
+when a bucket accumulates too many. (Legacy tables created before the
+murmur3 layout carry ``bucket_fn=xxhash64`` in their manifest and keep the
+preimage-mapped write path.) If an Iceberg runtime jar is present,
+:func:`iceberg_available` lets callers swap in real ``MERGE INTO`` — the
+operator API is identical.
 """
 
 from __future__ import annotations
@@ -66,10 +78,18 @@ class MergeStats:
     touched_buckets: int
     skipped_commit_keys: int
     applied: bool
+    mode: str = "cow"  # "cow" | "mor" (delta append)
 
 
-def _bucket_expr(key_col: str, n_buckets: int):
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+def _bucket_expr(key_col: str, n_buckets: int, bucket_fn: str = "murmur3"):
+    """Bucket id of a key. ``murmur3`` (default) is bit-identical to Spark's
+    ``HashPartitioning`` (``F.hash`` = Murmur3, seed 42), so
+    ``repartition(n_buckets, key_col)`` physically places bucket b in output
+    partition b — placement and shuffle are the same operation. ``xxhash64``
+    is the legacy layout (pre-murmur3 tables), which needs the preimage
+    mapping below for exact placement."""
+    h = F.hash(F.col(key_col)) if bucket_fn == "murmur3" else F.xxhash64(F.col(key_col))
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
 
 
 #: n_buckets -> [preimage long per bucket]; process-wide (pure function of n)
@@ -136,8 +156,10 @@ class SnapshotTable:
             "schema": schema.json(),
             "key_cols": key_cols,
             "n_buckets": n_buckets,
-            "files": {},  # bucket(str) -> [relpath]
-            "applied_keys": [],
+            "bucket_fn": "murmur3",
+            "files": {},  # bucket(str) -> [relpath] (base files)
+            "delta_files": {},  # bucket(str) -> [relpath] (merge-on-read)
+            "applied_hw": {},  # partition_id(str) -> high-watermark epoch
             "props": props or {},
             "summary": {"operation": "create"},
         }
@@ -243,54 +265,123 @@ class SnapshotTable:
     def n_buckets(self) -> int:
         return int(self.manifest()["n_buckets"])
 
-    def applied_keys(self) -> set[tuple[int, int]]:
-        return {tuple(k) for k in self.manifest()["applied_keys"]}
+    def bucket_fn(self) -> str:
+        return self.manifest().get("bucket_fn", "xxhash64")
+
+    def bucket_expr(self, key_col: str | None = None):
+        """The table's bucket-id expression (respects the manifest's hash)."""
+        m = self.manifest()
+        return _bucket_expr(
+            key_col or m["key_cols"][0],
+            int(m["n_buckets"]),
+            m.get("bucket_fn", "xxhash64"),
+        )
+
+    @staticmethod
+    def _hw(manifest: dict) -> dict[str, int]:
+        """Commit-ledger high-watermarks, tolerating legacy ``applied_keys``
+        list manifests (compacted on the next commit)."""
+        hw = {str(p): int(e) for p, e in manifest.get("applied_hw", {}).items()}
+        for e, p in manifest.get("applied_keys", []):
+            k = str(int(p))
+            if int(e) > hw.get(k, -(10**18)):
+                hw[k] = int(e)
+        return hw
+
+    def is_applied(self, epoch: int, partition_id: int) -> bool:
+        """Idempotency probe: the single-writer streaming contract applies
+        epochs in nondecreasing order per source partition, so 'applied' ≡
+        ``epoch <= high_watermark[partition]``."""
+        hw = self._hw(self.manifest())
+        return epoch <= hw.get(str(int(partition_id)), -(10**18))
+
+    def applied_watermarks(self) -> dict[int, int]:
+        return {int(p): e for p, e in self._hw(self.manifest()).items()}
 
     # ----------------------------------------------------------------- reads
 
-    def _paths(self, manifest: dict, buckets: list[int] | None = None) -> list[str]:
-        files = manifest["files"]
+    def _paths(
+        self,
+        manifest: dict,
+        buckets: list[int] | None = None,
+        which: str = "files",
+    ) -> list[str]:
+        files = manifest.get(which, {})
         keys = [str(b) for b in buckets] if buckets is not None else list(files)
         return [os.path.join(self.data_dir, rel) for k in keys for rel in files.get(k, [])]
 
     def read(
-        self, version: int | None = None, buckets: list[int] | None = None
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        dedup: bool = True,
     ) -> DataFrame:
         """Snapshot read. Missing columns in old files surface as nulls
-        (schema-evolution read path)."""
+        (schema-evolution read path). If merge-on-read delta files exist for
+        the requested buckets, base∪delta is LWW-reduced by the key columns
+        (exact: the reduce is associative) unless ``dedup=False`` (raw
+        physical rows, for diagnostics)."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        paths = self._paths(m, buckets)
-        if not paths:
+        base = self._paths(m, buckets, "files")
+        delta = self._paths(m, buckets, "delta_files")
+        if not base and not delta:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*base, *delta)
+        if delta and dedup:
+            from nifi_dicom_spark.operators.dedup import lww_dedup
+
+            names = set(schema.fieldNames())
+            if not {"op_seq", "offset"} <= names:
+                raise RuntimeError(
+                    "delta files present but table lacks op_seq/offset version "
+                    "columns — cannot LWW-merge on read"
+                )
+            df = lww_dedup(df, m["key_cols"]).select(*schema.fieldNames())
+        return df
 
     # ---------------------------------------------------------------- writes
 
     def _write_bucket_files(
-        self, df: DataFrame, commit_tag: str, n_buckets: int
+        self,
+        df: DataFrame,
+        commit_tag: str,
+        n_buckets: int,
+        bucket_fn: str = "murmur3",
+        already_clustered: bool = False,
     ) -> dict[str, list[str]]:
-        """Write df (must carry ``_bucket``) as exactly one sorted parquet
-        file per non-empty bucket under a fresh commit directory; return
-        bucket -> [relpath].
+        """Write df as exactly one sorted parquet file per non-empty bucket
+        under a fresh commit directory; return bucket -> [relpath].
 
-        Exact placement via murmur3 preimages (:func:`_partition_preimages`):
-        output partition index == bucket id, so file ``part-0000b-*`` IS
-        bucket ``b`` — no dynamic-partition writer, no extra sort, no
-        directory fan-out. The explicit ``repartition(n, col)`` is a
-        REPARTITION_BY_NUM shuffle, which AQE never coalesces, so the write
-        keeps full ``n_buckets`` parallelism at any cluster size."""
+        ``murmur3`` layout: ``repartition(n_buckets, key_col)`` IS the bucket
+        function (HashPartitioning uses the same murmur3), so output
+        partition index == bucket id with no auxiliary column. With
+        ``already_clustered`` the caller has already produced that exact
+        partitioning upstream (e.g. the versioned merge clusters ONCE and
+        runs its reduce on the clustered data) — no further shuffle happens
+        here at all. Legacy ``xxhash64`` tables (``_bucket`` column required)
+        route through murmur3 preimages (:func:`_partition_preimages`). The
+        explicit ``repartition(n, col)`` is a REPARTITION_BY_NUM shuffle,
+        which AQE never coalesces, so the write keeps full ``n_buckets``
+        parallelism at any cluster size."""
         out_rel = f"c-{commit_tag}"
         out_abs = os.path.join(self.data_dir, out_rel)
-        pks = _partition_preimages(self.spark, n_buckets)
-        mapping = F.create_map(
-            *[F.lit(v) for b in range(n_buckets) for v in (b, pks[b])]
-        )
         data_cols = [c for c in df.columns if c not in ("_bucket", "_pk")]
+        if bucket_fn == "murmur3":
+            clustered = (
+                df if already_clustered
+                else df.repartition(n_buckets, self.key_cols()[0])
+            )
+        else:
+            pks = _partition_preimages(self.spark, n_buckets)
+            mapping = F.create_map(
+                *[F.lit(v) for b in range(n_buckets) for v in (b, pks[b])]
+            )
+            clustered = df.withColumn(
+                "_pk", mapping[F.col("_bucket")].cast("long")
+            ).repartition(n_buckets, "_pk")
         (
-            df.withColumn("_pk", mapping[F.col("_bucket")].cast("long"))
-            .repartition(n_buckets, "_pk")
-            .select(*data_cols)
+            clustered.select(*data_cols)
             .sortWithinPartitions(*self.key_cols())
             .write.mode("overwrite")
             .parquet(out_abs)
@@ -309,17 +400,23 @@ class SnapshotTable:
         schema = evolve_schema(self.schema(), df.schema)
         df = conform_to_schema(df, schema)
         n_buckets = m["n_buckets"]
+        fn = m.get("bucket_fn", "xxhash64")
         tag = uuid.uuid4().hex[:12]
-        bucketed = df.withColumn("_bucket", _bucket_expr(self.key_cols()[0], n_buckets))
-        files = self._write_bucket_files(bucketed, tag, n_buckets)
+        if fn != "murmur3":
+            df = df.withColumn(
+                "_bucket", _bucket_expr(self.key_cols()[0], n_buckets, fn)
+            )
+        files = self._write_bucket_files(df, tag, n_buckets, fn)
         new = {
             "version": m["version"] + 1,
             "parent": m["version"],
             "schema": schema.json(),
             "key_cols": m["key_cols"],
             "n_buckets": n_buckets,
+            "bucket_fn": fn,
             "files": files,
-            "applied_keys": m["applied_keys"],
+            "delta_files": {},
+            "applied_hw": self._hw(m),
             "props": m["props"],
             "summary": {"operation": "overwrite"},
         }
@@ -336,6 +433,7 @@ class SnapshotTable:
         commit_keys: list[tuple[int, int]] | None = None,
         assert_unique_source: bool = False,
         touched_buckets: list[int] | None = None,
+        mode: str | None = None,
     ) -> MergeStats:
         """MERGE INTO this table USING ``source`` ON the key columns.
 
@@ -362,19 +460,32 @@ class SnapshotTable:
         enables a count-check (costs one extra aggregation).
 
         ``commit_keys`` are ``(checkpoint_epoch, partition_id)`` idempotency
-        keys: keys already present in the manifest cause the whole merge to be
-        skipped (a replayed epoch is a no-op); new keys are recorded in the
-        same atomic manifest commit as the data.
+        keys, compacted to per-partition high-watermark epochs (single-writer
+        streaming applies epochs in nondecreasing order per partition):
+        already-covered keys cause the whole merge to be skipped (a replayed
+        epoch is a no-op); advancing keys are recorded in the same atomic
+        manifest commit as the data. The ledger is O(partitions) forever.
+
+        ``mode`` (``versioned_upsert`` only): ``"mor"`` (default) appends
+        per-bucket delta files — epoch cost ∝ change set, reads LWW-merge
+        base∪deltas, :meth:`compact` (auto-triggered past
+        ``props["compact_threshold"]`` deltas/bucket, default 8) folds them
+        back; ``"cow"`` rewrites the touched buckets eagerly.
         """
         m = self.manifest()
         key_cols = m["key_cols"]
         n_buckets = m["n_buckets"]
+        fn = m.get("bucket_fn", "xxhash64")
 
         # ---- idempotency gate (exactly-once replay) -----------------------
         skipped = 0
         if commit_keys is not None:
-            done = {tuple(k) for k in m["applied_keys"]}
-            fresh = [k for k in commit_keys if tuple(k) not in done]
+            hw = self._hw(m)
+            fresh = [
+                k
+                for k in commit_keys
+                if int(k[0]) > hw.get(str(int(k[1])), -(10**18))
+            ]
             skipped = len(commit_keys) - len(fresh)
             if not fresh:
                 return MergeStats(m["version"], 0, skipped, applied=False)
@@ -397,10 +508,11 @@ class SnapshotTable:
             )
         schema = evolve_schema(self.schema(), src_payload_schema)
 
-        bucket = _bucket_expr(key_cols[0], n_buckets)
+        bucket = _bucket_expr(key_cols[0], n_buckets, fn)
         src = source.withColumn("_bucket", bucket)
 
         if policy == "versioned_upsert":
+            mode = mode or "mor"
             # bucket discovery: callers that already aggregate over the batch
             # (lineage metrics) pass the touched set in — zero extra jobs;
             # otherwise one column-pruned scan of the raw source (conv_id
@@ -413,20 +525,50 @@ class SnapshotTable:
                     for r in source.select(bucket.alias("_bucket")).distinct().collect()
                 )
             )
-            target = conform_to_schema(self.read(buckets=touched), schema)
-            # union + associative LWW reduce; ONE shuffle with map-side
-            # combine — the source may carry duplicate keys (raw events),
-            # the reduce dedups in-batch and cross-batch simultaneously
             from nifi_dicom_spark.operators.dedup import lww_dedup
 
-            combined = target.unionByName(conform_to_schema(src, schema))
-            merged = lww_dedup(combined, key_cols).withColumn("_bucket", bucket)
-            merged = merged.select(*schema.fieldNames(), "_bucket")
             tag = uuid.uuid4().hex[:12]
-            new_files = self._write_bucket_files(merged, tag, n_buckets)
-            return self._commit_merge(
-                m, schema, touched, new_files, commit_keys, policy, skipped
+            if mode == "mor":
+                # merge-on-read: dedup ONLY the batch and append per-bucket
+                # delta files — the table's base is never read or rewritten,
+                # so epoch cost ∝ change set. Cross-batch LWW happens at read
+                # (associative reduce over base∪deltas) and at compaction.
+                combined = conform_to_schema(src, schema)
+            else:
+                # copy-on-write: union touched base+deltas with the batch and
+                # reduce — read() dedups any existing deltas for us
+                target = conform_to_schema(self.read(buckets=touched), schema)
+                combined = target.unionByName(conform_to_schema(src, schema))
+
+            if fn == "murmur3":
+                # ONE exchange total: cluster by the bucket/key column, let
+                # the groupBy reuse the clustering (HashPartitioning(conv_id)
+                # satisfies ClusteredDistribution(conv_id, turn_idx)), write
+                # partition index == bucket — no second payload shuffle
+                clustered = combined.repartition(n_buckets, key_cols[0])
+                merged = lww_dedup(clustered, key_cols).select(*schema.fieldNames())
+                new_files = self._write_bucket_files(
+                    merged, tag, n_buckets, fn, already_clustered=True
+                )
+            else:
+                merged = lww_dedup(combined, key_cols).withColumn("_bucket", bucket)
+                merged = merged.select(*schema.fieldNames(), "_bucket")
+                new_files = self._write_bucket_files(merged, tag, n_buckets, fn)
+            stats = self._commit_merge(
+                m, schema, touched, new_files, commit_keys, policy, skipped,
+                delta=(mode == "mor"),
             )
+            if mode == "mor":
+                thresh = int((m.get("props") or {}).get("compact_threshold", 8))
+                if thresh > 0:
+                    over = [
+                        int(b)
+                        for b, rels in self.manifest().get("delta_files", {}).items()
+                        if len(rels) >= thresh
+                    ]
+                    if over:
+                        self.compact(buckets=over)
+            return stats
 
         # cache: we reuse source for bucket discovery + anti-join + projection
         src.persist()
@@ -457,16 +599,18 @@ class SnapshotTable:
                 if op_col is not None and op_col in incoming.columns:
                     incoming = incoming.filter(F.col(op_col) != F.lit("delete"))
                 incoming = conform_to_schema(incoming, schema)
-                merged = (
-                    survivors.unionByName(incoming)
-                    .withColumn("_bucket", bucket)
-                    .select(*schema.fieldNames(), "_bucket")
-                )
+                merged = survivors.unionByName(incoming)
+                if fn != "murmur3":
+                    merged = merged.withColumn("_bucket", bucket).select(
+                        *schema.fieldNames(), "_bucket"
+                    )
+                else:
+                    merged = merged.select(*schema.fieldNames())
             else:
                 raise ValueError(f"unknown merge policy {policy!r}")
 
             tag = uuid.uuid4().hex[:12]
-            new_files = self._write_bucket_files(merged, tag, n_buckets)
+            new_files = self._write_bucket_files(merged, tag, n_buckets, fn)
         finally:
             src.unpersist()
 
@@ -483,19 +627,32 @@ class SnapshotTable:
         commit_keys: list | None,
         policy: str,
         skipped: int,
+        delta: bool = False,
     ) -> MergeStats:
-        # carry over untouched buckets; replace ONLY touched ones. The write
-        # may emit files for buckets outside the touched set (Spark always
-        # materializes shuffle partition 0, possibly empty) — registering
-        # those would overwrite an untouched bucket's manifest entry with an
-        # empty file (silent data loss); they are discarded here.
+        # carry over untouched buckets; replace (cow) or extend (mor delta)
+        # ONLY touched ones. The write may emit files for buckets outside the
+        # touched set (Spark always materializes shuffle partition 0,
+        # possibly empty) — registering those would corrupt an untouched
+        # bucket's manifest entry; they are discarded here.
         touched_set = set(touched)
         files = dict(m["files"])
-        for b in touched:
-            files.pop(str(b), None)
-        for b, rels in new_files.items():
-            if int(b) in touched_set:
-                files[b] = rels
+        deltas = {b: list(v) for b, v in m.get("delta_files", {}).items()}
+        kept = {b: rels for b, rels in new_files.items() if int(b) in touched_set}
+        if delta:
+            for b, rels in kept.items():
+                deltas.setdefault(b, []).extend(rels)
+        else:
+            for b in touched:
+                files.pop(str(b), None)
+                deltas.pop(str(b), None)
+            files.update(kept)
+
+        hw = self._hw(m)
+        if commit_keys:
+            for e, p in commit_keys:
+                k = str(int(p))
+                if int(e) > hw.get(k, -(10**18)):
+                    hw[k] = int(e)
 
         new = {
             "version": m["version"] + 1,
@@ -503,18 +660,59 @@ class SnapshotTable:
             "schema": schema.json(),
             "key_cols": m["key_cols"],
             "n_buckets": m["n_buckets"],
+            "bucket_fn": m.get("bucket_fn", "xxhash64"),
             "files": files,
-            "applied_keys": m["applied_keys"]
-            + ([list(k) for k in commit_keys] if commit_keys else []),
+            "delta_files": deltas,
+            "applied_hw": hw,
             "props": m["props"],
             "summary": {
                 "operation": "merge",
                 "policy": policy,
+                "mode": "mor" if delta else "cow",
                 "touched_buckets": len(touched),
             },
         }
         self._try_commit(new)
-        return MergeStats(new["version"], len(touched), skipped, applied=True)
+        return MergeStats(
+            new["version"],
+            len(touched),
+            skipped,
+            applied=True,
+            mode="mor" if delta else "cow",
+        )
+
+    def compact(
+        self, buckets: list[int] | None = None, min_deltas: int = 1
+    ) -> int | None:
+        """Fold merge-on-read delta files back into base files for the given
+        buckets (default: every bucket with ≥ ``min_deltas`` deltas). One
+        LWW reduce + rewrite per compacted bucket; commits a new version with
+        the deltas cleared. Returns the new version, or None if nothing to
+        compact. At scale this is the background maintenance job that bounds
+        read amplification — the hot path (merge) never pays table-sized
+        rewrites."""
+        m = self.manifest()
+        deltas = m.get("delta_files", {})
+        todo = sorted(
+            int(b)
+            for b, rels in deltas.items()
+            if len(rels) >= min_deltas
+            and (buckets is None or int(b) in set(buckets))
+        )
+        if not todo:
+            return None
+        fn = m.get("bucket_fn", "xxhash64")
+        merged = self.read(buckets=todo)  # deduped base∪deltas
+        if fn != "murmur3":
+            merged = merged.withColumn(
+                "_bucket", _bucket_expr(m["key_cols"][0], m["n_buckets"], fn)
+            )
+        tag = uuid.uuid4().hex[:12]
+        new_files = self._write_bucket_files(merged, tag, m["n_buckets"], fn)
+        stats = self._commit_merge(
+            m, self.schema(), todo, new_files, None, "compact", 0, delta=False
+        )
+        return stats.version
 
     # ------------------------------------------------------------ maintenance
 
@@ -526,8 +724,9 @@ class SnapshotTable:
         referenced: set[str] = set()
         for v in keep:
             mf = self.manifest(v)
-            for rels in mf["files"].values():
-                referenced.update(rels)
+            for which in ("files", "delta_files"):
+                for rels in mf.get(which, {}).values():
+                    referenced.update(rels)
         removed = 0
         for root, _dirs, fns in os.walk(self.data_dir):
             for fn in fns:

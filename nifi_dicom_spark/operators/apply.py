@@ -104,9 +104,7 @@ def apply_changes(
     if cache_batch:
         events.persist()
     try:
-        bucket = SF.pmod(
-            SF.xxhash64(SF.col(KEY_COLUMNS[0])), SF.lit(table.n_buckets())
-        ).cast("int")
+        bucket = table.bucket_expr(KEY_COLUMNS[0])
         metrics_rows = [
             r.asDict() for r in partition_metrics(events, bucket_expr=bucket).collect()
         ]
@@ -149,7 +147,7 @@ def apply_changes(
 
 
 def create_transcripts_table(
-    spark, path: str, n_buckets: int = 16
+    spark, path: str, n_buckets: int = 64
 ) -> SnapshotTable:
     """DDL for the engine's target table (stored schema = transcripts payload
     + LWW version columns; FIXTURES.md §1)."""

@@ -55,13 +55,10 @@ def lookup_or_create(
     touching a handful of buckets scans only those bucket files, never the
     full table. Bucket discovery is one collect bounded by ``n_buckets``
     (O(config), not O(data))."""
-    from nifi_dicom_spark.lake.snapshot_table import _bucket_expr
-
     distinct = keys.select(F.col(key_col).alias("original")).distinct()
-    n = keymap.n_buckets()
     touched = sorted(
         r["b"]
-        for r in distinct.select(_bucket_expr("original", n).alias("b"))
+        for r in distinct.select(keymap.bucket_expr("original").alias("b"))
         .distinct()
         .collect()
     )

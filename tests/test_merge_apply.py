@@ -156,17 +156,22 @@ def test_one_file_per_bucket_layout(spark, small_log, tmp_path):
 
     m = table.manifest()
     n_buckets = m["n_buckets"]
-    for b_str, rels in m["files"].items():
-        for rel in rels:
-            df = spark.read.parquet(os.path.join(table.data_dir, rel))
-            got = df.select(
-                _bucket_expr("conv_id", n_buckets).alias("b")
-            ).distinct().collect()
-            assert {r["b"] for r in got} <= {int(b_str)}, (
-                f"file {rel} contains rows outside bucket {b_str}"
-            )
+    checked = 0
+    for which in ("files", "delta_files"):
+        for b_str, rels in m.get(which, {}).items():
+            for rel in rels:
+                df = spark.read.parquet(os.path.join(table.data_dir, rel))
+                got = df.select(
+                    _bucket_expr("conv_id", n_buckets).alias("b")
+                ).distinct().collect()
+                assert {r["b"] for r in got} <= {int(b_str)}, (
+                    f"file {rel} contains rows outside bucket {b_str}"
+                )
+                checked += 1
+    assert checked > 0, "no data files were checked"
     # bucket-pruned read returns exactly the rows of those buckets
-    some = [int(b) for b in list(m["files"])[:3]]
+    all_buckets = sorted(set(m["files"]) | set(m.get("delta_files", {})), key=int)
+    some = [int(b) for b in all_buckets[:3]]
     pruned = table.read(buckets=some)
     full = table.read().withColumn("_b", _bucket_expr("conv_id", n_buckets))
     expect = full.filter(F.col("_b").isin(some)).drop("_b")
@@ -206,6 +211,119 @@ def test_untouched_bucket_survives_incremental_merge(spark, tmp_path):
     apply_changes(table, _spark_events(spark, ev(by_bucket[other], 1)), epoch=1)
     rows = {r["conv_id"] for r in read_final_state(table).collect()}
     assert rows == {by_bucket[0], by_bucket[other]}, rows
+
+
+def test_merge_on_read_epoch_cost_proportional_to_change_set(
+    spark, small_log, tmp_path
+):
+    """The MoR hot path never rewrites base files: a merge on a large table
+    registers only batch-sized delta files for the touched buckets (epoch
+    cost ∝ change set, not table size), and reads stay correct."""
+    from nifi_dicom_spark.fixtures import replay_oracle
+    from nifi_dicom_spark.fixtures.oracle import assert_final_state_equal
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=8)
+    # big base (compacted so it lives in base files)
+    apply_changes(table, _spark_events(spark, small_log), epoch=0)
+    table.compact()
+    m0 = table.manifest()
+    assert m0["delta_files"] == {} and m0["files"], "base materialized"
+    base_files = {b: list(v) for b, v in m0["files"].items()}
+
+    # tiny incremental batch → delta-only commit
+    tiny = small_log.iloc[:7].copy()
+    tiny["offset"] = tiny["offset"] + 10_000
+    tiny["op_seq"] = tiny["op_seq"] + 10_000
+    tiny["text"] = "updated-by-tiny-batch"
+    stats = apply_changes(table, _spark_events(spark, tiny), epoch=1)
+    assert stats.merge.mode == "mor"
+    m1 = table.manifest()
+    assert m1["files"] == base_files, "base files untouched by MoR merge"
+    n_delta = sum(len(v) for v in m1["delta_files"].values())
+    assert 0 < n_delta <= stats.merge.touched_buckets
+
+    # read-time LWW over base∪delta matches the pandas oracle
+    combined = pd.concat([small_log, tiny], ignore_index=True)
+    assert_final_state_equal(
+        read_final_state(table).toPandas(), replay_oracle(combined)
+    )
+
+    # compaction folds deltas into base; result identical
+    v = table.compact()
+    assert v is not None and table.manifest()["delta_files"] == {}
+    assert_final_state_equal(
+        read_final_state(table).toPandas(), replay_oracle(combined)
+    )
+
+
+def test_auto_compaction_bounds_delta_count(spark, tmp_path):
+    """Past props[compact_threshold] deltas, merge triggers compaction on
+    the hot buckets — read amplification stays bounded over many epochs."""
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+    from nifi_dicom_spark.operators.apply import STORED_COLUMNS
+
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in CHANGE_EVENTS_SCHEMA.fields}
+    stored = T.StructType([by_name[c] for c in STORED_COLUMNS])
+    table = SnapshotTable.create(
+        spark,
+        str(tmp_path / "t"),
+        stored,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=4,
+        props={"compact_threshold": 3},
+    )
+    for e in range(8):
+        batch = pd.DataFrame(
+            {
+                "offset": [e], "partition_id": [0], "op": ["insert"],
+                "op_seq": [e], "conv_id": ["conv-hot"], "turn_idx": [e],
+                "role": ["user"], "text": [f"t{e}"], "tool": [None],
+                "ts": pd.to_datetime(["2024-01-01"]), "schema_ver": [2],
+            }
+        )
+        table.merge(
+            _spark_events(spark, batch).select(*STORED_COLUMNS),
+            op_col="op",
+            policy="versioned_upsert",
+            commit_keys=[(e, 0)],
+        )
+        worst = max(
+            (len(v) for v in table.manifest()["delta_files"].values()),
+            default=0,
+        )
+        assert worst < 3, f"delta count unbounded: {worst}"
+    assert table.read().count() == 8
+    # ledger stayed O(partitions): one watermark entry, not 8 keys
+    m = table.manifest()
+    assert list(m["applied_hw"].keys()) == ["0"] and m["applied_hw"]["0"] == 7
+    assert "applied_keys" not in m
+
+
+def test_ledger_watermark_semantics(spark, tmp_path):
+    """Replayed (≤ watermark) epochs skip; advancing epochs apply."""
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+
+    def ev(e):
+        return pd.DataFrame(
+            {
+                "offset": [e], "partition_id": [0], "op": ["insert"],
+                "op_seq": [e], "conv_id": [f"c{e}"], "turn_idx": [0],
+                "role": ["user"], "text": [f"row{e}"], "tool": [None],
+                "ts": pd.to_datetime(["2024-01-01"]), "schema_ver": [2],
+            }
+        )  # column order == CHANGE_EVENTS_SCHEMA (createDataFrame is positional)
+
+    for e in (0, 1, 2):
+        apply_changes(table, _spark_events(spark, ev(e)), epoch=e)
+    assert read_final_state(table).count() == 3
+    # replay an OLD epoch (crash/restart rewind) → no-op
+    s = apply_changes(table, _spark_events(spark, ev(1)), epoch=1)
+    assert not s.merge.applied and s.merge.skipped_commit_keys == 1
+    assert read_final_state(table).count() == 3
+    assert table.is_applied(2, 0) and not table.is_applied(3, 0)
 
 
 def test_null_keyed_events_quarantined_not_lost(spark, tmp_path):

@@ -44,6 +44,27 @@ def test_lww_dedup_is_partial_aggregated(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 
+def test_clustered_merge_reduce_is_single_exchange(spark):
+    """The versioned-merge formulation: repartition(n, conv_id) = bucket
+    placement AND the only shuffle — the LWW reduce's groupBy(conv_id,
+    turn_idx) must reuse the conv_id clustering (HashPartitioning on a
+    subset of the grouping keys satisfies ClusteredDistribution), so the
+    full-payload rows cross the wire exactly once per epoch."""
+    from nifi_dicom_spark.operators.dedup import lww_dedup
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("conv_id"),
+        (F.col("id") % 3).cast("int").alias("turn_idx"),
+        F.col("id").alias("op_seq"),
+        F.col("id").alias("offset"),
+        F.col("id").cast("string").alias("text"),
+    )
+    merged = lww_dedup(df.repartition(16, "conv_id"), ["conv_id", "turn_idx"])
+    plan = _plan(merged)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "REPARTITION_BY_NUM" in plan  # AQE never coalesces it
+
+
 def test_hierarchy_query_broadcasts_dimension(spark):
     import __spark_entry__ as E
 

@@ -98,9 +98,12 @@ def test_crash_between_merge_and_checkpoint(spark, event_log, tmp_path):
 
     # epoch 2 was replayed but skipped by the ledger: version did not grow
     # for the replay itself (only for the remaining epochs)
-    applied = {tuple(k) for k in p.table.manifest()["applied_keys"]}
-    epochs = sorted({e for e, _pid in applied})
-    assert epochs == list(range(len(epochs))), "every epoch applied exactly once"
+    hw = p.table.applied_watermarks()
+    assert hw, "ledger recorded watermarks"
+    last = max(hw.values())
+    for pid in hw:
+        assert p.table.is_applied(hw[pid], pid)
+        assert not p.table.is_applied(last + 1, pid)
     assert p.table.current_version() > v_after_crash
 
     assert_final_state_equal(
