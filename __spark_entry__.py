@@ -700,7 +700,8 @@ def _minhash_oracle(k: int = 8, bands: int = 4, cap: int = 64, thr: float = 0.5)
     minhashes → md5 band buckets → gated bucket self-join → exact Jaccard."""
     rpb = k // bands
     mh = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))" for i in range(k)
+        f"list_min(list_transform(shingles, s -> substr(md5(s), {4 * i + 1}, 4)))"
+        for i in range(k)
     )
     band_elems = " , ".join(f"mh[{rpb} * band + {r + 1}]" for r in range(rpb))
     return f"""

@@ -73,12 +73,22 @@ def _minhash_one(shingles: Column, seed: int, method: str) -> Column:
 
     * ``xxhash64`` (default): JVM-native 64-bit hash, one pass, no string
       materialization — the hot-path choice (~10× cheaper than md5-hex).
-    * ``md5``: hex-string min — slower but reproducible in any SQL engine
-      (used when an external oracle must replay the signature).
+    * ``md5``: the K hashes are 4-hex-char (16-bit) SLICES of ONE md5 digest
+      per shingle — one md5 call however large K is, and trivially
+      reproducible in any SQL engine (``substr(md5(s), 4i+1, 4)``; hex
+      string min == numeric min). 16-bit minhashes tie more often than
+      64-bit ones, which is harmless here: candidates are verified by exact
+      Jaccard downstream. When the caller pre-materializes digests (see
+      ``_candidates_from_shingles``), pass that column as ``shingles`` with
+      ``method="md5_digests"`` to hash each shingle exactly once.
     """
     if method == "md5":
         return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+            F.transform(shingles, lambda s: F.substring(F.md5(s), 4 * seed + 1, 4))
+        )
+    if method == "md5_digests":  # `shingles` already holds md5 hex digests
+        return F.array_min(
+            F.transform(shingles, lambda d: F.substring(d, 4 * seed + 1, 4))
         )
     return F.array_min(
         F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
@@ -145,7 +155,14 @@ def _candidates_from_shingles(
     method: str = "xxhash64",
 ) -> DataFrame:
     rows_per_band = k // bands
-    sig = F.array(*[_minhash_one(F.col("_sh"), i, method) for i in range(k)])
+    if method == "md5":
+        # hash each shingle ONCE; the K minhashes are slices of the digest
+        sh_df = sh_df.withColumn("_shd", F.transform(F.col("_sh"), F.md5))
+        sig = F.array(
+            *[_minhash_one(F.col("_shd"), i, "md5_digests") for i in range(k)]
+        )
+    else:
+        sig = F.array(*[_minhash_one(F.col("_sh"), i, method) for i in range(k)])
     banded = sh_df.select(
         "id",
         F.explode(lsh_bands(sig, bands, rows_per_band, method)).alias("bb"),
