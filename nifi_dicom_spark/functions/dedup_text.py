@@ -391,6 +391,9 @@ def simhash_near_dup(
         )
         gated = banded.join(eligible, on=["band", "chunk"], how="left_semi")
         left, right = gated.alias("l"), gated.alias("r")
+        # verify (cheap popcount) BEFORE the pair-dedup shuffle: only the few
+        # hamming-passing pairs reach the distinct, instead of every
+        # bucket-collision carrying two 64-bit sigs through an exchange
         pairs = (
             left.join(
                 right,
@@ -403,13 +406,10 @@ def simhash_near_dup(
             .select(
                 F.col("l.id").alias("id_a"),
                 F.col("r.id").alias("id_b"),
-                F.col("l.simhash").alias("sig_a"),
-                F.col("r.simhash").alias("sig_b"),
+                hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
             )
-            .distinct()
-            .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming")
+            .distinct()
         )
         return pairs.localCheckpoint(eager=True)
     finally:

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The decode libraries (PIL/librosa/ffmpeg) are not in this container, so the
-decode kernels are STUBBED — deterministic fakes clearly marked — but the
-Spark-side plumbing is real and tested: schema (binary payload + typed
-metadata struct), Arrow-batched ``mapInPandas`` transforms, partition-size
-control for fat binary rows.
+Decode is REAL for the formats a from-scratch engine can own: WAV (PCM) and
+BMP (24-bit) payloads are parsed by the pure-numpy codecs in
+:mod:`nifi_dicom_spark.functions.codecs` and yield genuine features (RMS
+energy windows, grayscale band means) and genuine resizes. Compressed
+formats (JPEG/PNG/MP3/MP4 — whose entropy coders need external libs absent
+from this container) fall back to a deterministic, clearly-marked stub. The
+Spark-side plumbing is identical and fully tested either way: schema
+(binary payload + typed metadata struct), Arrow-batched ``mapInPandas``
+transforms, partition-size control for fat binary rows.
 
 Reference analog: the payload of a flow-file is exactly such an opaque
 binary (the serialized DICOM object with PixelData), and the reference's
@@ -57,7 +61,8 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB for the real decoder (PIL.Image.open / librosa.load / ffmpeg).
+    """STUB for decoders of compressed formats (JPEG/PNG/MP3/MP4), whose
+    entropy coders require libs absent from this container.
 
     Deterministic fake: sha256-seeded pseudo-feature so tests are stable.
     Replace the body with the real decode + model features in production;
@@ -66,6 +71,19 @@ def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     h = hashlib.sha256(payload or b"").digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+
+def _decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Real decode for WAV/BMP payloads (pure-numpy codecs); deterministic
+    stub otherwise."""
+    from nifi_dicom_spark.functions import codecs
+
+    if codecs.is_wav(payload):
+        samples, _sr = codecs.decode_wav(payload)
+        return codecs.audio_energy_features(samples, dim)
+    if codecs.is_bmp(payload):
+        return codecs.image_block_features(codecs.decode_bmp(payload), dim)
+    return _fake_decode_feature(payload, dim)
 
 
 def extract_features(media: DataFrame, dim: int = 16, batch_rows: int = 64) -> DataFrame:
@@ -79,7 +97,7 @@ def extract_features(media: DataFrame, dim: int = 16, batch_rows: int = 64) -> D
         for pdf in it:
             payloads = pdf["payload"]
             feats = [
-                _fake_decode_feature(p if p is not None else b"", dim).tolist()
+                _decode_feature(bytes(p) if p is not None else b"", dim).tolist()
                 for p in payloads
             ]
             yield pd.DataFrame(
@@ -98,27 +116,36 @@ def extract_features(media: DataFrame, dim: int = 16, batch_rows: int = 64) -> D
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB image resize: real impl decodes, resizes, re-encodes via PIL.
-
-    Raises NotImplementedError in the kernel if a non-fake payload is seen in
-    production mode; in this container it re-stamps metadata only (the
-    payload passes through) so the pipeline shape is testable end-to-end.
-    """
+    """Image resize. BMP payloads are REALLY decoded, nearest-neighbor
+    resized and re-encoded (pure-numpy codec); compressed formats pass
+    through with re-stamped metadata (stub path — real impl would decode
+    via PIL/libjpeg)."""
+    from nifi_dicom_spark.functions import codecs
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = [
-                {
-                    "width": width,
-                    "height": height,
-                    "sample_rate": None,
-                    "n_frames": None,
-                    "mime": "image/fake",
-                }
-                for _ in range(len(pdf))
-            ]
+            payloads, metas = [], []
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else None
+                if codecs.is_bmp(raw):
+                    img = codecs.resize_nearest(codecs.decode_bmp(raw), width, height)
+                    payloads.append(codecs.encode_bmp(img))
+                    mime = "image/bmp"
+                else:
+                    payloads.append(raw)
+                    mime = "image/fake"
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "sample_rate": None,
+                        "n_frames": None,
+                        "mime": mime,
+                    }
+                )
             out = pdf.copy()
-            out["meta"] = meta
+            out["payload"] = payloads
+            out["meta"] = metas
             yield out
 
     return media.filter(F.col("kind") == "image").mapInPandas(

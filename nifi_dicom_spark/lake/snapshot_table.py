@@ -380,12 +380,29 @@ class SnapshotTable:
             clustered = df.withColumn(
                 "_pk", mapping[F.col("_bucket")].cast("long")
             ).repartition(n_buckets, "_pk")
-        (
-            clustered.select(*data_cols)
-            .sortWithinPartitions(*self.key_cols())
-            .write.mode("overwrite")
-            .parquet(out_abs)
-        )
+        # AQE partition coalescing MUST be off for this job: if the source
+        # plan already carries an ENSURE_REQUIREMENTS exchange hash-
+        # partitioned on the key with numPartitions == n_buckets (e.g. an
+        # upstream join on the key while shuffle.partitions == n_buckets),
+        # Catalyst elides the explicit REPARTITION_BY_NUM as redundant —
+        # correct mapping, but the surviving exchange is no longer
+        # coalesce-protected, and a coalesced write breaks the
+        # partition-index == bucket-id invariant (rows of several buckets
+        # in one file → silent misplacement; regression-tested via the
+        # dead-letter read-modify-write path).
+        conf = self.spark.conf
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev = conf.get(coalesce_key, "true")
+        conf.set(coalesce_key, "false")
+        try:
+            (
+                clustered.select(*data_cols)
+                .sortWithinPartitions(*self.key_cols())
+                .write.mode("overwrite")
+                .parquet(out_abs)
+            )
+        finally:
+            conf.set(coalesce_key, prev)
         files: dict[str, list[str]] = {}
         for fn in os.listdir(out_abs):
             if not fn.endswith(".parquet") or not fn.startswith("part-"):

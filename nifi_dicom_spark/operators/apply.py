@@ -84,6 +84,7 @@ def apply_changes(
     epoch: int | None = None,
     quarantine_dir: str | None = None,
     cache_batch: bool | None = None,
+    dead_letter: SnapshotTable | None = None,
 ) -> ApplyResult:
     """Apply one batch of change events to the transcripts table with
     idempotent commit keys (epoch, partition_id).
@@ -115,6 +116,13 @@ def apply_changes(
             commit_keys = [(epoch, int(r["partition_id"])) for r in metrics_rows]
             for r in metrics_rows:
                 r["checkpoint_epoch"] = epoch
+
+        if dead_letter is not None and epoch is not None:
+            # T7: penalize-then-retry bookkeeping (idempotent per epoch)
+            from nifi_dicom_spark.operators.deadletter import record_quarantine
+
+            _, bad = route_events(events)
+            record_quarantine(dead_letter, bad, epoch)
 
         if quarantine_dir is not None:
             _, bad = route_events(events)

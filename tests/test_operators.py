@@ -284,6 +284,120 @@ def test_multimodal_feature_extraction(spark):
     assert {r["frame_idx"] for r in frames} == {0, 10, 20}
 
 
+def test_codecs_wav_bmp_roundtrip():
+    """Pure-numpy WAV/BMP codecs: encode∘decode is identity (up to PCM
+    quantization), resize samples the right pixels."""
+    import numpy as np
+
+    from nifi_dicom_spark.functions import codecs
+
+    t = np.arange(8000) / 8000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    wav = codecs.encode_wav(sig, 8000)
+    assert codecs.is_wav(wav) and not codecs.is_bmp(wav)
+    back, sr = codecs.decode_wav(wav)
+    assert sr == 8000 and len(back) == len(sig)
+    assert float(np.abs(back - sig).max()) < 1e-3  # 16-bit quantization
+    feats = codecs.audio_energy_features(back, 4)
+    assert feats.shape == (4,) and all(abs(f - 0.5 / 2**0.5) < 0.01 for f in feats)
+
+    img = np.zeros((20, 30, 3), dtype=np.uint8)
+    img[:10] = [255, 0, 0]  # top half red, bottom half black
+    bmp = codecs.encode_bmp(img)
+    assert codecs.is_bmp(bmp)
+    back_img = codecs.decode_bmp(bmp)
+    assert back_img.shape == (20, 30, 3)
+    assert (back_img == img).all()
+    small = codecs.resize_nearest(back_img, 6, 4)
+    assert small.shape == (4, 6, 3)
+    assert (small[0] == [255, 0, 0]).all() and (small[-1] == [0, 0, 0]).all()
+
+
+def test_multimodal_real_decode_features(spark):
+    """WAV/BMP payloads flow through the SAME mapInPandas plumbing but get
+    REAL decoded features; unknown formats keep the deterministic stub."""
+    import numpy as np
+
+    from nifi_dicom_spark.functions import codecs
+    from nifi_dicom_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    t = np.arange(4000) / 8000.0
+    wav = codecs.encode_wav((0.8 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), 8000)
+    img = np.full((16, 16, 3), 200, dtype=np.uint8)
+    img[:8] = 0  # top half black → first feature bands ≈ 0
+    bmp = codecs.encode_bmp(img)
+    rows = [
+        (1, "audio", wav, (None, None, 8000, None, "audio/wav")),
+        (2, "image", bmp, (16, 16, None, None, "image/bmp")),
+        (3, "image", b"not-an-image", (1, 1, None, None, "application/x-fake")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media, dim=4).collect()}
+    assert abs(feats[1][0] - 0.8 / 2**0.5) < 0.01  # real RMS of the sine
+    assert feats[2][0] < 0.01 and feats[2][-1] > 0.7  # real band means
+    assert len(feats[3]) == 4  # stub path still produces the schema
+
+    resized = {
+        r["media_id"]: r for r in resize_images(media, 8, 8).collect()
+    }
+    out_img = codecs.decode_bmp(bytes(resized[2]["payload"]))
+    assert out_img.shape == (8, 8, 3)
+    assert resized[2]["meta"]["mime"] == "image/bmp"
+    assert resized[3]["meta"]["mime"] == "image/fake"  # stub passthrough
+
+
+def test_deadletter_retry_counters(spark, tmp_path):
+    """T7: re-quarantined events increment retry_count exactly once per
+    epoch (idempotent under epoch replay); poison set respects max_retries."""
+    import pandas as pd
+
+    from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+    from nifi_dicom_spark.operators.deadletter import (
+        create_deadletter,
+        poison,
+        record_quarantine,
+        retryable,
+    )
+
+    dl = create_deadletter(spark, str(tmp_path / "dl"))
+
+    def bad_events(offsets):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "offset": offsets,
+                    "partition_id": [0] * len(offsets),
+                    "op": ["truncate"] * len(offsets),  # unknown op
+                    "op_seq": [1] * len(offsets),
+                    "conv_id": ["c"] * len(offsets),
+                    "turn_idx": [0] * len(offsets),
+                    "role": [None] * len(offsets),
+                    "text": [None] * len(offsets),
+                    "tool": [None] * len(offsets),
+                    "ts": pd.to_datetime(["2024-01-01"] * len(offsets)),
+                    "schema_ver": [2] * len(offsets),
+                }
+            ),
+            schema=CHANGE_EVENTS_SCHEMA,
+        )
+
+    record_quarantine(dl, bad_events([10, 11]), epoch=0)
+    record_quarantine(dl, bad_events([10]), epoch=1)
+    record_quarantine(dl, bad_events([10]), epoch=1)  # replay: no-op
+    record_quarantine(dl, bad_events([10, 12]), epoch=2)
+    rows = {r["offset"]: r for r in dl.read().collect()}
+    assert rows[10]["retry_count"] == 3
+    assert rows[10]["first_epoch"] == 0 and rows[10]["last_epoch"] == 2
+    assert rows[10]["reason"] == "unknown_op"
+    assert rows[11]["retry_count"] == 1 and rows[12]["retry_count"] == 1
+    assert {r["offset"] for r in poison(dl, max_retries=2).collect()} == {10}
+    assert {r["offset"] for r in retryable(dl, max_retries=2).collect()} == {11, 12}
+
+
 # --- deidentify rules ---------------------------------------------------------
 
 
