@@ -602,6 +602,37 @@ def q_nested_deidentify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: penalize-then-retry bookkeeping — 'error' events are quarantined
+    in epoch 0; the high-value subset is re-quarantined in epoch 1 and must
+    show retry_count=2 with first/last epochs tracked (idempotent,
+    reason-diagnosed dead-letter table)."""
+    import tempfile
+
+    from nifi_dicom_spark.operators.deadletter import (
+        create_deadletter,
+        record_quarantine,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    bad = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("offset"),
+        F.when(F.col("value") < 50, F.lit(None).cast("string"))
+        .otherwise(F.lit("c"))
+        .alias("conv_id"),
+        F.when(F.col("value") >= 50, F.lit(-1)).otherwise(F.lit(0)).alias("turn_idx"),
+        F.lit("insert").alias("op"),
+        F.lit(1).cast("long").alias("op_seq"),
+        F.col("value"),
+    )
+    dl = create_deadletter(spark, tempfile.mkdtemp(prefix="dlq-") + "/dl")
+    record_quarantine(dl, bad, epoch=0)
+    record_quarantine(dl, bad.filter(F.col("value") >= 100), epoch=1)
+    return dl.read().select(
+        "offset", "reason", "retry_count", "first_epoch", "last_epoch"
+    )
+
+
 def q_stats_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: metrics serialized as JSON rows (``LogCacheStatistics.java:50-60``
     → ``F.to_json(F.struct(...))``)."""
@@ -685,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_path": q_session_path,
         "person_match": q_person_match,
         "nested_deidentify": q_nested_deidentify,
+        "deadletter": q_deadletter,
         "stats_json": q_stats_json,
         "tpch_q1": q_tpch_q1,
     }
@@ -1122,6 +1154,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS props_nulled,
                    'nulled:turns.props' AS audit
             FROM events
+        """,
+        "deadletter": """
+            SELECT event_id AS offset,
+                   CASE WHEN value < 50 THEN 'null_key'
+                        ELSE 'bad_turn_idx' END AS reason,
+                   CAST(CASE WHEN value >= 100 THEN 2 ELSE 1 END AS INT)
+                     AS retry_count,
+                   CAST(0 AS BIGINT) AS first_epoch,
+                   CAST(CASE WHEN value >= 100 THEN 1 ELSE 0 END AS BIGINT)
+                     AS last_epoch
+            FROM events WHERE event_type = 'error'
         """,
         "stats_json": """
             SELECT event_type,

@@ -731,6 +731,33 @@ class SnapshotTable:
         )
         return stats.version
 
+    def history(self) -> list[dict]:
+        """Version history oldest→newest: one row per manifest with the
+        operation summary, file/delta counts and ledger watermarks (the
+        time-travel index; any listed version can be passed to
+        :meth:`read`/:meth:`manifest`)."""
+        out = []
+        for v in range(self.current_version() + 1):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue  # vacuumed / pre-repair gap
+            out.append(
+                {
+                    "version": v,
+                    "parent": m.get("parent"),
+                    "operation": m.get("summary", {}).get("operation"),
+                    "policy": m.get("summary", {}).get("policy"),
+                    "mode": m.get("summary", {}).get("mode"),
+                    "n_base_files": sum(len(x) for x in m.get("files", {}).values()),
+                    "n_delta_files": sum(
+                        len(x) for x in m.get("delta_files", {}).values()
+                    ),
+                    "applied_hw": self._hw(m),
+                }
+            )
+        return out
+
     # ------------------------------------------------------------ maintenance
 
     def vacuum(self, keep_versions: int = 2) -> int:

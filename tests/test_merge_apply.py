@@ -302,6 +302,21 @@ def test_auto_compaction_bounds_delta_count(spark, tmp_path):
     assert "applied_keys" not in m
 
 
+def test_history_lists_versions(spark, small_log, tmp_path):
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=8)
+    apply_changes(table, _spark_events(spark, small_log), epoch=0)
+    table.compact()
+    h = table.history()
+    assert [r["version"] for r in h] == [0, 1, 2]
+    assert h[0]["operation"] == "create"
+    assert h[1]["operation"] == "merge" and h[1]["mode"] == "mor"
+    assert h[1]["n_delta_files"] > 0 and h[1]["n_base_files"] == 0
+    assert h[2]["policy"] == "compact" and h[2]["n_delta_files"] == 0
+    assert h[2]["applied_hw"]  # ledger carried through
+    # any listed version is time-travel readable
+    assert table.read(version=1).count() == table.read(version=2).count()
+
+
 def test_ledger_watermark_semantics(spark, tmp_path):
     """Replayed (≤ watermark) epochs skip; advancing epochs apply."""
     table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
