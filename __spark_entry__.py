@@ -237,6 +237,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization (word / number / punctuation runs) — the
+    token-counting primitive of a training-data pipeline, pure built-in
+    regexp (JVM codegen, no Python)."""
+    from nifi_dicom_spark.functions.text import token_count, word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    wt = word_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(wt).cast("long").alias("n_bpe_tokens"),
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        F.concat_ws(" ", F.slice(wt, 1, 5)).alias("head_tokens"),
+    )
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact n-gram Jaccard. The md5
     minhash/bucket method makes every stage reproducible in DuckDB SQL, so
@@ -697,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_guess": q_lang_guess,
         "fingerprint": q_fingerprint,
+        "tokenize": q_tokenize,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1171,6 +1188,21 @@ def oracle_sql() -> dict[str, str]:
                    to_json(struct_pack(high_watermark := max(event_id),
                                        n_events := count(*)))::VARCHAR AS stats_json
             FROM events GROUP BY event_type
+        """,
+        "tokenize": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')
+                       AS bpe,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                       AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(bpe) AS n_bpe_tokens,
+                   len(ws) AS n_ws_tokens,
+                   array_to_string(bpe[1:5], ' ') AS head_tokens
+            FROM t
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -140,15 +142,26 @@ def lsh_bucket_topk(
     # not file size, or a small corpus file runs the whole job in one task
     corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
 
+    # vectorized SRP: one Arrow batch → one matmul per table, instead of
+    # n_tables × n_planes interpreted HOF dot products per row. Sign
+    # semantics identical to srp_bucket (dot > 0); summation-order FP noise
+    # (~1e-16) cannot flip a sign except for |dot| at that scale —
+    # measure-zero for real embeddings
+    P = np.asarray(tables, dtype=np.float64)  # (n_tables, n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def buckets_of(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        out = np.empty((M.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = ((M @ P[t].T) > 0).astype(np.int64)
+            out[:, t] = bits @ weights
+        return pd.Series(out.tolist())
+
     def bucketize(df, idc, vc):
-        b = F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), srp_bucket(F.col(vc), tables[t]).alias("bucket"))
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(F.col(idc), F.col(vc), F.explode(b).alias("tb")).select(
-            idc, vc, "tb.tbl", "tb.bucket"
+        return df.select(
+            F.col(idc), F.col(vc), F.posexplode(buckets_of(F.col(vc))).alias("tbl", "bucket")
         )
 
     cb = bucketize(
@@ -227,40 +240,49 @@ def ivf_topk(
     # centroid scoring
     corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
 
-    def cell_sims(vec: Column) -> Column:
-        """array<struct<sim,cid>> of similarity to every centroid.
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # (dim, n_cells)
 
-        Rounded to 6 dp so cell assignment is reproducible across engines
-        (summation-order FP noise ~1e-16 cannot flip a 1e-6 quantum except
-        exactly at a rounding boundary); ties broken deterministically by
-        cid via the struct ordering."""
-        return F.array(
-            *[
-                F.struct(
-                    F.round(
-                        cosine_sim(
-                            vec.cast("array<double>"),
-                            F.array(*[F.lit(float(x)) for x in c]),
-                        ),
-                        6,
-                    ).alias("sim"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(cents)
-            ]
-        )
+    def _cell_matrix(v: pd.Series) -> np.ndarray:
+        """Batch × n_cells rounded cosine matrix — one BLAS matmul instead
+        of n_cells interpreted HOF expressions per row. Semantics identical
+        to cell_sims(): 6-dp rounding, zero vectors score 0 everywhere."""
+        M = np.array(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / np.where(norms == 0, 1.0, norms)
+        return np.round(M @ Cn, 6)
 
+    @F.pandas_udf("integer")
+    def cell_of(v: pd.Series) -> pd.Series:
+        sims = _cell_matrix(v)
+        # argmax with ties to the HIGHEST cid (struct-max semantics)
+        return pd.Series(
+            (sims.shape[1] - 1) - np.argmax(sims[:, ::-1], axis=1)
+        ).astype("int32")
+
+    @F.pandas_udf("array<integer>")
+    def probes_of(v: pd.Series) -> pd.Series:
+        sims = _cell_matrix(v)
+        cids = np.arange(sims.shape[1])
+        out = []
+        for row in sims:
+            order = np.lexsort((-cids, -row))  # sim desc, cid desc on ties
+            out.append(order[:n_probe].astype("int32").tolist())
+        return pd.Series(out)
+
+    # (cell assignment semantics, shared with the DuckDB oracle: cosine to
+    # every centroid rounded to 6 dp — summation-order FP noise ~1e-16
+    # cannot flip a 1e-6 quantum except exactly at a rounding boundary —
+    # cell = argmax with ties to the highest cid, probes = top n_probe by
+    # (sim desc, cid desc))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("cell", F.array_max(cell_sims(F.col("c_vec"))).getField("cid"))
+    ).withColumn("cell", cell_of(F.col("c_vec")))
 
-    probes = F.slice(
-        F.reverse(F.array_sort(cell_sims(F.col("q_vec")))), 1, n_probe
-    )
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("probe", F.explode(probes))
-        .select("query_id", "q_vec", F.col("probe.cid").alias("cell"))
+        .withColumn("cell", F.explode(probes_of(F.col("q_vec"))))
+        .select("query_id", "q_vec", "cell")
     )
     cands = (
         c.join(F.broadcast(q), on="cell")
