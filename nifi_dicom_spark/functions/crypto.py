@@ -27,8 +27,10 @@ wrong password (or a corrupted envelope) fails the tag check and
 deterministically returns null — without the tag, PKCS7 unpadding passes
 with ~1/256 probability per value and silently returns garbage.
 
-Envelope layout:
-b"NDS1" ‖ salt(16) ‖ iv(16) ‖ AES-256-CBC(PKCS7(plaintext)) ‖ hmac_tag(16).
+Envelope layout (format v2 — the magic was bumped when the HMAC tag was
+added, so v1 ``NDS1`` envelopes are cleanly detected as foreign rather than
+sliced wrongly and failing the tag check):
+b"NDS2" ‖ salt(16) ‖ iv(16) ‖ AES-256-CBC(PKCS7(plaintext)) ‖ hmac_tag(16).
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-MAGIC = b"NDS1"
+MAGIC = b"NDS2"  # v2: authenticated envelopes (v1 "NDS1" had no tag)
 _ITERATIONS = 10_000  # reference default ballpark; PBKDF2 cost knob
 
 

@@ -82,6 +82,11 @@ def _minhash_one(shingles: Column, seed: int, method: str) -> Column:
       ``_candidates_from_shingles``), pass that column as ``shingles`` with
       ``method="md5_digests"`` to hash each shingle exactly once.
     """
+    if method in ("md5", "md5_digests") and seed >= 8:
+        raise ValueError(
+            f"md5 minhash method supports at most 8 hashes (got index {seed}): "
+            "slicing past the 32-char digest would yield constant '' hashes"
+        )
     if method == "md5":
         return F.array_min(
             F.transform(shingles, lambda s: F.substring(F.md5(s), 4 * seed + 1, 4))
@@ -155,6 +160,11 @@ def _candidates_from_shingles(
     method: str = "xxhash64",
 ) -> DataFrame:
     rows_per_band = k // bands
+    if method == "md5" and k > 8:
+        # the md5 method derives K hashes as 4-hex-char slices of one 32-char
+        # digest — k > 8 would slice past the digest and yield constant ""
+        # hashes (global band collisions, silent recall loss)
+        raise ValueError(f"md5 minhash method supports k <= 8 (got {k})")
     if method == "md5":
         # hash each shingle ONCE; the K minhashes are slices of the digest
         sh_df = sh_df.withColumn("_shd", F.transform(F.col("_sh"), F.md5))

@@ -75,14 +75,19 @@ def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
 
 def _decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     """Real decode for WAV/BMP payloads (pure-numpy codecs); deterministic
-    stub otherwise."""
+    stub otherwise. Magic bytes only gate the ATTEMPT — unsupported variants
+    (float WAV, compressed/odd-bpp BMP, truncated files) fall back to the
+    stub rather than crashing the whole Spark job on one bad row."""
     from nifi_dicom_spark.functions import codecs
 
-    if codecs.is_wav(payload):
-        samples, _sr = codecs.decode_wav(payload)
-        return codecs.audio_energy_features(samples, dim)
-    if codecs.is_bmp(payload):
-        return codecs.image_block_features(codecs.decode_bmp(payload), dim)
+    try:
+        if codecs.is_wav(payload):
+            samples, _sr = codecs.decode_wav(payload)
+            return codecs.audio_energy_features(samples, dim)
+        if codecs.is_bmp(payload):
+            return codecs.image_block_features(codecs.decode_bmp(payload), dim)
+    except Exception:
+        pass  # unsupported variant / corrupt container → stub path
     return _fake_decode_feature(payload, dim)
 
 
@@ -127,8 +132,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             payloads, metas = [], []
             for p in pdf["payload"]:
                 raw = bytes(p) if p is not None else None
-                if codecs.is_bmp(raw):
-                    img = codecs.resize_nearest(codecs.decode_bmp(raw), width, height)
+                try:
+                    decoded = codecs.decode_bmp(raw) if codecs.is_bmp(raw) else None
+                except Exception:
+                    decoded = None  # unsupported BMP variant → passthrough
+                if decoded is not None:
+                    img = codecs.resize_nearest(decoded, width, height)
                     payloads.append(codecs.encode_bmp(img))
                     mime = "image/bmp"
                 else:

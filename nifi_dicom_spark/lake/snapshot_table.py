@@ -495,6 +495,9 @@ class SnapshotTable:
         fn = m.get("bucket_fn", "xxhash64")
 
         # ---- idempotency gate (exactly-once replay) -----------------------
+        effective_mode = (
+            (mode or "mor") if policy == "versioned_upsert" else "cow"
+        )
         skipped = 0
         if commit_keys is not None:
             hw = self._hw(m)
@@ -505,7 +508,9 @@ class SnapshotTable:
             ]
             skipped = len(commit_keys) - len(fresh)
             if not fresh:
-                return MergeStats(m["version"], 0, skipped, applied=False)
+                return MergeStats(
+                    m["version"], 0, skipped, applied=False, mode=effective_mode
+                )
             commit_keys = fresh
 
         if assert_unique_source:
@@ -529,7 +534,7 @@ class SnapshotTable:
         src = source.withColumn("_bucket", bucket)
 
         if policy == "versioned_upsert":
-            mode = mode or "mor"
+            mode = effective_mode
             # bucket discovery: callers that already aggregate over the batch
             # (lineage metrics) pass the touched set in — zero extra jobs;
             # otherwise one column-pruned scan of the raw source (conv_id

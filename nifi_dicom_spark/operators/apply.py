@@ -117,15 +117,16 @@ def apply_changes(
             for r in metrics_rows:
                 r["checkpoint_epoch"] = epoch
 
+        bad = route_events(events)[1] if (
+            dead_letter is not None or quarantine_dir is not None
+        ) else None
         if dead_letter is not None and epoch is not None:
             # T7: penalize-then-retry bookkeeping (idempotent per epoch)
             from nifi_dicom_spark.operators.deadletter import record_quarantine
 
-            _, bad = route_events(events)
             record_quarantine(dead_letter, bad, epoch)
 
         if quarantine_dir is not None:
-            _, bad = route_events(events)
             if epoch is not None:
                 # epoch-keyed dir + overwrite ⇒ replaying the epoch rewrites
                 # the same quarantine rows (exactly-once for the reject

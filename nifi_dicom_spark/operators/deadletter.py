@@ -62,12 +62,15 @@ def create_deadletter(
 def record_quarantine(
     dl: SnapshotTable, bad: DataFrame, epoch: int
 ) -> DataFrame:
-    """Record one epoch's quarantined events; returns the updated rows.
+    """Record one epoch's quarantined events; returns the STORED rows for
+    the batch's offsets (so a replayed epoch returns the original counts,
+    not a speculative re-increment).
 
     Re-quarantined offsets increment ``retry_count`` (read-modify-write
     against only the touched buckets); replaying the same epoch is a no-op
     via the commit ledger, so counts never double-increment on crash/restart
-    (exactly-once for the reject channel too)."""
+    (exactly-once for the reject channel too). A batch with no quarantined
+    events returns empty without any write/commit."""
     fresh = bad.select(
         F.col("offset").cast("long").alias("offset"),
         quarantine_reason().alias("reason"),
@@ -76,6 +79,10 @@ def record_quarantine(
         r["b"]
         for r in fresh.select(dl.bucket_expr("offset").alias("b")).distinct().collect()
     )
+    if not touched:  # clean epoch: no write, no version churn
+        return dl.read(buckets=[]).select(
+            "offset", "reason", "retry_count", "first_epoch", "last_epoch"
+        )
     prior = dl.read(buckets=touched).select(
         F.col("offset"),
         F.col("retry_count").alias("_prior_count"),
@@ -104,7 +111,10 @@ def record_quarantine(
         commit_keys=[(int(epoch), 0)],
         touched_buckets=touched,
     )
-    return entries
+    # return what is actually STORED (merge may have been a ledger no-op)
+    return dl.read(buckets=touched).join(
+        fresh.select("offset"), on="offset", how="left_semi"
+    ).select("offset", "reason", "retry_count", "first_epoch", "last_epoch")
 
 
 def poison(dl: SnapshotTable, max_retries: int) -> DataFrame:

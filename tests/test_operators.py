@@ -350,6 +350,39 @@ def test_multimodal_real_decode_features(spark):
     assert resized[3]["meta"]["mime"] == "image/fake"  # stub passthrough
 
 
+def test_unsupported_codec_variants_fall_back_to_stub(spark):
+    """A float-format WAV (or any unsupported container variant) must not
+    crash the job — it takes the stub path like other undecodable formats."""
+    import struct
+
+    import numpy as np
+
+    from nifi_dicom_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    # RIFF/WAVE with audio_format=3 (IEEE float) — magic passes, decode can't
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 8) + np.zeros(2, "<f4").tobytes()
+    )
+    media = spark.createDataFrame(
+        [(1, "audio", payload, (None, None, 8000, None, "audio/wav"))], MEDIA_SCHEMA
+    )
+    out = extract_features(media, dim=4).collect()
+    assert len(out) == 1 and len(out[0]["feature"]) == 4
+
+
+def test_md5_minhash_rejects_oversized_k(spark):
+    import pytest
+
+    from nifi_dicom_spark.functions.dedup_text import near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="k <= 8|at most 8"):
+        near_dup_pairs(df, "text", "doc_id", k=16, bands=8, method="md5")
+
+
 def test_deadletter_retry_counters(spark, tmp_path):
     """T7: re-quarantined events increment retry_count exactly once per
     epoch (idempotent under epoch replay); poison set respects max_retries."""
@@ -507,7 +540,7 @@ def test_encrypt_decrypt_roundtrip(spark):
     out = enc.withColumn("back", decrypt_payload("env", "pw")).collect()
     for r in sorted(out, key=lambda r: r["id"]):
         assert bytes(r["back"]) == bytes(r["p"])
-        assert bytes(r["env"])[:4] == b"NDS1"
+        assert bytes(r["env"])[:4] == b"NDS2"
     # deterministic: same plaintext+password → same envelope (replay no-op)
     again = df.withColumn("env", encrypt_payload("p", "pw")).collect()
     assert {bytes(r["env"]) for r in again} == {bytes(r["env"]) for r in out}
