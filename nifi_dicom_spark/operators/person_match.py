@@ -81,30 +81,42 @@ def person_name_match(
 
     ``records`` must carry ``pm_canonical``/``pm_phonetic``/``pm_swapped``
     (see :func:`add_search_columns`). Returns one row per (probe, record,
-    match_mode) — the reference's OR-block expressed as a UNION of three
-    broadcast equi-joins (each mode keeps an exact join key, so every arm is
-    a hash join; the OR-predicate formulation would force a nested-loop
-    join). Probe sets are small by construction (a query identifier), so the
+    match_mode) — the reference's OR-block expressed as ONE broadcast hash
+    join: each probe explodes into its (key, target-column, mode) arms
+    (canonical→pm_canonical, phonetic→pm_phonetic, swap→pm_canonical), each
+    record explodes into its two (target-column, value) search entries, and
+    the join key is (target, value). One scan of the record side however
+    many match modes exist — the OR-predicate formulation would force a
+    nested-loop join, and a union-of-joins would scan the records once per
+    mode. Probe sets are small by construction (a query identifier), so the
     probe side broadcasts."""
-    p = probes.select(
-        _c(probe_col).alias("probe"),
-        canonical_name(probe_col).alias("_p_canon"),
-        phonetic_key(probe_col).alias("_p_phon"),
-        swapped_name(probe_col).alias("_p_swap"),
+    arms = F.array(
+        F.struct(
+            F.lit("canonical").alias("mode"),
+            F.lit("canon").alias("target"),
+            canonical_name(probe_col).alias("key"),
+        ),
+        F.struct(
+            F.lit("phonetic").alias("mode"),
+            F.lit("phon").alias("target"),
+            phonetic_key(probe_col).alias("key"),
+        ),
+        F.struct(
+            F.lit("swap").alias("mode"),
+            F.lit("canon").alias("target"),
+            swapped_name(probe_col).alias("key"),
+        ),
     )
-    arms = [
-        ("canonical", F.col("_p_canon"), "pm_canonical"),
-        ("phonetic", F.col("_p_phon"), "pm_phonetic"),
-        ("swap", F.col("_p_swap"), "pm_canonical"),
-    ]
-    out = None
-    for mode, probe_key, rec_col in arms:
-        arm = records.join(
-            F.broadcast(p), on=probe_key == F.col(rec_col), how="inner"
-        ).select(
-            "probe",
-            *[c for c in records.columns],
-            F.lit(mode).alias("match_mode"),
-        )
-        out = arm if out is None else out.unionByName(arm)
-    return out
+    p = probes.select(
+        _c(probe_col).alias("probe"), F.explode(arms).alias("arm")
+    ).select("probe", "arm.mode", "arm.target", "arm.key")
+    entries = F.array(
+        F.struct(F.lit("canon").alias("target"), F.col("pm_canonical").alias("key")),
+        F.struct(F.lit("phon").alias("target"), F.col("pm_phonetic").alias("key")),
+    )
+    r = records.select(*records.columns, F.explode(entries).alias("e")).select(
+        *records.columns, "e.target", "e.key"
+    )
+    return r.join(F.broadcast(p), on=["target", "key"], how="inner").select(
+        "probe", *records.columns, F.col("mode").alias("match_mode")
+    )
