@@ -288,6 +288,34 @@ node):
   is constant (any real cluster), the plan-attributable scaling is the ALU
   number, not the socket ceiling.
 
+## Epoch cost ∝ change set (merge-on-read), measured
+
+Identical 100k-event batch applied (epoch timed after a warm-up epoch) to
+two compacted tables at local[32]:
+
+| base table rows | epoch seconds |
+|---|---|
+| 578,022 | 1.51 |
+| 4,221,856 (7.3×) | 1.60 (+6%) |
+
+A 7× larger base leaves epoch time flat — the MoR hot path reads/writes only
+the batch's delta files, never the base (manifest inspection in
+`tests/test_merge_apply.py::test_merge_on_read_epoch_cost_proportional_to_change_set`
+asserts base files are untouched byte-for-byte). Under copy-on-write this
+same experiment scales with table size, which is the 10^10-event wall the
+round-1 review named.
+
+## Streaming-mode datapoint
+
+The same pipeline through the production path — Structured Streaming file
+tail → checkpointed `foreachBatch` merge-apply with commit-ledger
+idempotency, quarantine and lineage metrics (`CDCPipeline`): 2.4M events in
+8 micro-batches (`maxFilesPerTrigger=4`) at local[32] = **86.5k events/s**
+end-to-end including per-batch checkpoint commits (round 1: 72k), with
+final-state equality vs the pandas oracle asserted after the run.
+Micro-batch sizing trades latency for throughput: the batch replay numbers
+above are the `availableNow`-with-large-epochs limit of the same code path.
+
 Caveats, reported honestly: `local-cluster[k,4,m]` shares one machine's
 memory bus and has no real shuffle network, so this measures compute/
 shuffle-partition scaling, not network or multi-node coordination. The
