@@ -71,7 +71,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """Mono float32 [-1, 1] → 16-bit PCM RIFF/WAVE."""
     pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    # round-to-nearest at the decoder's 1/32768 scale (truncation would bias
+    # toward zero and double the quantization error)
+    pcm = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     chunks = b"".join(
         [

@@ -69,6 +69,40 @@ def test_oracle_redelivery_invariance(seed: int, frac: float, perm_seed: int):
     pd.testing.assert_frame_equal(a, b)
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 5_000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(seed: int, n: int, rate: int):
+    """encode∘decode is identity up to 16-bit quantization for ANY mono
+    signal in [-1, 1]."""
+    from nifi_dicom_spark.functions.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    sig = rng.uniform(-1, 1, size=n).astype(np.float32)
+    back, sr = decode_wav(encode_wav(sig, rate))
+    assert sr == rate and len(back) == n
+    assert float(np.abs(back - sig).max()) <= 1.5 / 32768
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+)
+def test_bmp_roundtrip_property(seed: int, h: int, w: int):
+    """encode∘decode is exact identity for ANY rgb8 image, including widths
+    that exercise every 4-byte row-padding remainder."""
+    from nifi_dicom_spark.functions.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
 def test_spark_replay_split_invariance_spot_checks(spark, tmp_path):
     """Spark end-to-end: for a few generated logs, applying the log in k
     random epochs equals the oracle (cross-batch LWW-max associativity on
