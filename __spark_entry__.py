@@ -253,6 +253,22 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=3-word grams, window w=4) —
+    the guarantee-bearing overlap-detection primitive; md5-prefix hashes
+    replay in the DuckDB oracle."""
+    from nifi_dicom_spark.functions.dedup_text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    fps = winnow_fingerprints("text")
+    return docs.repartition(n).select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.concat_ws(",", fps).alias("fingerprints"),
+    )
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact n-gram Jaccard. The md5
     minhash/bucket method makes every stage reproducible in DuckDB SQL, so
@@ -714,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": q_lang_guess,
         "fingerprint": q_fingerprint,
         "tokenize": q_tokenize,
+        "winnowing": q_winnowing,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1158,6 +1175,34 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
                    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
             FROM documents
+        """,
+        "winnowing": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(generate_series(1, len(toks) - 2),
+                         i -> substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))
+                     ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM t
+            ), m AS (
+              SELECT doc_id,
+                     CASE WHEN len(grams) >= 4 THEN
+                       list_transform(generate_series(1, len(grams) - 3),
+                         j -> list_min(grams[j:j+3]))
+                     WHEN len(grams) >= 1 THEN [list_min(grams)]
+                     ELSE CAST([] AS VARCHAR[]) END AS mins
+              FROM g
+            )
+            SELECT doc_id,
+                   len(list_distinct(mins)) AS n_fingerprints,
+                   array_to_string(list_sort(list_distinct(mins)), ',')
+                     AS fingerprints
+            FROM m
         """,
         "minhash_near_dup": _minhash_oracle(),
         "simhash": _simhash_oracle(),

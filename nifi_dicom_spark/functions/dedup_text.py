@@ -275,6 +275,48 @@ def near_dup_pairs(
         sh_df.unpersist()
 
 
+# --- winnowing fingerprints ---------------------------------------------------
+
+
+def winnow_fingerprints(
+    col: str | Column, k: int = 3, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    every ORDERED k-word gram, slide a window of ``w`` consecutive gram
+    hashes, keep each window's minimum — the classic rolling-hash selection
+    guaranteeing any shared substring of ≥ w+k-1 words yields a shared
+    fingerprint. Returns the sorted distinct fingerprint set.
+
+    Hashes are 8-hex-char md5 prefixes (string min == numeric min), so the
+    whole pipeline replays in external SQL engines for oracle checks.
+    Documents shorter than ``k`` words have no fingerprints; shorter than
+    ``k+w-1`` words fingerprint to the single global minimum (standard
+    degenerate-window behavior).
+    """
+    t = F.transform(tokens(col), F.lower)
+    n_grams = F.size(t) - (k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, 8),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_win = F.size(grams) - (w - 1)
+    mins = (
+        F.when(
+            n_win >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            ),
+        )
+        .when(F.size(grams) >= 1, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

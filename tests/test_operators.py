@@ -226,6 +226,30 @@ def test_simhash_signatures_match_hof_variant(spark):
     assert j.filter(F.col("s") != F.col("simhash")).count() == 0
 
 
+def test_winnowing_guarantee(spark):
+    """Winnowing's contract: two documents sharing a run of ≥ w+k-1 = 6
+    words MUST share at least one fingerprint; disjoint texts share none."""
+    from nifi_dicom_spark.functions.dedup_text import winnow_fingerprints
+
+    shared = "one two three four five six"  # exactly w+k-1 words
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"zeta eta theta {shared}"),
+        (3, "completely different words with no overlap at all here"),
+        (4, "ab"),  # shorter than k → no fingerprints
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("f")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared 6-word run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert fps[4] == set()
+
+
 def test_simhash_close_for_near_dups(spark):
     from nifi_dicom_spark.functions.dedup_text import hamming64, simhash64
 
