@@ -577,8 +577,8 @@ def q_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_person_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: person-name fuzzy match — normalize-at-write search columns
-    (canonical / phonetic / component-swap) + OR-block probe expressed as a
-    union of broadcast equi-joins
+    (canonical / phonetic / component-swap) + OR-block probe expressed as
+    one broadcast equi-join over exploded search entries
     (``DicomDatabaseQueryResponseGenerator.java:456-512``,
     ``DatabaseInformationModel.java:590-610``)."""
     from nifi_dicom_spark.operators.person_match import (
@@ -1200,7 +1200,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    len(list_distinct(mins)) AS n_fingerprints,
-                   array_to_string(list_sort(list_distinct(mins)), ',')
+                   coalesce(array_to_string(list_sort(list_distinct(mins)), ','), '')
                      AS fingerprints
             FROM m
         """,

@@ -43,19 +43,26 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # --- shingles / n-grams ------------------------------------------------------
 
 
-def word_shingles(col: str | Column, n: int = 3) -> Column:
-    """n-word shingles (space-joined), distinct, of the lower-cased text.
+def _ordered_grams(col: str | Column, n: int) -> Column:
+    """ORDERED n-word grams (space-joined) of the lower-cased text.
 
-    Documents shorter than ``n`` tokens yield an empty shingle set — guarded
+    Documents shorter than ``n`` tokens yield an empty array — guarded
     explicitly because ``sequence(1, k)`` with ``k <= 0`` produces a
     DESCENDING array ([1, 0]) whose 0 index crashes ``slice``.
     """
     t = F.transform(tokens(col), F.lower)
     k = F.size(t) - (n - 1)
-    sh = F.when(k >= 1, F.transform(
-        F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(t, i, n))
-    )).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(t, i, n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """n-word shingles: the DISTINCT set of :func:`_ordered_grams`."""
+    return F.array_distinct(_ordered_grams(col, n))
 
 
 def ngram_jaccard(a: Column, b: Column) -> Column:
@@ -283,9 +290,12 @@ def winnow_fingerprints(
 ) -> Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
     every ORDERED k-word gram, slide a window of ``w`` consecutive gram
-    hashes, keep each window's minimum — the classic rolling-hash selection
-    guaranteeing any shared substring of ≥ w+k-1 words yields a shared
-    fingerprint. Returns the sorted distinct fingerprint set.
+    hashes, keep each window's minimum — the window-minimum selection that
+    guarantees any shared substring of ≥ w+k-1 words yields a shared
+    fingerprint. (The paper pairs this with a Karp-Rabin ROLLING hash for
+    per-gram efficiency; here each gram hashes independently via md5 so the
+    oracle can replay it — the selection scheme and its guarantee are
+    identical.) Returns the sorted distinct fingerprint set.
 
     Hashes are 8-hex-char md5 prefixes (string min == numeric min), so the
     whole pipeline replays in external SQL engines for oracle checks.
@@ -293,15 +303,9 @@ def winnow_fingerprints(
     ``k+w-1`` words fingerprint to the single global minimum (standard
     degenerate-window behavior).
     """
-    t = F.transform(tokens(col), F.lower)
-    n_grams = F.size(t) - (k - 1)
-    grams = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(t, i, k))), 1, 8),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(
+        _ordered_grams(col, k), lambda g: F.substring(F.md5(g), 1, 8)
+    )
     n_win = F.size(grams) - (w - 1)
     mins = (
         F.when(

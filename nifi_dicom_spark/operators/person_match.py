@@ -10,9 +10,9 @@ derived ``PM_`` columns are created on insert,
 Spark-first shape — normalize-at-write: :func:`add_search_columns` derives
 ``pm_canonical`` / ``pm_phonetic`` / ``pm_swapped`` columns once at write
 time (plain ``withColumn`` expressions, whole-stage codegen); probing is
-then a UNION of equality matches against those columns — each one an
-equi-predicate Catalyst can push down / hash-join, never a per-row fuzzy
-scan. The phonetic key is a deterministic soundex-style consonant skeleton
+then ONE broadcast equi-join over exploded (target-column, key) entries —
+every match mode resolves by hash lookup in a single scan of the record
+side, never a per-row fuzzy scan. The phonetic key is a deterministic soundex-style consonant skeleton
 built only from ``upper``/``regexp_replace``/``translate`` so it is exactly
 reproducible in any SQL engine (DuckDB oracle); classic soundex needs
 adjacent-duplicate collapsing (regex backreferences) which RE2-based engines
@@ -90,33 +90,41 @@ def person_name_match(
     nested-loop join, and a union-of-joins would scan the records once per
     mode. Probe sets are small by construction (a query identifier), so the
     probe side broadcasts."""
+    # internal prefixed names so a records column named key/target/mode can
+    # never collide with the join plumbing
     arms = F.array(
         F.struct(
-            F.lit("canonical").alias("mode"),
-            F.lit("canon").alias("target"),
-            canonical_name(probe_col).alias("key"),
+            F.lit("canonical").alias("_pm_mode"),
+            F.lit("canon").alias("_pm_target"),
+            canonical_name(probe_col).alias("_pm_key"),
         ),
         F.struct(
-            F.lit("phonetic").alias("mode"),
-            F.lit("phon").alias("target"),
-            phonetic_key(probe_col).alias("key"),
+            F.lit("phonetic").alias("_pm_mode"),
+            F.lit("phon").alias("_pm_target"),
+            phonetic_key(probe_col).alias("_pm_key"),
         ),
         F.struct(
-            F.lit("swap").alias("mode"),
-            F.lit("canon").alias("target"),
-            swapped_name(probe_col).alias("key"),
+            F.lit("swap").alias("_pm_mode"),
+            F.lit("canon").alias("_pm_target"),
+            swapped_name(probe_col).alias("_pm_key"),
         ),
     )
     p = probes.select(
-        _c(probe_col).alias("probe"), F.explode(arms).alias("arm")
-    ).select("probe", "arm.mode", "arm.target", "arm.key")
+        _c(probe_col).alias("probe"), F.explode(arms).alias("_pm_arm")
+    ).select("probe", "_pm_arm._pm_mode", "_pm_arm._pm_target", "_pm_arm._pm_key")
     entries = F.array(
-        F.struct(F.lit("canon").alias("target"), F.col("pm_canonical").alias("key")),
-        F.struct(F.lit("phon").alias("target"), F.col("pm_phonetic").alias("key")),
+        F.struct(
+            F.lit("canon").alias("_pm_target"),
+            F.col("pm_canonical").alias("_pm_key"),
+        ),
+        F.struct(
+            F.lit("phon").alias("_pm_target"),
+            F.col("pm_phonetic").alias("_pm_key"),
+        ),
     )
-    r = records.select(*records.columns, F.explode(entries).alias("e")).select(
-        *records.columns, "e.target", "e.key"
+    r = records.select(*records.columns, F.explode(entries).alias("_pm_e")).select(
+        *records.columns, "_pm_e._pm_target", "_pm_e._pm_key"
     )
-    return r.join(F.broadcast(p), on=["target", "key"], how="inner").select(
-        "probe", *records.columns, F.col("mode").alias("match_mode")
-    )
+    return r.join(
+        F.broadcast(p), on=["_pm_target", "_pm_key"], how="inner"
+    ).select("probe", *records.columns, F.col("_pm_mode").alias("match_mode"))

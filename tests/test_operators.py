@@ -226,6 +226,67 @@ def test_simhash_signatures_match_hof_variant(spark):
     assert j.filter(F.col("s") != F.col("simhash")).count() == 0
 
 
+def test_person_match_survives_reserved_column_names(spark):
+    """Regression: records carrying columns named key/target/mode must not
+    collide with the join plumbing's internal columns."""
+    from nifi_dicom_spark.operators.person_match import (
+        add_search_columns,
+        person_name_match,
+    )
+
+    recs = add_search_columns(
+        spark.createDataFrame(
+            [(1, "Doe^Jane", "k1", "t1", "m1")],
+            ["pid", "name", "key", "target", "mode"],
+        ),
+        "name",
+    )
+    probes = spark.createDataFrame([("doe^jane",)], ["probe"])
+    out = person_name_match(recs, probes).collect()
+    assert any(r["match_mode"] == "canonical" and r["key"] == "k1" for r in out)
+
+
+def test_winnowing_oracle_agrees_on_short_docs(spark):
+    """Regression: docs with <k tokens (empty fingerprint set) must produce
+    identical rows from the Spark query and the DuckDB oracle ('' vs NULL)."""
+    import tempfile
+
+    import duckdb
+
+    import __spark_entry__ as E
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["", "one two", "a b c d e f g h i j", None],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0, 7, 20, 0],
+        }
+    )
+    d = tempfile.mkdtemp()
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    got = (
+        E.q_winnowing(spark, d)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = (
+        con.execute(E.oracle_sql()["winnowing"]).df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "n_fingerprints": "int64"}),
+        want.astype({"doc_id": "int64", "n_fingerprints": "int64"}),
+    )
+
+
 def test_winnowing_guarantee(spark):
     """Winnowing's contract: two documents sharing a run of ≥ w+k-1 = 6
     words MUST share at least one fingerprint; disjoint texts share none."""
