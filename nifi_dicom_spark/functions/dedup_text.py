@@ -17,6 +17,10 @@ idempotent (reference precedent: deterministic MD5 pseudo-identities,
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -303,22 +307,39 @@ def winnow_fingerprints(
     ``k+w-1`` words fingerprint to the single global minimum (standard
     degenerate-window behavior).
     """
-    grams = F.transform(
-        _ordered_grams(col, k), lambda g: F.substring(F.md5(g), 1, 8)
-    )
-    n_win = F.size(grams) - (w - 1)
-    mins = (
-        F.when(
-            n_win >= 1,
-            F.transform(
-                F.sequence(F.lit(1), n_win),
-                lambda j: F.array_min(F.slice(grams, j, w)),
-            ),
-        )
-        .when(F.size(grams) >= 1, F.array(F.array_min(grams)))
-        .otherwise(F.array().cast("array<string>"))
-    )
-    return F.array_sort(F.array_distinct(mins))
+    # Arrow-batched kernel: the expression formulation (transform over
+    # per-window array_min slices) is O(T·w) interpreted HOF calls per doc —
+    # measured 17 s at sf0.1 vs ~1 s here. \s is matched in ASCII mode to
+    # mirror Java regex \s (ASCII-only by default), keeping tokenization
+    # identical to tokens()/the DuckDB oracle.
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @F.pandas_udf("array<string>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            toks = [t.lower() for t in ws.split(txt) if t] if txt else []
+            grams = [
+                hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8]
+                for i in range(len(toks) - k + 1)
+            ]
+            if not grams:
+                out.append([])
+            elif len(grams) < w:
+                out.append([min(grams)])
+            else:
+                out.append(
+                    sorted(
+                        {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+                    )
+                )
+        return pd.Series(out)
+
+    return _winnow(_c_col(col))
+
+
+def _c_col(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
 
 
 # --- SimHash -----------------------------------------------------------------
