@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -389,34 +390,42 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_bits: int = 60
 ) -> DataFrame:
-    """(id, simhash) via explode + whole-stage-codegen aggregation — the fast
-    path for :func:`simhash64` (identical signatures, several-fold cheaper).
+    """(id, simhash) — the fast path for :func:`simhash64` (bit-identical
+    signatures, agreement-tested).
 
-    The HOF formulation interprets 60 shiftright lambdas per token outside
-    codegen; here each distinct token is exploded to a row, hashed ONCE to a
-    60-bit value, and the per-bit votes are 60 ``SUM((v>>b)&1)`` aggregate
-    expressions — all inside whole-stage codegen with map-side partial
-    aggregation, so the shuffle carries one 60-int vote vector per doc per
-    map partition. Scale shape: one shuffle on the doc id, skew-free.
+    Arrow-batched kernel: per batch, hash each distinct lower-cased token
+    ONCE (md5, first 15 hex chars = 60-bit value, same as
+    ``conv(substring(md5(tok),1,15),16,10)``), unpack to a bits matrix and
+    take per-bit majority votes with one numpy reduction. Scale shape: a
+    NARROW map — no explode, no shuffle at all (the previous
+    explode+aggregate formulation shuffled a 60-int vote vector per doc).
+    Tokenization matches ``tokens()`` (ASCII ``\\s`` split, Java-regex
+    semantics).
     """
-    t = F.array_distinct(F.transform(tokens(text_col), F.lower))
-    toks = df.select(F.col(id_col).alias("id"), F.explode_outer(t).alias("tok"))
-    val = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
-        .cast("decimal(20,0)")
-        .cast("bigint")
+    ws = re.compile(r"\s+", re.ASCII)
+    shifts = np.arange(n_bits, dtype=np.uint64)
+
+    @F.pandas_udf("bigint")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            toks = {t.lower() for t in ws.split(txt) if t} if txt else set()
+            if not toks:
+                out.append(0)
+                continue
+            vals = np.array(
+                [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks],
+                dtype=np.uint64,
+            )
+            bits = (vals[:, None] >> shifts) & np.uint64(1)  # (T, n_bits)
+            votes = bits.sum(axis=0)
+            sig = int(((votes * 2 > len(vals)).astype(np.uint64) << shifts).sum())
+            out.append(sig)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(
+        F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("simhash")
     )
-    per_tok = toks.withColumn("_v", val)
-    votes = [
-        F.sum(F.shiftright(F.col("_v"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-        for b in range(n_bits)
-    ]
-    agg = per_tok.groupBy("id").agg(F.count(F.col("tok")).alias("_n"), *votes)
-    sig = F.lit(0).cast("bigint")
-    for b in range(n_bits):
-        bit = F.coalesce(F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(False))
-        sig = sig.bitwiseOR(F.shiftleft(bit.cast("bigint"), b))
-    return agg.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dup(
