@@ -305,6 +305,15 @@ asserts base files are untouched byte-for-byte). Under copy-on-write this
 same experiment scales with table size, which is the 10^10-event wall the
 round-1 review named.
 
+## Large-scale final-state equality
+
+One 20.4M-event replay (the full 19.2M scaling input + warm-up epoch,
+5 epochs, local[32]) applied in 30.8 s; the resulting 6,139,153-row final
+table compared EQUAL to the pure-pandas reference replayer over the
+concatenated log — per-turn text equality under stable (conv_id, turn_idx)
+ordering, the BASELINE.json invariant, at 3,400× the usual pytest fixture
+scale.
+
 ## Streaming-mode datapoint
 
 The same pipeline through the production path — Structured Streaming file
