@@ -17,19 +17,38 @@ from pyspark.sql import DataFrame, SparkSession
 from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
 
 
-def read_change_log(spark: SparkSession, path: str) -> DataFrame:
-    """Batch read of a change-log directory (backfill / full replay)."""
-    return spark.read.schema(CHANGE_EVENTS_SCHEMA).parquet(path)
+def read_change_log(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Batch read of a change-log directory (backfill / full replay).
+
+    ``fmt``: ``parquet`` (columnar, the fast path) or ``json`` (newline-
+    delimited records with ISO-8601 timestamps — the wire format a CDC
+    connector like Debezium emits). Both read through the pinned superset
+    schema."""
+    reader = spark.read.schema(CHANGE_EVENTS_SCHEMA)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "json":
+        return reader.json(path)
+    raise ValueError(f"unsupported change-log format {fmt!r}")
 
 
 def stream_change_log(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Streaming tail of a change-log directory, offset-ordered micro-batches
     (``maxFilesPerTrigger`` ≙ the reference's batch-size knob, SURVEY W3)."""
-    return (
+    reader = (
         spark.readStream.schema(CHANGE_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("latestFirst", "false")
-        .parquet(path)
     )
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "json":
+        return reader.json(path)
+    raise ValueError(f"unsupported change-log format {fmt!r}")

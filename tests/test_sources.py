@@ -23,6 +23,41 @@ def test_mixed_schema_batch_read_keeps_tool(spark, tmp_path):
     assert n_tool == int(log["tool"].notna().sum()) > 0
 
 
+def test_json_change_log_replays_identically(spark, tmp_path):
+    """S5 format breadth: the same log delivered as newline-delimited JSON
+    (the CDC-connector wire format) replays to the same final state as the
+    parquet delivery."""
+    import os
+
+    import pytest
+
+    from nifi_dicom_spark.fixtures.oracle import (
+        assert_final_state_equal,
+        replay_oracle,
+    )
+    from nifi_dicom_spark.operators.apply import (
+        apply_changes,
+        create_transcripts_table,
+        read_final_state,
+    )
+
+    log = generate_change_events(
+        GeneratorConfig(seed=17, n_events=1500, schema_change_at=700)
+    )
+    jdir = tmp_path / "ev-json"
+    os.makedirs(jdir)
+    log.to_json(
+        jdir / "events.json", orient="records", lines=True, date_format="iso"
+    )
+    df = read_change_log(spark, str(jdir), fmt="json")
+    assert df.count() == len(log) and "tool" in df.columns
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=8)
+    apply_changes(table, df, epoch=0)
+    assert_final_state_equal(read_final_state(table).toPandas(), replay_oracle(log))
+    with pytest.raises(ValueError, match="unsupported"):
+        read_change_log(spark, str(jdir), fmt="csv")
+
+
 def test_schema_evolution_rules():
     """evolve/conform: widenings allowed, narrowings rejected, adds appended."""
     import pytest
