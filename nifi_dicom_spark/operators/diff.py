@@ -75,3 +75,33 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("op") != "unchanged")
     return out
+
+
+def table_changes(
+    table,
+    from_version: int,
+    to_version: int | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Changelog view of a :class:`~nifi_dicom_spark.lake.snapshot_table.
+    SnapshotTable`: the insert/update/delete events that turn snapshot
+    ``from_version`` into ``to_version`` (default CURRENT) — the read side
+    of CDC (Iceberg's ``table_changes`` / Delta CDF analog), synthesized
+    from the two version snapshots with :func:`snapshot_diff`.
+
+    For versioned (LWW) tables the comparison is on the logical final state
+    (tombstones excluded on both sides), so a row deleted between the
+    versions surfaces as op='delete', not as an update to a tombstone."""
+    key_cols = table.key_cols()
+
+    def state(v: int | None) -> DataFrame:
+        df = table.read(version=v)
+        if "op" in df.columns:  # versioned table: drop tombstones + version cols
+            df = df.filter(F.col("op") != F.lit("delete")).drop(
+                "op", "op_seq", "offset"
+            )
+        return df
+
+    return snapshot_diff(
+        state(from_version), state(to_version), key_cols, compare_cols
+    )

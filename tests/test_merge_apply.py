@@ -317,6 +317,59 @@ def test_history_lists_versions(spark, small_log, tmp_path):
     assert table.read(version=1).count() == table.read(version=2).count()
 
 
+def test_table_changes_changelog_view(spark, tmp_path):
+    """CDC read side: table_changes(v0→v1) reproduces exactly the
+    insert/update/delete set that the applied batch caused."""
+    from nifi_dicom_spark.operators.diff import table_changes
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+
+    def ev(rows):
+        return pd.DataFrame(
+            {
+                "offset": [r[0] for r in rows],
+                "partition_id": [0] * len(rows),
+                "op": [r[1] for r in rows],
+                "op_seq": [r[2] for r in rows],
+                "conv_id": [r[3] for r in rows],
+                "turn_idx": [r[4] for r in rows],
+                "role": ["user"] * len(rows),
+                "text": [r[5] for r in rows],
+                "tool": [None] * len(rows),
+                "ts": pd.to_datetime(["2024-01-01"] * len(rows)),
+                "schema_ver": [2] * len(rows),
+            }
+        )
+
+    apply_changes(
+        table,
+        _spark_events(
+            spark,
+            ev([(0, "insert", 1, "a", 0, "keep"), (1, "insert", 1, "b", 0, "old"),
+                (2, "insert", 1, "c", 0, "gone")]),
+        ),
+        epoch=0,
+    )
+    v1 = table.current_version()
+    apply_changes(
+        table,
+        _spark_events(
+            spark,
+            ev([(3, "update", 2, "b", 0, "new"), (4, "delete", 2, "c", 0, None),
+                (5, "insert", 1, "d", 0, "fresh")]),
+        ),
+        epoch=1,
+    )
+    got = {
+        (r["conv_id"], r["op"]): r
+        for r in table_changes(table, v1, compare_cols=["text"]).collect()
+    }
+    assert set(got) == {("b", "update"), ("c", "delete"), ("d", "insert")}
+    assert got[("b", "update")]["old_text"] == "old"
+    assert got[("b", "update")]["new_text"] == "new"
+    assert got[("d", "insert")]["new_text"] == "fresh"
+
+
 def test_ledger_watermark_semantics(spark, tmp_path):
     """Replayed (≤ watermark) epochs skip; advancing epochs apply."""
     table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
