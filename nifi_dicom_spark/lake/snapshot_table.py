@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 from dataclasses import dataclass
 from typing import Any
@@ -94,6 +95,9 @@ def _bucket_expr(key_col: str, n_buckets: int, bucket_fn: str = "murmur3"):
 
 #: n_buckets -> [preimage long per bucket]; process-wide (pure function of n)
 _PK_CACHE: dict[int, list[int]] = {}
+
+#: serializes the session-conf toggle around bucket-file writes
+_WRITE_CONF_LOCK = threading.Lock()
 
 
 def _partition_preimages(spark: SparkSession, n: int) -> list[int]:
@@ -392,17 +396,22 @@ class SnapshotTable:
         # dead-letter read-modify-write path).
         conf = self.spark.conf
         coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-        prev = conf.get(coalesce_key, "true")
-        conf.set(coalesce_key, "false")
-        try:
-            (
-                clustered.select(*data_cols)
-                .sortWithinPartitions(*self.key_cols())
-                .write.mode("overwrite")
-                .parquet(out_abs)
-            )
-        finally:
-            conf.set(coalesce_key, prev)
+        # process-wide lock: the toggle is session-global, so two threads
+        # merging different tables concurrently must not interleave their
+        # set/restore (streaming foreachBatch is sequential, but the library
+        # makes no single-thread assumption)
+        with _WRITE_CONF_LOCK:
+            prev = conf.get(coalesce_key, "true")
+            conf.set(coalesce_key, "false")
+            try:
+                (
+                    clustered.select(*data_cols)
+                    .sortWithinPartitions(*self.key_cols())
+                    .write.mode("overwrite")
+                    .parquet(out_abs)
+                )
+            finally:
+                conf.set(coalesce_key, prev)
         files: dict[str, list[str]] = {}
         for fn in os.listdir(out_abs):
             if not fn.endswith(".parquet") or not fn.startswith("part-"):
