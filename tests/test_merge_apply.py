@@ -317,6 +317,42 @@ def test_history_lists_versions(spark, small_log, tmp_path):
     assert table.read(version=1).count() == table.read(version=2).count()
 
 
+def test_concurrent_merges_on_two_tables(spark, tmp_path):
+    """Two threads merging DIFFERENT tables concurrently: placement stays
+    exact for both (the session-global AQE toggle is serialized)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(tag):
+        t = create_transcripts_table(spark, str(tmp_path / tag), n_buckets=4)
+        for e in range(3):
+            batch = pd.DataFrame(
+                {
+                    "offset": [e], "partition_id": [0], "op": ["insert"],
+                    "op_seq": [e], "conv_id": [f"{tag}-c{e}"], "turn_idx": [0],
+                    "role": ["user"], "text": [f"{tag}-{e}"], "tool": [None],
+                    "ts": pd.to_datetime(["2024-01-01"]), "schema_ver": [2],
+                }
+            )
+            apply_changes(t, _spark_events(spark, batch), epoch=e)
+        return t
+
+    with ThreadPoolExecutor(2) as pool:
+        ta, tb = pool.map(build, ["ta", "tb"])
+    assert read_final_state(ta).count() == 3
+    assert read_final_state(tb).count() == 3
+    # placement exactness: every row is found by the bucket-pruned read of
+    # its own bucket
+    from nifi_dicom_spark.lake.snapshot_table import _bucket_expr
+
+    for t in (ta, tb):
+        rows = t.read().withColumn("_b", _bucket_expr("conv_id", 4)).collect()
+        for r in rows:
+            pruned = {
+                x["conv_id"] for x in t.read(buckets=[r["_b"]]).collect()
+            }
+            assert r["conv_id"] in pruned
+
+
 def test_table_changes_changelog_view(spark, tmp_path):
     """CDC read side: table_changes(v0→v1) reproduces exactly the
     insert/update/delete set that the applied batch caused."""
