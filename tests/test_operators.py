@@ -337,6 +337,76 @@ def test_simhash_close_for_near_dups(spark):
     assert dist[(1, 2)] < dist[(2, 3)]
 
 
+def test_accession_remap_and_sanitize(spark):
+    """F3: decimal-digit accession remap is deterministic and length-capped;
+    F6: filename sanitize replaces everything outside [a-zA-Z0-9.^]."""
+    from nifi_dicom_spark.operators.deidentify import (
+        remap_accession,
+        sanitize_filename,
+    )
+
+    df = spark.createDataFrame(
+        [("p1", "Doe^Jane", "ACC-001"), ("p2", "Roe^Jon", "ACC-002")],
+        ["pid", "name", "acc"],
+    )
+    out = df.select(
+        "pid",
+        remap_accession("pid", "name", "acc").alias("r"),
+        sanitize_filename(F.lit("a b/c:d.e^f")).alias("s"),
+    ).collect()
+    rows = {r["pid"]: r for r in out}
+    assert all(r["r"].isdigit() and 1 <= len(r["r"]) <= 16 for r in out)
+    assert rows["p1"]["r"] != rows["p2"]["r"]
+    assert rows["p1"]["s"] == "a_b_c_d.e^f"
+    # deterministic across invocations (replay idempotency, F3/F5 contract)
+    again = {r["pid"]: r["r"] for r in df.select(
+        "pid", remap_accession("pid", "name", "acc").alias("r")).collect()}
+    assert again == {p: r["r"] for p, r in rows.items()}
+
+
+def test_session_stats_spans(spark):
+    """Per-session counts and spans (the A6 study-completeness bookkeeping)."""
+    from nifi_dicom_spark.operators.sessionize import session_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 02:00:00"),  # gap > 30 min → new session
+            (2, "2024-01-01 01:00:00"),
+        ],
+        ["user_id", "ts_s"],
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {
+        (r["user_id"], r["session_id"]): r
+        for r in session_stats(df, ["user_id"], "ts", gap_seconds=1800).collect()
+    }
+    assert out[(1, 0)]["n_events"] == 2
+    assert out[(1, 1)]["n_events"] == 1
+    assert out[(2, 0)]["n_events"] == 1
+    assert out[(1, 0)]["session_start"] < out[(1, 0)]["session_end"]
+
+
+def test_minhash_signature_column(spark):
+    """K independent minhashes; near-identical docs share most positions."""
+    from nifi_dicom_spark.functions.dedup_text import minhash_signature
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "entirely different content words")],
+        ["doc_id", "text"],
+    )
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", minhash_signature("text", k=8).alias("s")
+        ).collect()
+    }
+    assert all(len(s) == 8 for s in sigs.values())
+    agree_near = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    agree_far = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree_near > agree_far
+
+
 # --- multimodal plumbing ------------------------------------------------------
 
 
