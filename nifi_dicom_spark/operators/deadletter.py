@@ -126,3 +126,14 @@ def poison(dl: SnapshotTable, max_retries: int) -> DataFrame:
 def retryable(dl: SnapshotTable, max_retries: int) -> DataFrame:
     """Offsets still eligible for the penalize-then-retry loop."""
     return dl.read().filter(F.col("retry_count") < max_retries)
+
+
+def filter_poison(
+    events: DataFrame, dl: SnapshotTable, max_retries: int
+) -> DataFrame:
+    """Drop events whose offsets have exhausted their retries — the guard a
+    retry loop applies before re-feeding the failure queue into the
+    pipeline, so a poison event cannot loop forever (the reference parks it
+    on the failure relationship the same way)."""
+    poisoned = poison(dl, max_retries).select("offset")
+    return events.join(poisoned, on="offset", how="left_anti")

@@ -48,6 +48,8 @@ class CDCPipeline:
     quarantine_dir: str | None = None
     metrics_dir: str | None = None
     max_files_per_trigger: int = 1
+    #: change-log file format: "parquet" or "json" (ndjson wire format)
+    fmt: str = "parquet"
     #: test hook: called (epoch, result) after each successful apply
     on_batch: Callable | None = None
     epochs_applied: list[int] = field(default_factory=list)
@@ -56,7 +58,7 @@ class CDCPipeline:
         from nifi_dicom_spark.sources.changelog import stream_change_log
 
         return stream_change_log(
-            self.spark, self.events_dir, self.max_files_per_trigger
+            self.spark, self.events_dir, self.max_files_per_trigger, self.fmt
         )
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:

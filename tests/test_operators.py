@@ -584,6 +584,11 @@ def test_deadletter_retry_counters(spark, tmp_path):
     assert rows[11]["retry_count"] == 1 and rows[12]["retry_count"] == 1
     assert {r["offset"] for r in poison(dl, max_retries=2).collect()} == {10}
     assert {r["offset"] for r in retryable(dl, max_retries=2).collect()} == {11, 12}
+    # the retry-loop guard drops poison events, keeps the rest
+    from nifi_dicom_spark.operators.deadletter import filter_poison
+
+    requeued = filter_poison(bad_events([10, 11, 12, 99]), dl, max_retries=2)
+    assert {r["offset"] for r in requeued.collect()} == {11, 12, 99}
 
 
 # --- deidentify rules ---------------------------------------------------------
