@@ -1011,6 +1011,22 @@ def test_sessionize_accepts_timestamp_ntz(spark):
     assert quiet.count() == 2
 
 
+def test_connected_groups_long_chain_converges(spark):
+    """ADVICE regression: pointer doubling converges a 512-node chain well
+    inside the default iteration bound (plain min-label propagation would
+    need ~512 rounds and previously returned a WRONG grouping silently)."""
+    import pandas as pd
+
+    from nifi_dicom_spark.operators.merge_context import connected_groups
+
+    n = 512
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": list(range(n - 1)), "dst": list(range(1, n))})
+    )
+    got = {r["node"]: r["component"] for r in connected_groups(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == n
+
+
 def test_session_path_ordered_assembly(spark):
     import __spark_entry__ as E
 
