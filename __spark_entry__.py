@@ -431,10 +431,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN. Deterministic seeded centroids are inlined into the
-    DuckDB oracle, which replays cell assignment, probe selection and
-    ranking — value-checked end-to-end; recall vs brute force is
-    additionally asserted in tests."""
+    """IVF-cell ANN with TRAINED centroids: a deterministic seeded
+    mini-k-means over the 256 lowest-id corpus vectors (exact-replay
+    training — float64, 6-dp-quantized assignment/update), so the DuckDB
+    oracle re-trains identically from the same parquet and inlines the same
+    centroids; cell assignment, probe selection and ranking replay in SQL —
+    value-checked end-to-end; recall vs brute force is additionally
+    asserted in tests (≥0.8 trained)."""
     from nifi_dicom_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -565,7 +568,11 @@ def q_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    enc = docs.withColumn("env", encrypt_payload("payload", "s3cret"))
+    # identity-keyed IV (v3): replay-deterministic without the cross-row
+    # plaintext-equality disclosure of a plaintext-derived IV
+    enc = docs.withColumn(
+        "env", encrypt_payload("payload", "s3cret", identity=F.col("doc_id"))
+    )
     dec = enc.withColumn("plain", decrypt_payload("env", "s3cret"))
     return dec.select(
         "doc_id",
@@ -763,10 +770,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _minhash_oracle(k: int = 8, bands: int = 4, cap: int = 64, thr: float = 0.5) -> str:
     """Full MinHash+LSH pipeline in DuckDB: 3-word shingles → K md5
-    minhashes → md5 band buckets → gated bucket self-join → exact Jaccard."""
+    minhashes (8-hex-char / 32-bit slices of md5(s)‖md5(s‖'#2'), matching
+    ``_minhash_one``) → md5 band buckets → gated bucket self-join → exact
+    Jaccard."""
     rpb = k // bands
     mh = ", ".join(
-        f"list_min(list_transform(shingles, s -> substr(md5(s), {4 * i + 1}, 4)))"
+        "list_min(list_transform(shingles, "
+        f"s -> substr(md5(s) || md5(s || '#2'), {8 * i + 1}, 8)))"
         for i in range(k)
     )
     band_elems = " , ".join(f"mh[{rpb} * band + {r + 1}]" for r in range(rpb))
@@ -928,14 +938,35 @@ def _ann_lsh_oracle(
     """
 
 
+def _trained_ivf_centroids(
+    n_cells: int, sample_n: int = 256, seed: int = 42
+) -> list[list[float]]:
+    """Re-run the exact training the Spark side does, outside Spark: read
+    the same parquet the driver's oracle views point at (sf0.01), take the
+    ``sample_n`` lowest-id vectors, run the same deterministic k-means
+    (``train_centroids`` — float64, 6-dp-quantized, LCG init). Identical
+    inputs + identical pinned arithmetic ⇒ bit-identical centroids."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions.similarity import train_centroids
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    t = t.sort_values("vec_id").head(sample_n)
+    sample = np.array([list(v) for v in t["embedding"]], dtype=np.float64)
+    return train_centroids(sample, n_cells, seed)
+
+
 def _ann_ivf_oracle(
     dim: int = 64, k: int = 5, n_cells: int = 16, n_probe: int = 8, seed: int = 42
 ) -> str:
-    """IVF replayed exactly: seeded centroids inlined; cell = argmax cosine
-    (6-dp rounded, cid tie-break), probe = top n_probe cells."""
-    from nifi_dicom_spark.functions.similarity import _projection_vectors
-
-    cents = _projection_vectors(dim, n_cells, seed + 7)
+    """IVF replayed exactly: TRAINED centroids (same deterministic k-means
+    as the Spark side, re-run from the same parquet) inlined as literals;
+    cell = argmax cosine (6-dp rounded, cid tie-break), probe = top n_probe
+    cells."""
+    cents = _trained_ivf_centroids(n_cells, seed=seed)
     values = ",\n".join(f"({i}, {_vec_lit(c)})" for i, c in enumerate(cents))
     return f"""
         WITH cent(cid, cv) AS (VALUES {values}),

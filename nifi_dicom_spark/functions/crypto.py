@@ -14,12 +14,20 @@ the byte payloads in columnar batches; the cipher runs inside the batch (the
 per-object Java loop).
 
 Determinism deviation, by design: the reference draws a random salt per
-envelope; here the KDF salt is derived from the password alone (per-VALUE
-uniqueness comes from the IV, which is derived from (password, plaintext)
-via HMAC), so encryption is a pure function — replaying an epoch produces
-byte-identical envelopes and the idempotent MERGE stays a no-op (the
-engine-wide determinism rule, SURVEY §7.1.3) — and the deliberately-slow
-PBKDF2 runs once per password, not once per row.
+envelope; here the KDF salt is derived from the password alone and per-VALUE
+uniqueness comes from the IV, so encryption is a pure function — replaying
+an epoch produces byte-identical envelopes and the idempotent MERGE stays a
+no-op (the engine-wide determinism rule, SURVEY §7.1.3) — and the
+deliberately-slow PBKDF2 runs once per password, not once per row.
+
+**IV derivation (v3)**: the IV is ``HMAC(password, identity)`` where
+``identity`` is the row's key (e.g. ``conv_id‖turn_idx``) — still a pure
+function of replayed inputs, so replay stays idempotent, but two rows with
+EQUAL plaintext no longer produce byte-identical envelopes (the v2 scheme
+derived the IV from the plaintext itself, which made the whole column an
+equality oracle: identical envelopes ⇔ identical plaintexts). Calling
+``encrypt_payload`` without an identity column keeps the v2
+plaintext-derived IV for compatibility — documented as equality-disclosing.
 
 The envelope is authenticated: an HMAC-SHA256 tag (truncated to 16 bytes)
 over iv‖ciphertext, keyed by the AES key, is appended. Decrypting with a
@@ -27,27 +35,35 @@ wrong password (or a corrupted envelope) fails the tag check and
 deterministically returns null — without the tag, PKCS7 unpadding passes
 with ~1/256 probability per value and silently returns garbage.
 
-Envelope layout (format v2 — the magic was bumped when the HMAC tag was
-added, so v1 ``NDS1`` envelopes are cleanly detected as foreign rather than
-sliced wrongly and failing the tag check):
-b"NDS2" ‖ salt(16) ‖ iv(16) ‖ AES-256-CBC(PKCS7(plaintext)) ‖ hmac_tag(16).
+Envelope layouts (all decryptable; the magic selects the slice rules):
+
+* ``NDS3`` ‖ salt(16) ‖ iv(16) ‖ AES-256-CBC(PKCS7(pt)) ‖ hmac_tag(16) —
+  identity-derived IV (current format for identity-keyed encryption);
+* ``NDS2`` — same layout, plaintext-derived IV (emitted when no identity is
+  given; also every envelope written by v0.2.x);
+* ``NDS1`` — salt(16) ‖ iv(16) ‖ ct, NO tag (v0.1.0 legacy). Decrypted via
+  an unauthenticated branch so old data stays readable: wrong-password
+  detection degrades to the PKCS7 pad check (~1/256 false-accept), which is
+  exactly the v1 behavior — re-encrypt to upgrade.
 """
 
 from __future__ import annotations
 
 import hashlib
 import hmac
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-MAGIC = b"NDS2"  # v2: authenticated envelopes (v1 "NDS1" had no tag)
+MAGIC_V3 = b"NDS3"  # identity-derived IV (no plaintext-equality disclosure)
+MAGIC_V2 = b"NDS2"  # plaintext-derived IV, authenticated
+MAGIC_V1 = b"NDS1"  # legacy: plaintext-derived IV, UNauthenticated
+MAGIC = MAGIC_V3
+_TAGGED_MAGICS = (MAGIC_V3, MAGIC_V2)
 _ITERATIONS = 10_000  # reference default ballpark; PBKDF2 cost knob
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
@@ -66,57 +82,120 @@ def _column_salt(password: str) -> bytes:
     ]
 
 
-def _encrypt_one(password: str, plaintext: bytes) -> bytes:
+def _encrypt_one(
+    password: str, plaintext: bytes, identity: bytes | None = None
+) -> bytes:
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
     from cryptography.hazmat.primitives.padding import PKCS7
 
     salt = _column_salt(password)
-    # deterministic per-value IV: same (password, plaintext) → same envelope,
-    # so replayed epochs re-encrypt byte-identically (idempotent MERGE)
-    iv = hmac.new(password.encode(), plaintext, hashlib.sha256).digest()[:16]
+    if identity is not None:
+        # v3: IV keyed by ROW IDENTITY — deterministic for replay (same
+        # (password, identity) → same IV) without disclosing cross-row
+        # plaintext equality
+        iv = hmac.new(
+            password.encode(), b"nds3-iv\x00" + identity, hashlib.sha256
+        ).digest()[:16]
+        magic = MAGIC_V3
+    else:
+        # v2 compatibility: IV from the plaintext — byte-identical envelopes
+        # for equal plaintexts (an equality oracle; pass an identity column
+        # to avoid it)
+        iv = hmac.new(password.encode(), plaintext, hashlib.sha256).digest()[:16]
+        magic = MAGIC_V2
     key = _derive_key(password, salt)
     padder = PKCS7(128).padder()
     padded = padder.update(plaintext) + padder.finalize()
     enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
     ct = enc.update(padded) + enc.finalize()
     tag = hmac.new(key, iv + ct, hashlib.sha256).digest()[:16]
-    return MAGIC + salt + iv + ct + tag
+    return magic + salt + iv + ct + tag
 
 
 def _decrypt_one(password: str, envelope: bytes) -> bytes | None:
     from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
     from cryptography.hazmat.primitives.padding import PKCS7
 
-    if envelope is None or not envelope.startswith(MAGIC) or len(envelope) < 52:
+    if envelope is None or len(envelope) < 36:
         return None  # the reference's "detect" path: not an envelope
-    salt, iv = envelope[4:20], envelope[20:36]
-    ct, tag = envelope[36:-16], envelope[-16:]
-    key = _derive_key(password, salt)
-    want = hmac.new(key, iv + ct, hashlib.sha256).digest()[:16]
-    if not hmac.compare_digest(tag, want):
-        return None  # wrong key / corrupt envelope → deterministic null
-    dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
-    try:
-        padded = dec.update(ct) + dec.finalize()
-        unpadder = PKCS7(128).unpadder()
-        return unpadder.update(padded) + unpadder.finalize()
-    except ValueError:
-        return None  # unreachable post-tag-check; kept as defense in depth
+    magic = bytes(envelope[:4])
+    if magic in _TAGGED_MAGICS and len(envelope) >= 52:
+        salt, iv = envelope[4:20], envelope[20:36]
+        ct, tag = envelope[36:-16], envelope[-16:]
+        key = _derive_key(password, salt)
+        want = hmac.new(key, iv + ct, hashlib.sha256).digest()[:16]
+        if not hmac.compare_digest(tag, want):
+            return None  # wrong key / corrupt envelope → deterministic null
+        dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+        try:
+            padded = dec.update(ct) + dec.finalize()
+            unpadder = PKCS7(128).unpadder()
+            return unpadder.update(padded) + unpadder.finalize()
+        except ValueError:
+            return None  # unreachable post-tag-check; defense in depth
+    if magic == MAGIC_V1:
+        # legacy migration branch: v0.1.0 envelopes have no tag — decrypt
+        # unauthenticated (pad-check only) so pre-upgrade data is readable
+        # rather than silently treated as foreign
+        salt, iv, ct = envelope[4:20], envelope[20:36], envelope[36:]
+        if not ct or len(ct) % 16:
+            return None
+        key = _derive_key(password, salt)
+        dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+        try:
+            padded = dec.update(ct) + dec.finalize()
+            unpadder = PKCS7(128).unpadder()
+            return unpadder.update(padded) + unpadder.finalize()
+        except ValueError:
+            return None  # wrong password (1/256 false-accept — v1 semantics)
+    return None  # foreign payload: no known magic
 
 
-def encrypt_payload(col: str | Column, password: str) -> Column:
-    """BinaryType → BinaryType AES envelope (Arrow-batched)."""
+def encrypt_payload(
+    col: str | Column, password: str, identity: str | Column | None = None
+) -> Column:
+    """BinaryType → BinaryType AES envelope (Arrow-batched).
+
+    Pass ``identity`` (any column uniquely identifying the row, e.g.
+    ``F.concat_ws("|", "conv_id", "turn_idx")``) to key the IV by row
+    identity (v3 envelopes — no cross-row plaintext-equality disclosure).
+    Without it, v2 envelopes are emitted (plaintext-derived IV: equal
+    plaintexts ⇒ equal envelopes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if identity is None:
+
+        @F.pandas_udf(T.BinaryType())
+        def _enc(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda p: None if p is None else _encrypt_one(password, bytes(p))
+            )
+
+        return _enc(c)
+
+    ident = (F.col(identity) if isinstance(identity, str) else identity).cast(
+        "string"
+    )
 
     @F.pandas_udf(T.BinaryType())
-    def _enc(s: pd.Series) -> pd.Series:
-        return s.map(lambda p: None if p is None else _encrypt_one(password, bytes(p)))
+    def _enc_id(s: pd.Series, ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if p is None
+                else _encrypt_one(
+                    password, bytes(p), (i if i is not None else "").encode()
+                )
+                for p, i in zip(s, ids)
+            ]
+        )
 
-    return _enc(F.col(col) if isinstance(col, str) else col)
+    return _enc_id(c, ident)
 
 
 def decrypt_payload(col: str | Column, password: str) -> Column:
     """Inverse of :func:`encrypt_payload`; non-envelopes decrypt to null
-    (detect-then-decrypt, ``DecryptReidentifyDICOM.java:147-152``)."""
+    (detect-then-decrypt, ``DecryptReidentifyDICOM.java:147-152``). Accepts
+    v3/v2 (authenticated) and legacy v1 (unauthenticated) envelopes."""
 
     @F.pandas_udf(T.BinaryType())
     def _dec(s: pd.Series) -> pd.Series:
@@ -126,6 +205,10 @@ def decrypt_payload(col: str | Column, password: str) -> Column:
 
 
 def is_envelope(col: str | Column) -> Column:
-    """Cheap JVM-side detect predicate (no Python): magic-prefix check."""
+    """Cheap JVM-side detect predicate (no Python): magic-prefix check
+    across all three envelope generations."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.substring(c, 1, 4) == F.lit(MAGIC)
+    m = F.substring(c, 1, 4)
+    return (
+        (m == F.lit(MAGIC_V3)) | (m == F.lit(MAGIC_V2)) | (m == F.lit(MAGIC_V1))
+    )

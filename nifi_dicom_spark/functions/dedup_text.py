@@ -85,27 +85,43 @@ def _minhash_one(shingles: Column, seed: int, method: str) -> Column:
 
     * ``xxhash64`` (default): JVM-native 64-bit hash, one pass, no string
       materialization — the hot-path choice (~10× cheaper than md5-hex).
-    * ``md5``: the K hashes are 4-hex-char (16-bit) SLICES of ONE md5 digest
-      per shingle — one md5 call however large K is, and trivially
-      reproducible in any SQL engine (``substr(md5(s), 4i+1, 4)``; hex
-      string min == numeric min). 16-bit minhashes tie more often than
-      64-bit ones, which is harmless here: candidates are verified by exact
-      Jaccard downstream. When the caller pre-materializes digests (see
-      ``_candidates_from_shingles``), pass that column as ``shingles`` with
-      ``method="md5_digests"`` to hash each shingle exactly once.
+    * ``md5``: the K hashes are 8-hex-char (32-bit) SLICES of per-shingle
+      md5 digests — hash index i < 4 slices ``md5(s)``, i ≥ 4 slices
+      ``md5(s ‖ '#2')`` (a second digest), so K ≤ 8 costs at most two md5
+      calls per shingle and every slice replays in any SQL engine
+      (``substr(md5(s) || md5(s || '#2'), 8i+1, 8)``; lowercase-hex string
+      min == numeric min). 32-bit slices keep the per-band minima
+      well-distributed — the earlier 16-bit slices collapsed toward 0x0000
+      on large shingle sets, inflating band-bucket collisions that the
+      ``max_bucket_size`` gate then dropped (silent recall loss). API note:
+      ``k`` stays capped at 8 for the md5 method (raises above), as it has
+      since the 16-bit scheme. When the caller pre-materializes digests
+      (see ``_candidates_from_shingles``), pass that column as ``shingles``
+      with ``method="md5_digests"`` to hash each shingle exactly once.
     """
     if method in ("md5", "md5_digests") and seed >= 8:
         raise ValueError(
             f"md5 minhash method supports at most 8 hashes (got index {seed}): "
-            "slicing past the 32-char digest would yield constant '' hashes"
+            "slicing past the two 32-char digests would yield constant '' hashes"
         )
     if method == "md5":
+        if seed < 4:
+            return F.array_min(
+                F.transform(
+                    shingles, lambda s: F.substring(F.md5(s), 8 * seed + 1, 8)
+                )
+            )
         return F.array_min(
-            F.transform(shingles, lambda s: F.substring(F.md5(s), 4 * seed + 1, 4))
+            F.transform(
+                shingles,
+                lambda s: F.substring(
+                    F.md5(F.concat(s, F.lit("#2"))), 8 * (seed - 4) + 1, 8
+                ),
+            )
         )
     if method == "md5_digests":  # `shingles` already holds md5 hex digests
         return F.array_min(
-            F.transform(shingles, lambda d: F.substring(d, 4 * seed + 1, 4))
+            F.transform(shingles, lambda d: F.substring(d, 8 * seed + 1, 8))
         )
     return F.array_min(
         F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
@@ -173,13 +189,19 @@ def _candidates_from_shingles(
 ) -> DataFrame:
     rows_per_band = k // bands
     if method == "md5" and k > 8:
-        # the md5 method derives K hashes as 4-hex-char slices of one 32-char
-        # digest — k > 8 would slice past the digest and yield constant ""
-        # hashes (global band collisions, silent recall loss)
+        # the md5 method derives K hashes as 8-hex-char slices of two 32-char
+        # digests — k > 8 would slice past them and yield constant "" hashes
+        # (global band collisions, silent recall loss)
         raise ValueError(f"md5 minhash method supports k <= 8 (got {k})")
     if method == "md5":
-        # hash each shingle ONCE; the K minhashes are slices of the digest
-        sh_df = sh_df.withColumn("_shd", F.transform(F.col("_sh"), F.md5))
+        # hash each shingle ONCE (twice for k > 4); the K minhashes are
+        # 8-hex-char slices of the concatenated digest string
+        digest = (
+            (lambda s: F.concat(F.md5(s), F.md5(F.concat(s, F.lit("#2")))))
+            if k > 4
+            else F.md5
+        )
+        sh_df = sh_df.withColumn("_shd", F.transform(F.col("_sh"), digest))
         sig = F.array(
             *[_minhash_one(F.col("_shd"), i, "md5_digests") for i in range(k)]
         )

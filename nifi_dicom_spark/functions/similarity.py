@@ -211,6 +211,88 @@ def lsh_bucket_topk(
 # --- IVF ----------------------------------------------------------------------
 
 
+def train_centroids(
+    sample: "np.ndarray",
+    n_cells: int,
+    seed: int = 42,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Deterministic, seeded mini-k-means (spherical Lloyd) over a
+    driver-side sample; returns centroids rounded to 6 dp as plain lists —
+    inline-able as literals into both the Spark plan and the SQL oracle.
+
+    Every step is pinned for exact replay: float64 math; assignment by
+    cosine similarity ROUNDED to 6 dp with ties to the HIGHEST cid (the
+    same quantized-argmax rule the query path uses, so training and serving
+    agree); update = arithmetic mean of the assigned vectors rounded to
+    6 dp; an emptied cell keeps its previous centroid; init = an LCG-seeded
+    choice of distinct sample rows. Rounding at each boundary makes the
+    procedure a pure function of (sample bytes, n_cells, seed, iters) —
+    no BLAS/summation-order sensitivity can leak into the result because
+    differences of ~1e-13 are quantized away at 1e-6.
+
+    At 10^10 vectors this runs on a TABLESAMPLE'd driver-side slice (k-means
+    on a few thousand rows); the expensive part of IVF — assignment of the
+    full corpus — stays distributed in :func:`ivf_topk`.
+    """
+    X = np.asarray(sample, dtype=np.float64)
+    n = X.shape[0]
+    if n < n_cells:
+        raise ValueError(f"need >= n_cells sample vectors ({n} < {n_cells})")
+    # LCG-seeded distinct init rows (deterministic, numpy-version-proof)
+    state = seed & 0x7FFFFFFF or 1
+    chosen: list[int] = []
+    while len(chosen) < n_cells:
+        state = (1103515245 * state + 12345) % (1 << 31)
+        i = state % n
+        if i not in chosen:
+            chosen.append(i)
+    C = np.round(X[chosen], 6)
+    Xn = X / np.where(
+        (norms := np.linalg.norm(X, axis=1, keepdims=True)) == 0, 1.0, norms
+    )
+    prev_assign = None
+    for _ in range(iters):
+        Cn = C / np.where(
+            (cn := np.linalg.norm(C, axis=1, keepdims=True)) == 0, 1.0, cn
+        )
+        sims = np.round(Xn @ Cn.T, 6)  # quantized: summation order can't flip
+        # argmax with ties to the HIGHEST cid (matches cell_of / the oracle)
+        assign = (sims.shape[1] - 1) - np.argmax(sims[:, ::-1], axis=1)
+        if prev_assign is not None and np.array_equal(assign, prev_assign):
+            break
+        prev_assign = assign
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = np.round(members.mean(axis=0), 6)
+    return [[float(v) for v in row] for row in C]
+
+
+def train_centroids_from_corpus(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_n: int = 256,
+    seed: int = 42,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Driver-side training sample = the ``sample_n`` lowest-id vectors
+    (deterministic across runs AND reproducible outside Spark by reading the
+    same parquet — which is how the DuckDB oracle inlines identical trained
+    centroids). At 10^10 rows substitute a seeded TABLESAMPLE; the sort is
+    a top-k (``orderBy.limit``), not a full shuffle."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_n)
+        .collect()
+    )
+    sample = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    return train_centroids(sample, n_cells, seed, iters)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -221,21 +303,33 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    train_sample: int = 256,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into ``n_cells`` Voronoi cells
-    around deterministic centroids; each query searches only its ``n_probe``
+    around trained centroids; each query searches only its ``n_probe``
     closest cells.
 
-    Centroids are seeded pseudo-random hypervectors (no training pass — at
-    10^9+ vectors a k-means refinement job would precede this, but cell
-    assignment/probe mechanics are identical). Scale shape: corpus is
+    Centroids default to a deterministic seeded mini-k-means over the
+    ``train_sample`` lowest-id corpus vectors
+    (:func:`train_centroids_from_corpus` — exact-replay training, so the
+    DuckDB oracle inlines the identical centroids); pass ``centroids`` to
+    reuse a trained set, or ``train_sample=0`` for the untrained seeded
+    hypervectors (cheap, markedly lower recall). Scale shape: corpus is
     assigned once (narrow map), shuffle key is ``cell``; queries broadcast
     with their probe lists. Recall < 1 by construction — verified against
-    ``brute_force_topk`` in tests.
+    ``brute_force_topk`` in tests (bar: ≥0.8 trained).
     """
     from pyspark.sql import Window
 
-    cents = _projection_vectors(dim, n_cells, seed + 7)
+    if centroids is not None:
+        cents = centroids
+    elif train_sample > 0:
+        cents = train_centroids_from_corpus(
+            corpus, id_col, vec_col, n_cells, train_sample, seed
+        )
+    else:
+        cents = _projection_vectors(dim, n_cells, seed + 7)
     # see lsh_bucket_topk: partition the corpus by count before heavy per-row
     # centroid scoring
     corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)

@@ -1,3 +1,27 @@
-from nifi_dicom_spark.lake.snapshot_table import SnapshotTable, CommitConflict
+from nifi_dicom_spark.lake.commit import (
+    CommitBackend,
+    CommitConflict,
+    ConditionalPutCommitBackend,
+    InMemoryKVStore,
+    KVStore,
+    PosixCommitBackend,
+    TableNotFoundError,
+)
+from nifi_dicom_spark.lake.snapshot_table import (
+    LedgerRegression,
+    SnapshotTable,
+    VersionVacuumedError,
+)
 
-__all__ = ["SnapshotTable", "CommitConflict"]
+__all__ = [
+    "CommitBackend",
+    "CommitConflict",
+    "ConditionalPutCommitBackend",
+    "InMemoryKVStore",
+    "KVStore",
+    "LedgerRegression",
+    "PosixCommitBackend",
+    "SnapshotTable",
+    "TableNotFoundError",
+    "VersionVacuumedError",
+]

@@ -6,10 +6,13 @@ properties the reference gets from its embedded SQL engine — HSQLDB/Derby
 ``MERGE INTO`` at ``DeidentificationController.java:108-123`` and
 insert-if-absent at ``DatabaseInformationModel.java:805-892``):
 
-1. **Snapshot isolation + time travel.** Every commit writes an immutable
-   manifest ``meta/v{N}.json`` listing the data files of that version; readers
-   pin a manifest, writers CAS the ``meta/CURRENT`` pointer. Readers never see
-   partial commits.
+1. **Snapshot isolation + time travel.** Every commit publishes an immutable
+   manifest ``v{N}.json`` listing the data files of that version; readers pin
+   a manifest, writers race an atomic publish through a pluggable
+   :class:`~nifi_dicom_spark.lake.commit.CommitBackend` (POSIX
+   ``O_EXCL``+rename by default; a conditional-put backend for object
+   stores — see ``commit.py`` for the contract). Readers never see partial
+   commits.
 2. **MERGE semantics.** ``merge()`` implements
    ``WHEN MATCHED [AND op='delete'] THEN DELETE / UPDATE, WHEN NOT MATCHED
    THEN INSERT`` via copy-on-write of only the *touched* key-buckets.
@@ -51,6 +54,7 @@ import os
 import shutil
 import threading
 import uuid
+import warnings
 from dataclasses import dataclass
 from typing import Any
 
@@ -58,11 +62,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nifi_dicom_spark.lake.commit import (  # noqa: F401  (CommitConflict re-export)
+    CommitBackend,
+    CommitConflict,
+    PosixCommitBackend,
+)
 from nifi_dicom_spark.operators.reconcile import conform_to_schema, evolve_schema
 
 
-class CommitConflict(RuntimeError):
-    """Another writer committed this version first (optimistic concurrency)."""
+class VersionVacuumedError(RuntimeError):
+    """The requested version's data files were removed by ``vacuum()``."""
+
+
+class LedgerRegression(RuntimeError):
+    """A commit key arrived below its partition's high-watermark while the
+    ledger is in strict mode (``on_replayed='error'``)."""
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -133,11 +147,15 @@ def _partition_preimages(spark: SparkSession, n: int) -> list[int]:
 class SnapshotTable:
     """Versioned, bucketed parquet table with MERGE + idempotent commits."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, backend: CommitBackend | None = None
+    ):
         self.spark = spark
         self.path = path
         self.meta_dir = os.path.join(path, "meta")
         self.data_dir = os.path.join(path, "data")
+        #: atomic manifest publication — all versioning/OCC goes through it
+        self.backend: CommitBackend = backend or PosixCommitBackend(self.meta_dir)
 
     # ------------------------------------------------------------------ DDL
 
@@ -150,9 +168,10 @@ class SnapshotTable:
         key_cols: list[str],
         n_buckets: int = 16,
         props: dict[str, Any] | None = None,
+        backend: CommitBackend | None = None,
     ) -> "SnapshotTable":
-        t = cls(spark, path)
-        os.makedirs(t.meta_dir, exist_ok=False)
+        t = cls(spark, path, backend)
+        t.backend.initialize()
         os.makedirs(t.data_dir, exist_ok=True)
         manifest = {
             "version": 0,
@@ -167,96 +186,36 @@ class SnapshotTable:
             "props": props or {},
             "summary": {"operation": "create"},
         }
-        t._write_manifest(manifest)
+        t._try_commit(manifest)
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "SnapshotTable":
-        t = cls(spark, path)
+    def load(
+        cls, spark: SparkSession, path: str, backend: CommitBackend | None = None
+    ) -> "SnapshotTable":
+        t = cls(spark, path, backend)
         t.current_version()  # validates existence
-        # same age guard as the commit path: a reader loading while a writer
-        # is between _write_manifest and the CURRENT flip must not delete the
-        # writer's fresh manifest (that would wedge the table permanently)
-        t._repair_orphans(min_age_s=10.0)
+        # backend-owned recovery of partially-committed state (POSIX: orphan
+        # manifests from a writer that died mid-flip; conditional-put: no-op
+        # — the put is the commit, nothing partial can exist)
+        t.backend.repair()
         return t
-
-    def _repair_orphans(self, min_age_s: float = 0.0) -> int:
-        """Remove manifest files ahead of CURRENT.
-
-        A writer that dies between creating ``v{N}.json`` and flipping
-        ``CURRENT`` leaves an orphan that would make every future commit of
-        version N fail its O_EXCL create (a permanently wedged table). At
-        ``load()`` time (no writer active — the table is single-writer: one
-        streaming query owns the sink) any manifest beyond CURRENT is
-        known-dead. In the commit path an age guard (``min_age_s``) protects
-        a hypothetical concurrent writer mid-flip from losing its fresh
-        manifest. Returns the number of orphans removed."""
-        import time
-
-        cur = self.current_version()
-        removed = 0
-        now = time.time()
-        for fn in os.listdir(self.meta_dir):
-            if fn.startswith("v") and fn.endswith(".json"):
-                try:
-                    v = int(fn[1:-5])
-                except ValueError:
-                    continue
-                if v > cur:
-                    p = os.path.join(self.meta_dir, fn)
-                    try:
-                        if now - os.path.getmtime(p) < min_age_s:
-                            continue
-                        os.unlink(p)
-                        removed += 1
-                    except FileNotFoundError:
-                        pass
-        return removed
 
     # ------------------------------------------------------------- manifests
 
     def current_version(self) -> int:
-        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
-            return int(f.read().strip())
+        return self.backend.current_version()
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            return json.load(f)
-
-    def _write_manifest(self, manifest: dict) -> None:
-        v = manifest["version"]
-        mpath = os.path.join(self.meta_dir, f"v{v}.json")
-        # O_EXCL: single winner per version → optimistic concurrency control
-        fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
-        except Exception:
-            os.unlink(mpath)
-            raise
-        tmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(self.meta_dir, "CURRENT"))
+        return json.loads(self.backend.load_manifest(v).decode())
 
     def _try_commit(self, manifest: dict) -> None:
-        try:
-            self._write_manifest(manifest)
-        except FileExistsError as e:
-            # an orphan from a crashed writer (manifest written, CURRENT not
-            # flipped) is repaired and the commit retried once; a real
-            # concurrent commit will have advanced CURRENT and still conflict.
-            # The age guard keeps a mid-flip concurrent writer's manifest safe.
-            if self._repair_orphans(min_age_s=10.0):
-                try:
-                    self._write_manifest(manifest)
-                    return
-                except FileExistsError:
-                    pass
+        payload = json.dumps(manifest).encode()
+        if not self.backend.try_commit(int(manifest["version"]), payload):
             raise CommitConflict(
                 f"version {manifest['version']} already committed"
-            ) from e
+            )
 
     # ---------------------------------------------------------------- schema
 
@@ -324,7 +283,13 @@ class SnapshotTable:
         (schema-evolution read path). If merge-on-read delta files exist for
         the requested buckets, base∪delta is LWW-reduced by the key columns
         (exact: the reduce is associative) unless ``dedup=False`` (raw
-        physical rows, for diagnostics)."""
+        physical rows, for diagnostics). Time travel below
+        :meth:`min_retained_version` raises :class:`VersionVacuumedError`."""
+        if version is not None and version < (min_ret := self.min_retained_version()):
+            raise VersionVacuumedError(
+                f"version {version} was vacuumed (oldest retained: {min_ret}); "
+                "its data files no longer exist"
+            )
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         base = self._paths(m, buckets, "files")
@@ -384,7 +349,8 @@ class SnapshotTable:
             clustered = df.withColumn(
                 "_pk", mapping[F.col("_bucket")].cast("long")
             ).repartition(n_buckets, "_pk")
-        # AQE partition coalescing MUST be off for this job: if the source
+        wdf = clustered.select(*data_cols).sortWithinPartitions(*self.key_cols())
+        # AQE partition coalescing MUST NOT fire on this write: if the source
         # plan already carries an ENSURE_REQUIREMENTS exchange hash-
         # partitioned on the key with numPartitions == n_buckets (e.g. an
         # upstream join on the key while shuffle.partitions == n_buckets),
@@ -394,24 +360,26 @@ class SnapshotTable:
         # partition-index == bucket-id invariant (rows of several buckets
         # in one file → silent misplacement; regression-tested via the
         # dead-letter read-modify-write path).
-        conf = self.spark.conf
-        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-        # process-wide lock: the toggle is session-global, so two threads
-        # merging different tables concurrently must not interleave their
-        # set/restore (streaming foreachBatch is sequential, but the library
-        # makes no single-thread assumption)
-        with _WRITE_CONF_LOCK:
-            prev = conf.get(coalesce_key, "true")
-            conf.set(coalesce_key, "false")
-            try:
-                (
-                    clustered.select(*data_cols)
-                    .sortWithinPartitions(*self.key_cols())
-                    .write.mode("overwrite")
-                    .parquet(out_abs)
-                )
-            finally:
-                conf.set(coalesce_key, prev)
+        #
+        # Scoping: AQE never coalesces a REPARTITION_BY_NUM shuffle, so when
+        # the physical plan still contains ours (the overwhelmingly common
+        # case) the write needs NO conf change at all. Only when the explicit
+        # repartition was elided (or the plan can't be inspected) does the
+        # session-global toggle run — under a process-wide lock so concurrent
+        # writers can't interleave their set/restore, and only for the
+        # duration of this rare write.
+        if self._plan_coalesce_safe(wdf):
+            wdf.write.mode("overwrite").parquet(out_abs)
+        else:
+            conf = self.spark.conf
+            coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+            with _WRITE_CONF_LOCK:
+                prev = conf.get(coalesce_key, "true")
+                conf.set(coalesce_key, "false")
+                try:
+                    wdf.write.mode("overwrite").parquet(out_abs)
+                finally:
+                    conf.set(coalesce_key, prev)
         files: dict[str, list[str]] = {}
         for fn in os.listdir(out_abs):
             if not fn.endswith(".parquet") or not fn.startswith("part-"):
@@ -419,6 +387,25 @@ class SnapshotTable:
             b = str(int(fn.split("-")[1]))
             files.setdefault(b, []).append(os.path.join(out_rel, fn))
         return {b: sorted(v) for b, v in files.items()}
+
+    def _plan_coalesce_safe(self, df: DataFrame) -> bool:
+        """True when the write needs no AQE-coalescing toggle: coalescing is
+        globally off, or the plan's top exchange is still our explicit
+        ``REPARTITION_BY_NUM`` (a shuffle origin AQE never coalesces).
+        Conservative on any inspection failure (False → use the toggle)."""
+        try:
+            conf = self.spark.conf
+            if conf.get("spark.sql.adaptive.enabled", "true") != "true":
+                return True
+            if (
+                conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+                != "true"
+            ):
+                return True
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return "REPARTITION_BY_NUM" in plan
+        except Exception:
+            return False
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the full table contents (initial snapshot load)."""
@@ -460,6 +447,7 @@ class SnapshotTable:
         assert_unique_source: bool = False,
         touched_buckets: list[int] | None = None,
         mode: str | None = None,
+        on_replayed: str | None = None,
     ) -> MergeStats:
         """MERGE INTO this table USING ``source`` ON the key columns.
 
@@ -492,6 +480,17 @@ class SnapshotTable:
         epoch is a no-op); advancing keys are recorded in the same atomic
         manifest commit as the data. The ledger is O(partitions) forever.
 
+        ``on_replayed`` controls what a commit key at-or-below its
+        partition's high-watermark means (default ``"skip"``, overridable
+        per-table via ``props["on_replayed"]``). Under the single-writer
+        streaming contract such a key is a crash-replay of an already-applied
+        epoch and skipping it IS the exactly-once guarantee — but the same
+        signature also matches real faults (checkpoint reset, backfill
+        against a live table, a second writer violating the contract), where
+        a silent skip is silent data loss. ``"warn"`` logs each regression;
+        ``"error"`` raises :class:`LedgerRegression` (strict mode for
+        backfill jobs that must never race a live stream).
+
         ``mode`` (``versioned_upsert`` only): ``"mor"`` (default) appends
         per-bucket delta files — epoch cost ∝ change set, reads LWW-merge
         base∪deltas, :meth:`compact` (auto-triggered past
@@ -516,6 +515,27 @@ class SnapshotTable:
                 if int(k[0]) > hw.get(str(int(k[1])), -(10**18))
             ]
             skipped = len(commit_keys) - len(fresh)
+            if skipped:
+                policy_on_replayed = on_replayed or (m.get("props") or {}).get(
+                    "on_replayed", "skip"
+                )
+                if policy_on_replayed != "skip":
+                    replayed = [
+                        (int(k[0]), int(k[1]))
+                        for k in commit_keys
+                        if int(k[0]) <= hw.get(str(int(k[1])), -(10**18))
+                    ]
+                    msg = (
+                        f"{len(replayed)} commit key(s) at/below their "
+                        f"partition high-watermark (first: epoch={replayed[0][0]} "
+                        f"partition={replayed[0][1]} hw="
+                        f"{hw.get(str(replayed[0][1]))}) — crash-replay if the "
+                        "single-writer contract holds; otherwise silent loss "
+                        "(checkpoint reset / backfill / second writer)"
+                    )
+                    if policy_on_replayed == "error":
+                        raise LedgerRegression(msg)
+                    warnings.warn(msg, stacklevel=2)
             if not fresh:
                 return MergeStats(
                     m["version"], 0, skipped, applied=False, mode=effective_mode
@@ -749,16 +769,20 @@ class SnapshotTable:
         """Version history oldest→newest: one row per manifest with the
         operation summary, file/delta counts and ledger watermarks (the
         time-travel index; any listed version can be passed to
-        :meth:`read`/:meth:`manifest`)."""
+        :meth:`read`/:meth:`manifest`). Rows below the vacuum watermark are
+        flagged ``vacuumed`` — their manifests remain readable but their
+        data files are gone (``read`` raises for them)."""
         out = []
+        min_retained = self.min_retained_version()
         for v in range(self.current_version() + 1):
             try:
                 m = self.manifest(v)
             except FileNotFoundError:
-                continue  # vacuumed / pre-repair gap
+                continue  # pre-repair gap
             out.append(
                 {
                     "version": v,
+                    "vacuumed": v < min_retained,
                     "parent": m.get("parent"),
                     "operation": m.get("summary", {}).get("operation"),
                     "policy": m.get("summary", {}).get("policy"),
@@ -774,11 +798,28 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ maintenance
 
+    def min_retained_version(self) -> int:
+        """Oldest version whose data files are guaranteed present (0 if
+        ``vacuum`` never ran). Maintained as a monotonic vacuum record so
+        time-travel reads of vacuumed versions fail CLOSED with
+        :class:`VersionVacuumedError` instead of a mid-scan
+        FileNotFoundException on a missing parquet."""
+        blob = self.backend.get_blob("VACUUM.json")
+        return int(json.loads(blob.decode())["min_retained_version"]) if blob else 0
+
     def vacuum(self, keep_versions: int = 2) -> int:
         """Delete data files unreferenced by the newest ``keep_versions``
-        manifests. Returns number of files removed."""
+        manifests; records the new ``min_retained_version`` atomically-enough
+        (blob written BEFORE any file deletion, so a crash mid-vacuum can
+        only over-claim — reads of a half-vacuumed version raise rather than
+        crash). Returns number of files removed."""
         cur = self.current_version()
-        keep = range(max(0, cur - keep_versions + 1), cur + 1)
+        min_retained = max(self.min_retained_version(), cur - keep_versions + 1, 0)
+        self.backend.put_blob(
+            "VACUUM.json",
+            json.dumps({"min_retained_version": min_retained}).encode(),
+        )
+        keep = range(min_retained, cur + 1)
         referenced: set[str] = set()
         for v in keep:
             mf = self.manifest(v)

@@ -120,7 +120,14 @@ def apply_changes(
         bad = route_events(events)[1] if (
             dead_letter is not None or quarantine_dir is not None
         ) else None
-        if dead_letter is not None and epoch is not None:
+        if dead_letter is not None:
+            if epoch is None:
+                # the retry ledger is keyed by epoch — a batch caller asking
+                # for DLQ bookkeeping without one would silently get nothing
+                raise ValueError(
+                    "dead_letter requires an epoch (the retry ledger's "
+                    "idempotency key); pass epoch=<n> or drop dead_letter"
+                )
             # T7: penalize-then-retry bookkeeping (idempotent per epoch)
             from nifi_dicom_spark.operators.deadletter import record_quarantine
 

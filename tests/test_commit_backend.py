@@ -1,0 +1,305 @@
+"""Commit-protocol tests: the pluggable CommitBackend contract, two-writer
+fault injection (one killed mid-flip), object-store (conditional-put)
+semantics, the vacuum time-travel guard and the ledger strict mode.
+
+Reference behavior being replaced: embedded Derby's transactional MERGE
+store gave the reference atomic commits for free
+(``DeidentificationController.java:93-123``); at the engine's 100-TB target
+the table lives on an object store, so atomicity must come from the
+conditional-put contract these tests pin down."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pandas as pd
+import pytest
+
+from nifi_dicom_spark.fixtures.generator import GeneratorConfig, generate_change_events
+from nifi_dicom_spark.fixtures.oracle import assert_final_state_equal, replay_oracle
+from nifi_dicom_spark.lake import (
+    CommitConflict,
+    ConditionalPutCommitBackend,
+    InMemoryKVStore,
+    LedgerRegression,
+    PosixCommitBackend,
+    VersionVacuumedError,
+)
+from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+from nifi_dicom_spark.operators.apply import (
+    apply_changes,
+    create_transcripts_table,
+    read_final_state,
+)
+
+
+def _spark_events(spark, pdf: pd.DataFrame):
+    return spark.createDataFrame(pdf, schema=CHANGE_EVENTS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def tiny_log():
+    cfg = GeneratorConfig(
+        seed=23, n_conversations=12, max_turns=5, n_events=400,
+        duplicate_ratio=0.1, late_ratio=0.1, malformed_ratio=0.0,
+    )
+    return generate_change_events(cfg)
+
+
+# --------------------------------------------------------------- POSIX races
+
+
+def test_posix_two_writer_race_single_winner(tmp_path):
+    be = PosixCommitBackend(str(tmp_path / "meta"))
+    be.initialize()
+    assert be.try_commit(0, b'{"version": 0}')
+    wins = []
+    barrier = threading.Barrier(2)
+
+    def writer(tag: bytes):
+        barrier.wait()
+        if be.try_commit(1, b'{"version": 1, "by": "' + tag + b'"}'):
+            wins.append(tag)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in (b"a", b"b")]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(wins) == 1  # exactly one winner per version
+    assert be.current_version() == 1
+    assert wins[0] in be.load_manifest(1)
+
+
+def test_posix_writer_killed_mid_flip_then_second_writer(tmp_path):
+    """Fault injection: writer A creates v1.json but dies BEFORE flipping
+    CURRENT (the two-step protocol's only crash window). Writer B must
+    repair the aged orphan and win version 1 with ITS manifest."""
+    be = PosixCommitBackend(str(tmp_path / "meta"))
+    be.initialize()
+    assert be.try_commit(0, b'{"version": 0}')
+    # what a dead writer leaves behind: the O_EXCL-created manifest, no flip
+    orphan = os.path.join(be.meta_dir, "v1.json")
+    fd = os.open(orphan, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, b'{"version": 1, "by": "dead-writer"}')
+    os.close(fd)
+    os.utime(orphan, (1, 1))  # older than the age guard
+    assert be.current_version() == 0  # the dead writer published nothing
+    assert be.try_commit(1, b'{"version": 1, "by": "writer-b"}')
+    assert be.current_version() == 1
+    assert b"writer-b" in be.load_manifest(1)
+
+
+def test_posix_fresh_orphan_is_protected_by_age_guard(tmp_path):
+    """A manifest younger than the age guard may belong to a LIVE writer
+    mid-flip — a competing commit must lose rather than destroy it."""
+    be = PosixCommitBackend(str(tmp_path / "meta"), orphan_age_s=3600)
+    be.initialize()
+    assert be.try_commit(0, b'{"version": 0}')
+    fd = os.open(os.path.join(be.meta_dir, "v1.json"), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, b'{"version": 1, "by": "live-writer"}')
+    os.close(fd)  # fresh mtime
+    assert not be.try_commit(1, b'{"version": 1, "by": "intruder"}')
+    assert b"live-writer" in be.load_manifest(1)
+
+
+# ----------------------------------------------------- conditional-put store
+
+
+class _DiesAfterPut(InMemoryKVStore):
+    """Fault injector: the process 'dies' immediately after the conditional
+    put lands (network op done, ack never processed) — the object-store
+    analog of being killed mid-flip."""
+
+    def __init__(self):
+        super().__init__()
+        self.kill_next = False
+
+    def put_if_absent(self, key: str, payload: bytes) -> bool:
+        won = super().put_if_absent(key, payload)
+        if won and self.kill_next:
+            self.kill_next = False
+            raise RuntimeError("simulated writer death after put")
+        return won
+
+
+def test_conditional_put_no_partial_state_after_death():
+    """Unlike POSIX, the conditional-put commit is ONE atomic op: a writer
+    dying 'mid-commit' has either published a complete manifest or nothing.
+    The surviving writer observes exactly one of those two worlds."""
+    kv = _DiesAfterPut()
+    be = ConditionalPutCommitBackend(kv, prefix="t1/")
+    be.initialize()
+    assert be.try_commit(0, b'{"version": 0}')
+    kv.kill_next = True
+    with pytest.raises(RuntimeError, match="simulated writer death"):
+        be.try_commit(1, b'{"version": 1, "by": "dead-writer"}')
+    # writer B: the dead writer's commit is COMPLETE (put landed) — B loses
+    # version 1, reads the intact manifest, and proceeds to version 2
+    assert be.current_version() == 1
+    assert not be.try_commit(1, b'{"version": 1, "by": "writer-b"}')
+    assert json.loads(be.load_manifest(1))["by"] == "dead-writer"
+    assert be.repair() == 0  # nothing partial can exist, by construction
+    assert be.try_commit(2, b'{"version": 2, "by": "writer-b"}')
+    assert be.current_version() == 2
+
+
+def test_conditional_put_interleaved_writers_one_winner_per_version():
+    kv = InMemoryKVStore()
+    be = ConditionalPutCommitBackend(kv, prefix="t2/")
+    be.initialize()
+    assert be.try_commit(0, b"{}")
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def writer(tag: str):
+        barrier.wait()
+        v = be.current_version() + 1
+        won = be.try_commit(v, json.dumps({"by": tag}).encode())
+        if not won:  # lost the race → retry at the next version (OCC loop)
+            won = be.try_commit(v + 1, json.dumps({"by": tag}).encode())
+            v = v + 1
+        results[tag] = (v, won)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert all(won for _, won in results.values())
+    assert results["a"][0] != results["b"][0]  # serialized into distinct versions
+    assert be.current_version() == max(v for v, _ in results.values())
+
+
+def test_snapshot_table_full_cdc_flow_on_conditional_put_backend(
+    spark, tiny_log, tmp_path
+):
+    """The MoR merge path must be byte-identical across backends: full CDC
+    replay (multi-epoch, idempotent replay, compaction) against the
+    object-store backend, final state vs the pandas oracle."""
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from nifi_dicom_spark.model import KEY_COLUMNS
+    from nifi_dicom_spark.operators.apply import STORED_COLUMNS
+
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in CHANGE_EVENTS_SCHEMA.fields}
+    stored = T.StructType([by_name[c] for c in STORED_COLUMNS])
+    kv = InMemoryKVStore()
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), stored, key_cols=KEY_COLUMNS, n_buckets=16,
+        backend=ConditionalPutCommitBackend(kv, prefix="transcripts/"),
+    )
+    half = len(tiny_log) // 2
+    r0 = apply_changes(table, _spark_events(spark, tiny_log.iloc[:half]), epoch=0)
+    r1 = apply_changes(table, _spark_events(spark, tiny_log.iloc[half:]), epoch=1)
+    assert r0.merge.applied and r1.merge.applied and r1.merge.mode == "mor"
+    # replayed epoch is an idempotent no-op through the same ledger
+    r0b = apply_changes(table, _spark_events(spark, tiny_log.iloc[:half]), epoch=0)
+    assert not r0b.merge.applied and r0b.merge.skipped_commit_keys > 0
+    table.compact()
+    assert_final_state_equal(
+        read_final_state(table).toPandas(), replay_oracle(tiny_log)
+    )
+    # reload through the backend and the version history is intact
+    t2 = SnapshotTable.load(
+        spark, str(tmp_path / "t"),
+        backend=ConditionalPutCommitBackend(kv, prefix="transcripts/"),
+    )
+    ops = [h["operation"] for h in t2.history()]
+    assert ops[0] == "create" and "merge" in ops
+
+
+def test_commit_conflict_surfaces_from_snapshot_table(spark, tmp_path):
+    """A lost race at the table level raises CommitConflict (caller retries
+    on a fresh manifest) — no silent overwrite."""
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["k"], n_buckets=4
+    )
+    # another writer steals the next version; committing it again conflicts
+    m = table.manifest()
+    stolen = dict(m, version=m["version"] + 1, parent=m["version"])
+    table._try_commit(stolen)
+    with pytest.raises(CommitConflict):
+        table._try_commit(stolen)
+
+
+# ------------------------------------------------------------- vacuum guard
+
+
+def test_vacuum_guard_and_history_flags(spark, tiny_log, tmp_path):
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=8)
+    third = len(tiny_log) // 3
+    apply_changes(table, _spark_events(spark, tiny_log.iloc[:third]), epoch=0)
+    apply_changes(table, _spark_events(spark, tiny_log.iloc[third: 2 * third]), epoch=1)
+    apply_changes(table, _spark_events(spark, tiny_log.iloc[2 * third:]), epoch=2)
+    cur = table.current_version()
+    assert cur >= 3
+    removed = table.vacuum(keep_versions=2)
+    assert removed > 0
+    min_ret = table.min_retained_version()
+    assert min_ret == cur - 1
+    # vacuumed version: clear checked error, not a mid-scan crash
+    with pytest.raises(VersionVacuumedError, match="vacuumed"):
+        table.read(version=min_ret - 1)
+    # retained versions still read; current unaffected
+    assert table.read(version=cur).count() == table.read().count()
+    hist = table.history()
+    assert [h["vacuumed"] for h in hist] == [h["version"] < min_ret for h in hist]
+    # table_changes: retained→current works, vacuumed base raises
+    from nifi_dicom_spark.operators.diff import table_changes
+
+    assert table_changes(table, from_version=min_ret).count() >= 0
+    with pytest.raises(VersionVacuumedError):
+        table_changes(table, from_version=min_ret - 1).count()
+    # vacuum is monotonic: a later vacuum never lowers the watermark
+    table.vacuum(keep_versions=10_000)
+    assert table.min_retained_version() == min_ret
+
+
+# ------------------------------------------------------------ ledger strict
+
+
+def test_ledger_replay_modes(spark, tiny_log, tmp_path):
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=8)
+    ev = _spark_events(spark, tiny_log)
+    apply_changes(table, ev, epoch=5)
+    from nifi_dicom_spark.operators.apply import STORED_COLUMNS
+    from nifi_dicom_spark.operators.routing import route_events
+
+    src = route_events(ev)[0].select(*STORED_COLUMNS)
+    pids = [int(p) for p in tiny_log["partition_id"].unique()]
+    # default: silent skip (the exactly-once replay contract)
+    stats = table.merge(
+        src, policy="versioned_upsert", commit_keys=[(5, pids[0])]
+    )
+    assert not stats.applied and stats.skipped_commit_keys == 1
+    # warn mode: same outcome, loud
+    with pytest.warns(UserWarning, match="high-watermark"):
+        stats = table.merge(
+            src, policy="versioned_upsert",
+            commit_keys=[(4, pids[0])], on_replayed="warn",
+        )
+    assert not stats.applied
+    # strict mode: an out-of-order epoch is an error, not silent loss
+    with pytest.raises(LedgerRegression, match="high-watermark"):
+        table.merge(
+            src, policy="versioned_upsert",
+            commit_keys=[(3, pids[0])], on_replayed="error",
+        )
+
+
+def test_apply_changes_dead_letter_requires_epoch(spark, tiny_log, tmp_path):
+    from nifi_dicom_spark.operators.deadletter import create_deadletter
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=8)
+    dl = create_deadletter(spark, str(tmp_path / "dl"))
+    with pytest.raises(ValueError, match="dead_letter requires an epoch"):
+        apply_changes(
+            table, _spark_events(spark, tiny_log), epoch=None, dead_letter=dl
+        )
