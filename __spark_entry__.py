@@ -9,14 +9,26 @@ summation-order differences.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _oracle_sf_dir() -> str:
+    """The sf dir the DRIVER's DuckDB oracle views point at (its
+    correctness gate runs at sf0.01). Data-dependent oracles (trained IVF
+    centroids, the PNG expected-rows table) re-derive their literals from
+    these parquet files; ORACLE_SF_DIR lets the local test harness pin both
+    sides to the same smaller scale. Read at call time so the harness can
+    set it before invoking ``oracle_sql()``."""
+    return os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 # ---------------------------------------------------------------------------
@@ -474,6 +486,96 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_rgb(doc_id: int, w: int, h: int):
+    """Deterministic test-pattern image shared by the Spark query and the
+    oracle generator: pixel[y,x,c] = (7·id + 13·y + 5·x + 17·c) mod 256."""
+    import numpy as np
+
+    y, x, c = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+    )
+    return ((7 * doc_id + 13 * y + 5 * x + 17 * c) % 256).astype(np.uint8)
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 13 + 2, doc_id % 11 + 2
+
+
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode through the multimodal path: a deterministic RGB
+    test pattern per doc is encoded with the from-scratch PNG encoder
+    (stdlib zlib, filter 0) inside an Arrow batch, then the standard
+    ``extract_features`` kernel decodes it (zlib inflate + filter reversal)
+    — decoded width/height, the grayscale band feature and the exact
+    container size are value-checked against a Python-replayed oracle."""
+    from nifi_dicom_spark.functions.multimodal import extract_features
+
+    @F.pandas_udf("binary")
+    def make_png(ids: pd.Series) -> pd.Series:
+        from nifi_dicom_spark.functions.codecs import encode_png
+
+        out = []
+        for i in ids:
+            w, h = _png_dims(int(i))
+            out.append(encode_png(_synth_rgb(int(i), w, h)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        make_png("doc_id").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+        )
+        .alias("meta"),
+    )
+    feats = extract_features(media, dim=4)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("band0"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def _png_decode_oracle() -> str:
+    """Replay the synthesize→encode→decode pipeline in Python with the same
+    codec functions over the same doc_ids (sf0.01 parquet — the tables the
+    driver's oracle views point at) and inline the expected rows."""
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions.codecs import (
+        decode_png,
+        encode_png,
+        image_block_features,
+    )
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for i in ids:
+        w, h = _png_dims(int(i))
+        img = _synth_rgb(int(i), w, h)
+        payload = encode_png(img)
+        decoded = decode_png(payload)  # lossless: identical to img
+        band0 = float(image_block_features(decoded, 4)[0])
+        rows.append(f"({int(i)}, {w}, {h}, {band0!r}, {len(payload)})")
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               round(band0, 6) AS band0, CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES {values}) AS t(media_id, width, height, band0, n_bytes)
+    """
+
+
 def q_attr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 all-tags mode: every attribute stringified (200-char cap, W4) and
     emitted as (id, attr, value) rows — explode(map_entries)."""
@@ -749,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard": q_token_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
+        "png_decode": q_png_decode,
         "attr_explode": q_attr_explode,
         "path_build": q_path_build,
         "expr_lang": q_expr_lang,
@@ -952,7 +1055,7 @@ def _trained_ivf_centroids(
     from nifi_dicom_spark.functions.similarity import train_centroids
 
     t = pq.read_table(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).to_pandas()
     t = t.sort_values("vec_id").head(sample_n)
     sample = np.array([list(v) for v in t["embedding"]], dtype=np.float64)
@@ -1241,6 +1344,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "person_match": _person_match_oracle(),
+        "png_decode": _png_decode_oracle(),
         "nested_deidentify": """
             SELECT user_id, event_id,
                    md5(event_type) AS event_type_remapped,

@@ -51,7 +51,14 @@ def zip_package(out: str) -> str:
 
 
 def run_at(
-    master: str, pyz: str, events: int, epochs: int, input_dir: str, work_root: str
+    master: str,
+    pyz: str,
+    events: int,
+    epochs: int,
+    input_dir: str,
+    work_root: str,
+    extra_args: tuple[str, ...] = (),
+    env_overrides: dict[str, str] | None = None,
 ) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
@@ -77,9 +84,13 @@ def run_at(
         "--input-dir", input_dir,
         "--work-dir", work,
         "--stage-metrics",
+        *extra_args,
     ]
+    env = dict(os.environ, **(env_overrides or {}))
     try:
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600, env=env
+        )
         for line in out.stdout.splitlines():
             line = line.strip()
             if line.startswith("{") and "events_per_sec" in line:

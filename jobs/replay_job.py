@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--input-dir", default=None)
     ap.add_argument("--work-dir", default=None)
     ap.add_argument(
+        "--write-codec",
+        default="snappy",
+        help="parquet codec for the engine's own delta/base writes "
+        "(snappy|zstd|uncompressed) — the codec-matrix knob",
+    )
+    ap.add_argument(
         "--stage-metrics",
         action="store_true",
         help="report total executor run/CPU time via the UI REST API "
@@ -51,6 +57,7 @@ def main() -> None:
         .config("spark.ui.enabled", str(args.stage_metrics).lower())
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.parquet.compression.codec", args.write_codec)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

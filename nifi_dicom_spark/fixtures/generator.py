@@ -189,7 +189,11 @@ def generate_change_events(cfg: GeneratorConfig) -> pd.DataFrame:
 
 
 def write_event_files(
-    df: pd.DataFrame, out_dir: str, n_files: int, drop_tool_for_v1: bool = True
+    df: pd.DataFrame,
+    out_dir: str,
+    n_files: int,
+    drop_tool_for_v1: bool = True,
+    codec: str = "snappy",
 ) -> list[str]:
     """Serialize the event log as N parquet files named in delivery order so a
     Spark file-source stream consumes them as ordered micro-batches
@@ -210,7 +214,9 @@ def write_event_files(
         # physically string-typed, or readers see a null-typed column
         schema = pa.schema([(c, _ARROW_FIELDS[c]) for c in part.columns])
         pq.write_table(
-            pa.Table.from_pandas(part, schema=schema, preserve_index=False), p
+            pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+            p,
+            compression=codec,
         )
         paths.append(p)
     return paths

@@ -56,6 +56,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("sha256", T.StringType(), True),
         T.StructField("n_bytes", T.IntegerType(), True),
+        # decoded container metadata — populated only when a REAL decode ran
+        # (BMP/PNG images), null for audio/stub paths
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
     ]
 )
 
@@ -73,22 +77,30 @@ def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
 
-def _decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Real decode for WAV/BMP payloads (pure-numpy codecs); deterministic
-    stub otherwise. Magic bytes only gate the ATTEMPT — unsupported variants
-    (float WAV, compressed/odd-bpp BMP, truncated files) fall back to the
-    stub rather than crashing the whole Spark job on one bad row."""
+def _decode_feature(
+    payload: bytes, dim: int = 16
+) -> tuple[np.ndarray, int | None, int | None]:
+    """Real decode for WAV/BMP/PNG payloads (pure-stdlib+numpy codecs);
+    deterministic stub otherwise. Returns (feature, width, height) — dims
+    non-null only when a real image decode ran. Magic bytes only gate the
+    ATTEMPT — unsupported variants (float WAV, compressed/odd-bpp BMP,
+    16-bit/interlaced PNG, truncated files) fall back to the stub rather
+    than crashing the whole Spark job on one bad row."""
     from nifi_dicom_spark.functions import codecs
 
     try:
         if codecs.is_wav(payload):
             samples, _sr = codecs.decode_wav(payload)
-            return codecs.audio_energy_features(samples, dim)
+            return codecs.audio_energy_features(samples, dim), None, None
         if codecs.is_bmp(payload):
-            return codecs.image_block_features(codecs.decode_bmp(payload), dim)
+            img = codecs.decode_bmp(payload)
+            return codecs.image_block_features(img, dim), img.shape[1], img.shape[0]
+        if codecs.is_png(payload):
+            img = codecs.decode_png(payload)
+            return codecs.image_block_features(img, dim), img.shape[1], img.shape[0]
     except Exception:
         pass  # unsupported variant / corrupt container → stub path
-    return _fake_decode_feature(payload, dim)
+    return _fake_decode_feature(payload, dim), None, None
 
 
 def extract_features(media: DataFrame, dim: int = 16, batch_rows: int = 64) -> DataFrame:
@@ -101,19 +113,21 @@ def extract_features(media: DataFrame, dim: int = 16, batch_rows: int = 64) -> D
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            feats = [
-                _decode_feature(bytes(p) if p is not None else b"", dim).tolist()
+            decoded = [
+                _decode_feature(bytes(p) if p is not None else b"", dim)
                 for p in payloads
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": feats,
+                    "feature": [f.tolist() for f, _w, _h in decoded],
                     "sha256": [
                         hashlib.sha256(p or b"").hexdigest() for p in payloads
                     ],
                     "n_bytes": [len(p or b"") for p in payloads],
+                    "width": pd.array([w for _f, w, _h in decoded], dtype="Int32"),
+                    "height": pd.array([h for _f, _w, h in decoded], dtype="Int32"),
                 }
             )
 
@@ -121,10 +135,10 @@ def extract_features(media: DataFrame, dim: int = 16, batch_rows: int = 64) -> D
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize. BMP payloads are REALLY decoded, nearest-neighbor
-    resized and re-encoded (pure-numpy codec); compressed formats pass
-    through with re-stamped metadata (stub path — real impl would decode
-    via PIL/libjpeg)."""
+    """Image resize. BMP and PNG payloads are REALLY decoded,
+    nearest-neighbor resized and re-encoded in their own format
+    (pure-stdlib+numpy codecs); other formats pass through with re-stamped
+    metadata (stub path — real impl would decode via PIL/libjpeg)."""
     from nifi_dicom_spark.functions import codecs
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,14 +146,21 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             payloads, metas = [], []
             for p in pdf["payload"]:
                 raw = bytes(p) if p is not None else None
+                decoded, encode, mime = None, None, "image/fake"
                 try:
-                    decoded = codecs.decode_bmp(raw) if codecs.is_bmp(raw) else None
+                    if codecs.is_bmp(raw):
+                        decoded, encode, mime = (
+                            codecs.decode_bmp(raw), codecs.encode_bmp, "image/bmp"
+                        )
+                    elif codecs.is_png(raw):
+                        decoded, encode, mime = (
+                            codecs.decode_png(raw), codecs.encode_png, "image/png"
+                        )
                 except Exception:
-                    decoded = None  # unsupported BMP variant → passthrough
+                    decoded = None  # unsupported variant → passthrough
                 if decoded is not None:
                     img = codecs.resize_nearest(decoded, width, height)
-                    payloads.append(codecs.encode_bmp(img))
-                    mime = "image/bmp"
+                    payloads.append(encode(img))
                 else:
                     payloads.append(raw)
                     mime = "image/fake"

@@ -12,7 +12,14 @@ reference's own F2-F5 precedent) make allocation conflict-free and replayable:
 2. appended with ``insert_if_absent`` MERGE (first-writer-wins — re-inserts
    of the same key are no-ops, so cardinality never grows on replay: the
    ``DeidentifyDICOMTest.java:81-103`` "6 not 12" contract),
-3. lookups are a plain equi-join (broadcast when the hot subset is small).
+3. lookups are bucket-pruned reads of the requested keys' buckets; the
+   per-batch subset is broadcast at join time (:func:`remap_column`).
+
+No cross-batch hot-key cache exists ON PURPOSE: the reference's Guava
+``LoadingCache`` avoided re-querying *stored random* mappings; here the
+mapping is a pure md5 function of the key, so re-deriving it costs one JVM
+hash — the durable table exists for auditability and the first-writer-wins
+cardinality contract, not as the source of truth for lookups.
 """
 
 from __future__ import annotations

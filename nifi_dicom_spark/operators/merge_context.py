@@ -45,6 +45,8 @@ def connected_groups(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    checkpoint_every: int = 4,
+    on_round=None,
 ) -> DataFrame:
     """Connected components over an undirected edge list — the full
     ``MergeCompositeContext.addToGroups`` semantics (groups united by ANY
@@ -64,49 +66,76 @@ def connected_groups(
     ``collect`` of node data; only the convergence check (a count) touches
     the driver. If the bound is ever exhausted before the fixpoint, this
     RAISES rather than silently returning a wrong grouping.
+
+    Big-graph hygiene: the symmetrized edge frame is built once and
+    **persisted** for the whole loop (every round joins against it — without
+    the persist each of the O(log d) rounds re-derives it from source), and
+    labels are **eagerly checkpointed every** ``checkpoint_every`` rounds
+    (lazy checkpoints otherwise stack O(rounds) of un-truncated lineage
+    between materializations; at 10^9 edges that is re-planned per action).
+    ``on_round(round_idx, n_changed, seconds)`` is an optional telemetry
+    hook (the perf harness builds its rounds×time table from it).
     """
+    import time as _time
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # undirected + self edges so isolated endpoints keep their own label
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.unionByName(
         sym.select("a").distinct().select(F.col("a"), F.col("a").alias("b"))
     )
-    labels = sym.select("a").distinct().select(
-        F.col("a").alias("node"), F.col("a").alias("component")
-    )
-    converged = False
-    for _ in range(max_iterations):
-        # candidate label per node: min over neighbors' current labels
-        cand = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy(sym.a.alias("node"))
-            .agg(F.min("component").alias("new_component"))
+    # consumed twice per round (candidate join + nothing else re-derives it)
+    # for up to O(log diameter) rounds — persist once, release at exit
+    sym = sym.persist()
+    try:
+        labels = sym.select("a").distinct().select(
+            F.col("a").alias("node"), F.col("a").alias("component")
         )
-        joined = labels.join(cand, on="node", how="left").select(
-            "node",
-            "component",
-            F.least(F.col("component"), F.col("new_component")).alias("new_component"),
-        )
-        changed = joined.filter(F.col("new_component") < F.col("component")).count()
-        stepped = joined.select("node", F.col("new_component").alias("component"))
-        # pointer-doubling shortcut: adopt the label of your label (labels
-        # are always node ids, so the self-join always hits)
-        lab2 = stepped.select(
-            F.col("node").alias("_n2"), F.col("component").alias("_c2")
-        )
-        labels = (
-            stepped.join(lab2, stepped.component == lab2._n2, "left")
-            .select(
+        converged = False
+        for rnd in range(max_iterations):
+            _t0 = _time.monotonic()
+            # candidate label per node: min over neighbors' current labels
+            cand = (
+                sym.join(labels, sym.b == labels.node)
+                .groupBy(sym.a.alias("node"))
+                .agg(F.min("component").alias("new_component"))
+            )
+            joined = labels.join(cand, on="node", how="left").select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"), F.col("new_component")
+                ).alias("new_component"),
+            )
+            changed = joined.filter(
+                F.col("new_component") < F.col("component")
+            ).count()
+            stepped = joined.select("node", F.col("new_component").alias("component"))
+            # pointer-doubling shortcut: adopt the label of your label (labels
+            # are always node ids, so the self-join always hits)
+            lab2 = stepped.select(
+                F.col("node").alias("_n2"), F.col("component").alias("_c2")
+            )
+            labels = stepped.join(lab2, stepped.component == lab2._n2, "left").select(
                 "node",
                 F.least(F.col("component"), F.col("_c2")).alias("component"),
             )
-            .localCheckpoint(eager=False)
-        )
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"connected_groups did not converge in {max_iterations} iterations"
-        )
+            # eager checkpoint every k rounds truncates lineage NOW (the
+            # convergence count above already paid for the round's compute);
+            # off-rounds stay lazy — materialized by the next round's count
+            eager = checkpoint_every > 0 and (rnd + 1) % checkpoint_every == 0
+            labels = labels.localCheckpoint(eager=eager)
+            if on_round is not None:
+                on_round(rnd, changed, _time.monotonic() - _t0)
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_groups did not converge in {max_iterations} iterations"
+            )
+        # materialize before releasing sym (labels' plan may reference it)
+        labels = labels.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
     return labels

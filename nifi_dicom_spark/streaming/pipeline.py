@@ -50,6 +50,12 @@ class CDCPipeline:
     max_files_per_trigger: int = 1
     #: change-log file format: "parquet" or "json" (ndjson wire format)
     fmt: str = "parquet"
+    #: durable dead-letter table (SURVEY T7) — when set, every epoch records
+    #: its quarantined events with retry counters, and events whose offsets
+    #: exhausted ``max_retries`` are dropped from the batch BEFORE apply
+    #: (poison events can't loop forever through the retry feed)
+    dead_letter: SnapshotTable | None = None
+    max_retries: int = 3
     #: test hook: called (epoch, result) after each successful apply
     on_batch: Callable | None = None
     epochs_applied: list[int] = field(default_factory=list)
@@ -63,8 +69,19 @@ class CDCPipeline:
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
+        if self.dead_letter is not None:
+            from nifi_dicom_spark.operators.deadletter import filter_poison
+
+            # the guard of the penalize-then-retry loop: offsets past
+            # max_retries are parked (NiFi's permanently-failed queue) —
+            # they neither re-merge nor re-increment their counters
+            batch_df = filter_poison(batch_df, self.dead_letter, self.max_retries)
         result = apply_changes(
-            self.table, batch_df, epoch=epoch_id, quarantine_dir=self.quarantine_dir
+            self.table,
+            batch_df,
+            epoch=epoch_id,
+            quarantine_dir=self.quarantine_dir,
+            dead_letter=self.dead_letter,
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
         if self.metrics_dir and result.metrics:
@@ -93,6 +110,62 @@ class CDCPipeline:
             .start()
         )
         q.awaitTermination()
+
+    def requeue_retryable(self) -> int:
+        """Feed quarantined-but-retryable events back into the change log —
+        the engine's analog of NiFi looping the ``failure`` relationship
+        back into the processor's input queue (``DeidentifyDICOM.java:188``;
+        SURVEY T7). Reads every quarantined row written so far, drops
+        offsets that are already poison (≥ ``max_retries``), dedups by
+        offset, and appends ONE new change-log file for the next trigger to
+        pick up. Returns the number of requeued events (0 = the loop has
+        drained: everything left is poison or nothing is quarantined).
+
+        Termination is structural: each retry epoch re-quarantines the same
+        still-bad events, incrementing ``retry_count`` idempotently, until
+        the poison threshold parks them and this method stops emitting."""
+        if self.quarantine_dir is None or self.dead_letter is None:
+            raise ValueError("requeue_retryable needs quarantine_dir + dead_letter")
+        if not os.path.isdir(self.quarantine_dir):
+            return 0
+        from pyspark.sql import functions as F
+
+        from nifi_dicom_spark.operators.deadletter import poison
+
+        from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+
+        # epoch=N subdirs surface as a partition-discovery column — project
+        # back to the wire schema before re-emitting
+        bad = self.spark.read.parquet(self.quarantine_dir).select(
+            *[f.name for f in CHANGE_EVENTS_SCHEMA.fields]
+        )
+        poisoned = poison(self.dead_letter, self.max_retries).select("offset")
+        retry = bad.join(poisoned, on="offset", how="left_anti").dropDuplicates(
+            ["offset"]
+        )
+        # quarantine sets are tiny (the reject channel of a healthy stream);
+        # emit ONE flat file like every other change-log file so the
+        # streaming source's listing picks it up (a Spark directory-write
+        # would nest part files the file source does not list)
+        pdf = retry.toPandas()
+        if len(pdf):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from nifi_dicom_spark.fixtures.generator import _ARROW_FIELDS
+
+            out = os.path.join(
+                self.events_dir, f"retry-{uuid.uuid4().hex[:8]}.{self.fmt}"
+            )
+            if self.fmt == "json":
+                pdf.to_json(out, orient="records", lines=True, date_format="iso")
+            else:
+                schema = pa.schema([(c, _ARROW_FIELDS[c]) for c in pdf.columns])
+                pq.write_table(
+                    pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+                    out,
+                )
+        return len(pdf)
 
     def read_metrics(self) -> pd.DataFrame:
         """Lineage metrics, deduped by the idempotency key."""

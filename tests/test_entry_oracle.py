@@ -17,6 +17,10 @@ import __spark_entry__ as entry_mod
 # default sf0.001 keeps the suite fast; the driver gates at sf0.01 —
 # override with ORACLE_SF_DIR to validate at that scale
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+# data-dependent oracles (trained IVF centroids, PNG expected rows) derive
+# their literals from the parquet at this path — pin them to the same scale
+# the Spark side queries
+os.environ["ORACLE_SF_DIR"] = SF_DIR
 TABLES = [
     "region",
     "nation",

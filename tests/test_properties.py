@@ -103,6 +103,121 @@ def test_bmp_roundtrip_property(seed: int, h: int, w: int):
     assert (decode_bmp(encode_bmp(img)) == img).all()
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+)
+def test_png_roundtrip_property(seed: int, h: int, w: int):
+    """encode∘decode is exact identity for ANY rgb8 image (zlib is
+    lossless; filter-0 scanlines reverse trivially)."""
+    from nifi_dicom_spark.functions.codecs import decode_png, encode_png, is_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    assert is_png(payload)
+    assert (decode_png(payload) == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(2, 24),
+    w=st.integers(2, 24),
+    filt=st.integers(0, 4),
+)
+def test_png_decode_reverses_every_filter(seed: int, h: int, w: int, filt: int):
+    """Hand-filter scanlines with each of the five PNG filters (forward
+    transform implemented independently here, per spec §9) and assert the
+    decoder's unfiltering recovers the original image exactly."""
+    import struct
+    import zlib
+
+    from nifi_dicom_spark.functions.codecs import _paeth, _png_chunk, decode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    flat = img.reshape(h, w * 3).astype(np.int32)
+    bpp, stride = 3, w * 3
+    out = bytearray()
+    for y in range(h):
+        row, prior = flat[y], (flat[y - 1] if y else np.zeros(stride, np.int32))
+        f = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            pred = {
+                0: 0,
+                1: a,
+                2: b,
+                3: (a + b) >> 1,
+                4: _paeth(int(a), int(b), int(c)),
+            }[filt]
+            f[x] = (row[x] - pred) & 0xFF
+        out.append(filt)
+        out.extend(f.astype(np.uint8).tobytes())
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        sig
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == img).all()
+
+
+def test_png_color_types_and_unsupported_variants():
+    """Gray/palette/gray-alpha/RGBA decode to the expected RGB expansion;
+    16-bit and interlaced PNGs raise (→ stub fallback in multimodal)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from nifi_dicom_spark.functions.codecs import _png_chunk, decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def build(w, h, depth, color, raw, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        return (
+            sig
+            + _png_chunk(b"IHDR", ihdr)
+            + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # gray 2x2 → replicated channels
+    g = build(2, 2, 8, 0, bytes([0, 10, 20, 0, 30, 40]))
+    assert decode_png(g).tolist() == [
+        [[10] * 3, [20] * 3], [[30] * 3, [40] * 3]
+    ]
+    # palette 2x1
+    plte = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+    p = build(2, 1, 8, 3, bytes([0, 0, 1]), extra=plte)
+    assert decode_png(p).tolist() == [[[255, 0, 0], [0, 0, 255]]]
+    # RGBA 1x1 → alpha dropped
+    a = build(1, 1, 8, 6, bytes([0, 9, 8, 7, 128]))
+    assert decode_png(a).tolist() == [[[9, 8, 7]]]
+    # gray+alpha 1x1
+    ga = build(1, 1, 8, 4, bytes([0, 55, 200]))
+    assert decode_png(ga).tolist() == [[[55, 55, 55]]]
+    # 16-bit depth and interlaced: declared unsupported
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(build(1, 1, 16, 0, bytes([0, 0, 1])))
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    bad = sig + _png_chunk(b"IHDR", ihdr_i) + _png_chunk(
+        b"IDAT", zlib.compress(bytes([0, 1]))
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(bad)
+
+
 def test_spark_replay_split_invariance_spot_checks(spark, tmp_path):
     """Spark end-to-end: for a few generated logs, applying the log in k
     random epochs equals the oracle (cross-batch LWW-max associativity on

@@ -119,6 +119,77 @@ def test_rerun_completed_stream_is_noop(spark, event_log, tmp_path):
     assert p.table.current_version() == v
 
 
+def test_deadletter_retry_loop_parks_poison(spark, tmp_path):
+    """T7 end-to-end through the production foreachBatch path: quarantined
+    events loop back via ``requeue_retryable`` and re-fail, incrementing
+    their retry counters each epoch, until ``max_retries`` parks them as
+    poison — after which the loop drains (requeue returns 0) and the
+    counters stop moving. Valid rows apply exactly once throughout."""
+    import pandas as pd
+
+    from nifi_dicom_spark.operators.deadletter import create_deadletter, poison
+
+    # 2 permanently-bad events (null conv_id / negative turn_idx) + 3 valid
+    log = pd.DataFrame(
+        {
+            "offset": [0, 1, 2, 3, 4],
+            "partition_id": [0] * 5,
+            "op": ["insert"] * 5,
+            "op_seq": [1, 1, 1, 1, 1],
+            "conv_id": ["A", None, "B", "C", "D"],
+            "turn_idx": [0, 0, -7, 0, 0],
+            "role": ["user"] * 5,
+            "text": ["a", "bad1", "bad2", "c", "d"],
+            "tool": [None] * 5,
+            "ts": pd.to_datetime(["2024-01-01"] * 5),
+            "schema_ver": [2] * 5,
+        }
+    )
+    ev_dir = str(tmp_path / "events")
+    write_event_files(log, ev_dir, n_files=1)
+    table = create_transcripts_table(spark, str(tmp_path / "transcripts"))
+    dl = create_deadletter(spark, str(tmp_path / "dl"))
+    max_retries = 3
+    p = CDCPipeline(
+        spark=spark,
+        events_dir=ev_dir,
+        table=table,
+        checkpoint_dir=str(tmp_path / "ck"),
+        quarantine_dir=str(tmp_path / "q"),
+        dead_letter=dl,
+        max_retries=max_retries,
+    )
+    p.run_available()
+    first = {r["offset"]: r for r in dl.read().collect()}
+    assert set(first) == {1, 2} and all(
+        r["retry_count"] == 1 for r in first.values()
+    )
+    assert first[1]["reason"] == "null_key" and first[2]["reason"] == "bad_turn_idx"
+
+    # the penalize-then-retry loop: requeue → reprocess → re-quarantine
+    rounds = 0
+    while (n := p.requeue_retryable()) > 0:
+        assert n == 2  # both bad events, deduped by offset, never the valid 3
+        p.run_available()
+        rounds += 1
+        assert rounds <= max_retries + 1, "retry loop failed to terminate"
+    # poison parked at exactly max_retries — counters stopped moving
+    final = {r["offset"]: r for r in dl.read().collect()}
+    assert {r["retry_count"] for r in final.values()} == {max_retries}
+    assert {r["offset"] for r in poison(dl, max_retries).collect()} == {1, 2}
+    assert final[1]["first_epoch"] == 0 and final[1]["last_epoch"] >= 1
+    # one more drained pass: nothing requeued, nothing re-counted
+    assert p.requeue_retryable() == 0
+    p.run_available()
+    assert {
+        r["retry_count"] for r in dl.read().collect()
+    } == {max_retries}
+    # valid rows applied exactly once, despite the extra retry epochs
+    final_state = read_final_state(table).toPandas()
+    assert sorted(final_state["conv_id"]) == ["A", "C", "D"]
+    assert sorted(final_state["text"]) == ["a", "c", "d"]
+
+
 def test_gap_timeout_conversation_completeness(spark, tmp_path):
     """T2: applyInPandasWithState gap-timeout — a conversation completes only
     after `gap` of event-time quiescence; later traffic advances the
