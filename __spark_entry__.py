@@ -774,6 +774,67 @@ def q_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats-pruned time-window scan over a live MoR CDC table:
+    `events` replayed as a change log in three day-clustered epochs (MoR
+    delta files therefore carry per-file ts min/max in the manifest), then
+    a mid-window `scan` that reads full payloads only from in-range files
+    and version-columns-only elsewhere — the LWW-aware pruning must return
+    exactly the window's winning versions (oracle: windowed LWW in SQL)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 3).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="scan-") + "/t",
+        schema,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=8,
+        props={"stats_cols": ["ts"]},
+    )
+    for e, (lo_d, hi_d) in enumerate(
+        [("2024-01-01", "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")]
+    ):
+        batch = ev.filter((F.col("ts") >= lo_d) & (F.col("ts") < hi_d))
+        table.merge(
+            batch, op_col="op", policy="versioned_upsert", commit_keys=[(e, 0)]
+        )
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 22)
+    hi = datetime.datetime(2024, 1, 26)
+    return (
+        table.scan("ts", lo=lo, hi=hi)
+        .filter(F.col("op") != "delete")
+        .select("conv_id", "turn_idx", "op_seq", F.round("value", 4).alias("value"), "ts")
+    )
+
+
 def q_stats_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: metrics serialized as JSON rows (``LogCacheStatistics.java:50-60``
     → ``F.to_json(F.struct(...))``)."""
@@ -861,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "person_match": q_person_match,
         "nested_deidentify": q_nested_deidentify,
         "deadletter": q_deadletter,
+        "stats_scan": q_stats_scan,
         "stats_json": q_stats_json,
         "tpch_q1": q_tpch_q1,
     }
@@ -1362,6 +1424,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN value >= 100 THEN 1 ELSE 0 END AS BIGINT)
                      AS last_epoch
             FROM events WHERE event_type = 'error'
+        """,
+        "stats_scan": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 3 AS INT) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq, event_id AS "offset", value, ts
+              FROM events
+            ), w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY op_seq DESC, "offset" DESC) AS rn
+              FROM ev
+            )
+            SELECT conv_id, turn_idx, op_seq, round(value, 4) AS value, ts
+            FROM w
+            WHERE rn = 1 AND op <> 'delete'
+              AND ts BETWEEN TIMESTAMP '2024-01-22 00:00:00'
+                         AND TIMESTAMP '2024-01-26 00:00:00'
         """,
         "stats_json": """
             SELECT event_type,

@@ -123,7 +123,8 @@ def main() -> None:
         }
     lines.append("")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "MATRIX.md"), "w") as f:
+    # raw regeneration target; the curated analysis lives in BENCH/MATRIX.md
+    with open(os.path.join(REPO, "BENCH", "MATRIX_RAW.md"), "w") as f:
         f.write("\n".join(lines))
     print(json.dumps(summary))
 

@@ -183,6 +183,7 @@ class SnapshotTable:
             "files": {},  # bucket(str) -> [relpath] (base files)
             "delta_files": {},  # bucket(str) -> [relpath] (merge-on-read)
             "applied_hw": {},  # partition_id(str) -> high-watermark epoch
+            "file_stats": {},  # relpath -> {col: [min, max]} (props.stats_cols)
             "props": props or {},
             "summary": {"operation": "create"},
         }
@@ -388,6 +389,263 @@ class SnapshotTable:
             files.setdefault(b, []).append(os.path.join(out_rel, fn))
         return {b: sorted(v) for b, v in files.items()}
 
+    # ------------------------------------------------------------ file stats
+
+    def stats_cols(self) -> list[str]:
+        """Columns whose per-file min/max are recorded in the manifest
+        (``props["stats_cols"]``, opt-in per table). Empty = no stats
+        overhead anywhere."""
+        return list((self.manifest().get("props") or {}).get("stats_cols", []))
+
+    @staticmethod
+    def _enc_stat(v):
+        """JSON-encodable, ORDER-PRESERVING encoding of a stat value.
+        Timestamps → fixed-width ISO-8601 (lexicographic == chronological);
+        numerics/strings pass through."""
+        import datetime
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            import pandas as _pd
+
+            t = _pd.Timestamp(v)
+            if t.tzinfo is not None:
+                t = t.tz_convert("UTC").tz_localize(None)
+            return t.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        if isinstance(v, bytes):
+            return None  # binary stats not supported
+        return v
+
+    def _footer_stats(
+        self, files: dict[str, list[str]], cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """relpath → {col: [min, max]} from parquet FOOTERS (driver-side
+        metadata read, no data pages). This is the Iceberg-manifest-stats
+        analog: at 10^5+ files, pruning consults the manifest instead of
+        opening every footer at query time; cost is one footer read per
+        newly-written file per commit (O(touched buckets))."""
+        if not cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for rels in files.values():
+            for rel in rels:
+                try:
+                    md = pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata
+                except Exception:
+                    continue  # stats are an optimization, never a failure
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                st: dict[str, list] = {}
+                for c in cols:
+                    i = idx.get(c)
+                    if i is None:
+                        continue
+                    lo = hi = None
+                    ok = True
+                    for rg in range(md.num_row_groups):
+                        s = md.row_group(rg).column(i).statistics
+                        if s is None or not s.has_min_max:
+                            ok = False
+                            break
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+                    if ok and lo is not None:
+                        elo, ehi = self._enc_stat(lo), self._enc_stat(hi)
+                        if elo is not None and ehi is not None:
+                            st[c] = [elo, ehi]
+                if st:
+                    out[rel] = st
+        return out
+
+    def _split_scan_files(
+        self, m: dict, predicate_col: str, elo, ehi
+    ) -> tuple[list[str], list[str]]:
+        """Partition the snapshot's data files for a range scan into
+        (full-read, version-only-read) relpaths using the manifest stats.
+
+        A file is OUT-of-range when its [min, max] for the predicate column
+        cannot intersect [lo, hi]; files with no recorded stats count as
+        in-range (must read). Per-key supersession only happens WITHIN a
+        bucket (a key lives in exactly one bucket), so a bucket whose files
+        are ALL out-of-range is dropped outright — none of its keys can
+        produce an in-range winner."""
+        stats = m.get("file_stats", {})
+
+        def in_range(rel: str) -> bool:
+            s = stats.get(rel, {}).get(predicate_col)
+            if s is None:
+                return True
+            return not (
+                (ehi is not None and s[0] > ehi)
+                or (elo is not None and s[1] < elo)
+            )
+
+        full: list[str] = []
+        slim: list[str] = []
+        buckets = set(m.get("files", {})) | set(m.get("delta_files", {}))
+        for b in buckets:
+            rels = list(m.get("files", {}).get(b, [])) + list(
+                m.get("delta_files", {}).get(b, [])
+            )
+            hits = [rel for rel in rels if in_range(rel)]
+            if not hits:
+                continue  # whole bucket out of range: no key can win in-range
+            misses = [rel for rel in rels if rel not in set(hits)]
+            full.extend(hits)
+            slim.extend(misses)
+        return full, slim
+
+    def scan(
+        self,
+        predicate_col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned snapshot range scan: rows with ``lo <= col <= hi``
+        (open ends ``None``); always equals ``read(version).filter(...)``
+        exactly — pruning removes IO, never rows.
+
+        Two pruning layers above Catalyst's parquet row-group pushdown, both
+        driven by the manifest's per-file [min, max] stats:
+
+        * **bucket drop** — a bucket whose every file is out-of-range is
+          skipped entirely (keys never span buckets, so no superseded row
+          elsewhere can be resurrected by dropping it);
+        * **payload pruning (LWW tables)** — out-of-range files in buckets
+          that still participate cannot be skipped outright (a skipped
+          NEWER version of a key would resurrect an in-range older row), so
+          they are read VERSION-COLUMNS-ONLY (key + op_seq/offset/op — a
+          narrow column-pruned parquet read; the wide ``text`` payload
+          pages are never touched). The LWW reduce then runs over full ∪
+          slim rows and only winners that came from a full file and pass
+          the filter survive — bit-identical to the unpruned scan.
+
+        Effectiveness tracks the table's physical time-clustering: with
+        merge-on-read, each epoch's delta files span only that epoch's
+        event times, so a narrow time window reads the payload bytes of a
+        few epochs and only the version columns of the rest."""
+        if version is not None and version < self.min_retained_version():
+            raise VersionVacuumedError(
+                f"version {version} was vacuumed; cannot scan"
+            )
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        elo = self._enc_stat(lo) if lo is not None else None
+        ehi = self._enc_stat(hi) if hi is not None else None
+        full_rels, slim_rels = self._split_scan_files(m, predicate_col, elo, ehi)
+        names = set(schema.fieldNames())
+        key_cols = m["key_cols"]
+        versioned = {"op_seq", "offset"} <= names
+
+        def rng(df: DataFrame) -> DataFrame:
+            c = F.col(predicate_col)
+            if lo is not None:
+                df = df.filter(c >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(c <= F.lit(hi))
+            return df
+
+        if not full_rels:
+            return self.spark.createDataFrame([], schema)
+        full_paths = [os.path.join(self.data_dir, r) for r in full_rels]
+        full = self.spark.read.schema(schema).parquet(*full_paths)
+        if not versioned:
+            # un-versioned tables have one file per bucket (no deltas), so
+            # in-range files are self-contained: plain pruned read
+            return rng(full).select(*schema.fieldNames())
+        from nifi_dicom_spark.operators.dedup import lww_dedup
+
+        full = full.withColumn("_kept", F.lit(True))
+        if slim_rels:
+            slim_schema = T.StructType(
+                [
+                    f
+                    for f in schema.fields
+                    if f.name in {*key_cols, "op_seq", "offset"}
+                ]
+            )
+            slim_paths = [os.path.join(self.data_dir, r) for r in slim_rels]
+            slim = (
+                self.spark.read.schema(slim_schema)
+                .parquet(*slim_paths)
+                .select(
+                    *[
+                        F.col(f.name)
+                        if f.name in {*key_cols, "op_seq", "offset"}
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ],
+                    F.lit(False).alias("_kept"),
+                )
+            )
+            full = full.unionByName(slim)
+        winners = lww_dedup(full, key_cols)
+        return (
+            rng(winners.filter(F.col("_kept")))
+            .select(*schema.fieldNames())
+        )
+
+    def scan_file_stats(
+        self, predicate_col: str, lo=None, hi=None, version: int | None = None
+    ) -> dict:
+        """Pruning-effectiveness probe: how many data files a
+        :meth:`scan` would read fully, version-columns-only, or skip."""
+        m = self.manifest(version)
+        elo = self._enc_stat(lo) if lo is not None else None
+        ehi = self._enc_stat(hi) if hi is not None else None
+        full, slim = self._split_scan_files(m, predicate_col, elo, ehi)
+        total = sum(
+            len(rels)
+            for which in ("files", "delta_files")
+            for rels in m.get(which, {}).values()
+        )
+        return {
+            "full": len(full),
+            "version_only": len(slim),
+            "skipped": total - len(full) - len(slim),
+            "total": total,
+        }
+
+    # ---------------------------------------------------------- layout evolution
+
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Bucket-layout evolution (the partition-spec-evolution analog):
+        rewrite the table's current LWW state into ``new_n_buckets`` murmur3
+        buckets and commit the new layout. An O(table) maintenance job, like
+        a full compaction — run it when key cardinality outgrows the layout
+        (e.g. 64 buckets chosen at create vs 10^9 conversations later).
+        Old versions keep their old layout and remain readable via time
+        travel; the commit ledger and schema carry over unchanged. Legacy
+        xxhash64 tables migrate to the murmur3 layout as a side effect."""
+        m = self.manifest()
+        schema = self.schema()
+        df = self.read()  # current logical state (deltas LWW-merged in)
+        tag = uuid.uuid4().hex[:12]
+        new_files = self._write_bucket_files(df, tag, new_n_buckets, "murmur3")
+        new = {
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "schema": schema.json(),
+            "key_cols": m["key_cols"],
+            "n_buckets": int(new_n_buckets),
+            "bucket_fn": "murmur3",
+            "files": new_files,
+            "delta_files": {},
+            "applied_hw": self._hw(m),
+            "props": m["props"],
+            "file_stats": self._footer_stats(
+                new_files, (m.get("props") or {}).get("stats_cols", [])
+            ),
+            "summary": {
+                "operation": "rebucket",
+                "from_n_buckets": m["n_buckets"],
+                "to_n_buckets": int(new_n_buckets),
+            },
+        }
+        self._try_commit(new)
+        return new["version"]
+
     def _plan_coalesce_safe(self, df: DataFrame) -> bool:
         """True when the write needs no AQE-coalescing toggle: coalescing is
         globally off, or the plan's top exchange is still our explicit
@@ -431,6 +689,9 @@ class SnapshotTable:
             "delta_files": {},
             "applied_hw": self._hw(m),
             "props": m["props"],
+            "file_stats": self._footer_stats(
+                files, (m.get("props") or {}).get("stats_cols", [])
+            ),
             "summary": {"operation": "overwrite"},
         }
         self._try_commit(new)
@@ -705,6 +966,20 @@ class SnapshotTable:
                 if int(e) > hw.get(k, -(10**18)):
                     hw[k] = int(e)
 
+        # file stats: keep entries for still-referenced files, add footers of
+        # the newly-kept files (O(touched buckets) metadata reads per commit)
+        referenced = {
+            rel for d in (files, deltas) for rels in d.values() for rel in rels
+        }
+        file_stats = {
+            rel: s
+            for rel, s in m.get("file_stats", {}).items()
+            if rel in referenced
+        }
+        file_stats.update(
+            self._footer_stats(kept, (m.get("props") or {}).get("stats_cols", []))
+        )
+
         new = {
             "version": m["version"] + 1,
             "parent": m["version"],
@@ -716,6 +991,7 @@ class SnapshotTable:
             "delta_files": deltas,
             "applied_hw": hw,
             "props": m["props"],
+            "file_stats": file_stats,
             "summary": {
                 "operation": "merge",
                 "policy": policy,

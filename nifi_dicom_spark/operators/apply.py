@@ -89,18 +89,18 @@ def apply_changes(
     """Apply one batch of change events to the transcripts table with
     idempotent commit keys (epoch, partition_id).
 
-    ``cache_batch`` (default on; env override ``NIFI_SPARK_CACHE_BATCH=0``)
+    ``cache_batch`` (default OFF; env override ``NIFI_SPARK_CACHE_BATCH=1``)
     persists the conformed batch so the fused lineage-metrics +
-    bucket-discovery pass and the merge source share one decode. On
-    memory-bandwidth-tight hosts re-decoding the columnar source twice can
-    beat the cache round-trip (decode is compute, cache fill+read is pure
-    memory traffic) — that trade is workload/hardware dependent, hence the
-    knob.
+    bucket-discovery pass and the merge source share one decode. Measured
+    both ways on the scaling harness (BENCH/MATRIX.md): re-decoding the
+    columnar source twice beats the cache round-trip by ~35% at N and ~34%
+    at 4N on the reference host — decode is compute, cache fill+read is
+    pure memory traffic on the already-saturated socket — so OFF is the
+    default; the knob remains for IO-bound deployments (e.g. object-store
+    scans where a second read is a second network fetch).
     """
-    from pyspark.sql import functions as SF
-
     if cache_batch is None:
-        cache_batch = os.environ.get("NIFI_SPARK_CACHE_BATCH", "1") != "0"
+        cache_batch = os.environ.get("NIFI_SPARK_CACHE_BATCH", "0") == "1"
     events = conform_to_schema(events, CHANGE_EVENTS_SCHEMA)
     if cache_batch:
         events.persist()
@@ -173,7 +173,16 @@ def create_transcripts_table(
 
     by_name = {f.name: f for f in CHANGE_EVENTS_SCHEMA.fields}
     stored = T.StructType([by_name[c] for c in STORED_COLUMNS])
-    return SnapshotTable.create(spark, path, stored, key_cols=KEY_COLUMNS, n_buckets=n_buckets)
+    return SnapshotTable.create(
+        spark,
+        path,
+        stored,
+        key_cols=KEY_COLUMNS,
+        n_buckets=n_buckets,
+        # per-file ts min/max in the manifest → stats-pruned time scans
+        # (SnapshotTable.scan) skip files without opening footers
+        props={"stats_cols": ["ts"]},
+    )
 
 
 def read_final_state(table: SnapshotTable, version: int | None = None) -> DataFrame:

@@ -45,6 +45,11 @@ def get_spark(
         # engine policy: all timestamps are UTC instants; parquet files with
         # isAdjustedToUTC=false (e.g. written by pandas) read as TimestampType
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # INT96 (the legacy default) carries NO min/max column statistics —
+        # TIMESTAMP_MICROS restores footer stats, which the manifest-level
+        # file pruning (SnapshotTable.scan) and parquet row-group pushdown
+        # both rely on; it is also the non-deprecated representation
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

@@ -1,0 +1,229 @@
+"""Lake-table features beyond the merge hot path: manifest file statistics
+with LWW-aware stats-pruned scans, and bucket-layout evolution (rebucket).
+
+These are the from-scratch analogs of Iceberg's manifest min/max pruning and
+partition-spec evolution — the two table-maintenance capabilities a
+100-TB deployment exercises constantly."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+from nifi_dicom_spark.operators.apply import (
+    apply_changes,
+    create_transcripts_table,
+    read_final_state,
+)
+
+
+def _epoch_events(epoch: int, n_convs: int = 20) -> pd.DataFrame:
+    """Day-``epoch`` events: each epoch INSERTS its own key group
+    (``conv-e{epoch}-*``) and UPDATES the first half of the PREVIOUS
+    epoch's group — so every time window has both surviving winners (this
+    epoch's untouched keys) and superseded rows (the half the next epoch
+    overwrote), which is exactly what the LWW-aware pruning must not
+    resurrect. Timestamps are day-clustered per epoch — the MoR delta
+    layout the stats pruning exploits."""
+    rows = []
+    i = 0
+
+    def add(conv, turn, op):
+        nonlocal i
+        rows.append(
+            {
+                "offset": epoch * 1_000_000 + i,
+                "partition_id": i % 2,
+                "op": op,
+                "op_seq": epoch * 100 + 1 + i,
+                "conv_id": conv,
+                "turn_idx": turn,
+                "role": "user",
+                "text": f"e{epoch}-{i}",
+                "tool": None,
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.Timedelta(days=epoch, seconds=i),
+                "schema_ver": 2,
+            }
+        )
+        i += 1
+
+    for c in range(n_convs):
+        for turn in range(3):
+            add(f"conv-e{epoch}-{c:03d}", turn, "insert")
+    if epoch > 0:
+        for c in range(n_convs // 2):
+            for turn in range(3):
+                add(f"conv-e{epoch - 1}-{c:03d}", turn, "update")
+    return pd.DataFrame(rows)
+
+
+def _sorted_rows(df):
+    return sorted(
+        (tuple(r) for r in df.select(*sorted(df.columns)).collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def test_scan_stats_pruning_equals_filtered_read(spark, tmp_path):
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for e in range(3):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+
+    # manifest carries per-file ts stats for every data file
+    m = table.manifest()
+    n_files = sum(
+        len(rels)
+        for which in ("files", "delta_files")
+        for rels in m[which].values()
+    )
+    assert len(m["file_stats"]) == n_files > 0
+    assert all("ts" in s for s in m["file_stats"].values())
+
+    lo, hi = pd.Timestamp("2024-01-02"), pd.Timestamp("2024-01-02 23:59:59")
+    expected = table.read().filter(f"ts >= '{lo}' AND ts <= '{hi}'")
+    got = table.scan("ts", lo=lo, hi=hi)
+    assert _sorted_rows(got) == _sorted_rows(expected)
+    assert got.count() > 0
+
+    # pruning effectiveness: day-2 window reads only day-2 payload files;
+    # the other epochs' files are version-columns-only
+    st = table.scan_file_stats("ts", lo=lo, hi=hi)
+    assert st["version_only"] > 0
+    assert st["full"] < st["total"]
+
+    # a window beyond all data drops every bucket outright
+    far = table.scan("ts", lo=pd.Timestamp("2030-01-01"))
+    assert far.count() == 0
+    st_far = table.scan_file_stats("ts", lo=pd.Timestamp("2030-01-01"))
+    assert st_far["skipped"] == st_far["total"]
+
+    # LWW correctness under pruning: epoch 1 updated the first half of
+    # epoch 0's keys on day 2 — a day-1 scan must show ONLY the untouched
+    # half, never resurrect the superseded day-1 versions of updated keys
+    day1 = table.scan("ts", hi=pd.Timestamp("2024-01-01 23:59:59"))
+    day1_exp = table.read().filter("ts <= '2024-01-01 23:59:59'")
+    assert _sorted_rows(day1) == _sorted_rows(day1_exp)
+    convs = {r["conv_id"] for r in day1.select("conv_id").distinct().collect()}
+    assert convs == {f"conv-e0-{c:03d}" for c in range(10, 20)}, convs
+
+    # after compaction the stats are recomputed for the folded base files
+    table.compact()
+    got2 = table.scan("ts", lo=lo, hi=hi)
+    assert _sorted_rows(got2) == _sorted_rows(expected)
+    m2 = table.manifest()
+    assert len(m2["file_stats"]) == sum(len(r) for r in m2["files"].values())
+
+
+def test_scan_unversioned_table_plain_pruning(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "u"), schema, key_cols=["k"], n_buckets=4,
+        props={"stats_cols": ["v"]},
+    )
+    df = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(100)], schema=schema
+    )
+    t.overwrite(df)
+    got = t.scan("v", lo=10, hi=20)
+    exp = t.read().filter("v between 10 and 20")
+    assert _sorted_rows(got) == _sorted_rows(exp)
+    assert t.scan("v", lo=1_000).count() == 0
+    assert t.scan_file_stats("v", lo=1_000)["skipped"] == (
+        t.scan_file_stats("v", lo=1_000)["total"]
+    )
+
+
+def test_rebucket_layout_evolution(spark, tmp_path):
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for e in range(2):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+    before = _sorted_rows(read_final_state(table))
+    hw_before = table.applied_watermarks()
+    v_old = table.current_version()
+
+    v_new = table.rebucket(16)
+    assert table.current_version() == v_new
+    assert table.n_buckets() == 16 and table.bucket_fn() == "murmur3"
+    m = table.manifest()
+    assert m["delta_files"] == {}  # rebucket folds everything into base
+    assert len(m["files"]) > 4  # keys actually spread into the new layout
+    # logical state, ledger and stats survive the rewrite
+    assert _sorted_rows(read_final_state(table)) == before
+    assert table.applied_watermarks() == hw_before
+    assert len(m["file_stats"]) == sum(len(r) for r in m["files"].values())
+    # time travel to the pre-rebucket layout still works
+    assert table.read(version=v_old).count() == table.read().count()
+    hist = table.history()
+    assert hist[-1]["operation"] == "rebucket"
+
+    # the table keeps working after the layout change: replay is still
+    # idempotent, and a new epoch merges into the new buckets
+    ev0 = spark.createDataFrame(_epoch_events(0), schema=CHANGE_EVENTS_SCHEMA)
+    r = apply_changes(table, ev0, epoch=0)
+    assert not r.merge.applied and r.merge.skipped_commit_keys > 0
+    ev2 = spark.createDataFrame(_epoch_events(2), schema=CHANGE_EVENTS_SCHEMA)
+    r2 = apply_changes(table, ev2, epoch=2)
+    assert r2.merge.applied
+    assert read_final_state(table).filter("text like 'e2-%'").count() > 0
+
+
+def test_table_changes_prunes_to_changed_buckets(spark, tmp_path):
+    """CDC read side at scale: the changelog diff runs over only the buckets
+    whose file sets differ between the two manifests, and still produces
+    exactly the full-snapshot diff."""
+    from nifi_dicom_spark.operators.diff import (
+        changed_buckets,
+        snapshot_diff,
+        table_changes,
+    )
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=16)
+    ev0 = spark.createDataFrame(_epoch_events(0), schema=CHANGE_EVENTS_SCHEMA)
+    apply_changes(table, ev0, epoch=0)
+    v0 = table.current_version()
+    # epoch 1 touches ONE conversation → one bucket's delta set changes
+    one = _epoch_events(1)
+    one = one[one["conv_id"] == "conv-e1-000"]
+    apply_changes(
+        table, spark.createDataFrame(one, schema=CHANGE_EVENTS_SCHEMA), epoch=1
+    )
+    cb = changed_buckets(table, v0)
+    assert 0 < len(cb) < 16  # pruned to the touched bucket(s)
+
+    got = table_changes(table, from_version=v0)
+    # reference: unpruned diff over the full snapshots
+
+    def full_state(v):
+        df = table.read(version=v)
+        return df.filter("op != 'delete'").drop("op", "op_seq", "offset")
+
+    exp = snapshot_diff(full_state(v0), full_state(None), table.key_cols())
+    assert _sorted_rows(got) == _sorted_rows(exp)
+    assert got.filter("op = 'insert'").count() == len(one)
+
+
+def test_rebucket_rejects_nothing_special_but_scan_respects_vacuum(
+    spark, tmp_path
+):
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for e in range(3):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+    table.vacuum(keep_versions=1)
+    from nifi_dicom_spark.lake import VersionVacuumedError
+
+    with pytest.raises(VersionVacuumedError):
+        table.scan("ts", lo=pd.Timestamp("2024-01-01"), version=0)

@@ -113,3 +113,34 @@ def test_premerge_pipeline_is_codegenned(spark):
     # the whole thing is one aggregation: no join, no extra exchanges
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_plan_coalesce_safe_detection(spark, tmp_path):
+    """The bucket-file write only mutates the session AQE conf when the
+    explicit REPARTITION_BY_NUM was elided from the plan: a normal clustered
+    write is detected as safe (no global toggle), an un-repartitioned plan
+    is not, and disabling AQE coalescing globally makes everything safe."""
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["k"], n_buckets=4
+    )
+    base = spark.range(100).select(
+        F.col("id").cast("string").alias("k"), F.col("id").alias("v")
+    )
+    clustered = base.repartition(4, "k").sortWithinPartitions("k")
+    assert table._plan_coalesce_safe(clustered)  # REPARTITION_BY_NUM survives
+    assert not table._plan_coalesce_safe(base)  # no explicit repartition
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        assert table._plan_coalesce_safe(base)  # nothing to protect against
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
