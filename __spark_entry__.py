@@ -826,8 +826,8 @@ def q_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     import datetime
 
-    lo = datetime.datetime(2024, 1, 22)
-    hi = datetime.datetime(2024, 1, 26)
+    lo = datetime.datetime(2024, 1, 28)
+    hi = datetime.datetime(2024, 1, 31)
     return (
         table.scan("ts", lo=lo, hi=hi)
         .filter(F.col("op") != "delete")
@@ -1442,8 +1442,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, op_seq, round(value, 4) AS value, ts
             FROM w
             WHERE rn = 1 AND op <> 'delete'
-              AND ts BETWEEN TIMESTAMP '2024-01-22 00:00:00'
-                         AND TIMESTAMP '2024-01-26 00:00:00'
+              AND ts BETWEEN TIMESTAMP '2024-01-28 00:00:00'
+                         AND TIMESTAMP '2024-01-31 00:00:00'
         """,
         "stats_json": """
             SELECT event_type,

@@ -20,19 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_ARROW_FIELDS = {
-    "offset": pa.int64(),
-    "partition_id": pa.int32(),
-    "op": pa.string(),
-    "op_seq": pa.int64(),
-    "conv_id": pa.string(),
-    "turn_idx": pa.int32(),
-    "role": pa.string(),
-    "text": pa.string(),
-    "tool": pa.string(),
-    "ts": pa.timestamp("us"),
-    "schema_ver": pa.int32(),
-}
+from nifi_dicom_spark.model import ARROW_WIRE_FIELDS as _ARROW_FIELDS
 
 _EPOCH0 = np.datetime64("2024-01-01T00:00:00", "us")
 

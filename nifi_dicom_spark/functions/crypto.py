@@ -156,11 +156,17 @@ def encrypt_payload(
 ) -> Column:
     """BinaryType → BinaryType AES envelope (Arrow-batched).
 
-    Pass ``identity`` (any column uniquely identifying the row, e.g.
+    Pass ``identity`` (a column UNIQUE per row, e.g.
     ``F.concat_ws("|", "conv_id", "turn_idx")``) to key the IV by row
     identity (v3 envelopes — no cross-row plaintext-equality disclosure).
-    Without it, v2 envelopes are emitted (plaintext-derived IV: equal
-    plaintexts ⇒ equal envelopes)."""
+    Rows whose identity is NULL fall back to the v2 plaintext-derived IV
+    for that row (a constant IV for all null-identity rows would be WORSE
+    than v2: CBC with equal key+IV reveals common plaintext prefixes, not
+    just whole-value equality). The same prefix-disclosure applies if the
+    identity column is not actually unique — rows SHARING an identity value
+    share an IV — so derive it from the row's key. Without ``identity``,
+    v2 envelopes are emitted (plaintext-derived IV: equal plaintexts ⇒
+    equal envelopes)."""
     c = F.col(col) if isinstance(col, str) else col
     if identity is None:
 
@@ -183,7 +189,11 @@ def encrypt_payload(
                 None
                 if p is None
                 else _encrypt_one(
-                    password, bytes(p), (i if i is not None else "").encode()
+                    password,
+                    bytes(p),
+                    # null identity → per-row v2 fallback (plaintext IV),
+                    # never a shared constant IV
+                    i.encode() if i is not None else None,
                 )
                 for p, i in zip(s, ids)
             ]

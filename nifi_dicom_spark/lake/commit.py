@@ -132,7 +132,19 @@ class PosixCommitBackend(CommitBackend):
     # -- protocol ----------------------------------------------------------
 
     def initialize(self) -> None:
-        os.makedirs(self.meta_dir, exist_ok=False)
+        try:
+            os.makedirs(self.meta_dir, exist_ok=False)
+            return
+        except FileExistsError:
+            if os.path.exists(os.path.join(self.meta_dir, "CURRENT")):
+                raise  # a committed table lives here
+            # a writer that died DURING create (v0.json published, CURRENT
+            # never flipped) leaves a meta dir with only orphans — the one
+            # crash window "ahead of CURRENT" repair can't see because there
+            # is no CURRENT. Age-guarded repair, then proceed if empty.
+            self._repair_ahead_of(-1)
+            if any(_MANIFEST_RE.match(fn) for fn in os.listdir(self.meta_dir)):
+                raise  # fresh manifest: possibly a LIVE creator mid-flip
 
     def _publish(self, version: int, payload: bytes) -> None:
         """One O_EXCL create + CURRENT flip; FileExistsError if v exists."""
@@ -178,8 +190,18 @@ class PosixCommitBackend(CommitBackend):
 
     def repair(self) -> int:
         """Remove manifests ahead of CURRENT (known-dead writers), skipping
-        any younger than ``orphan_age_s`` (possibly a live writer mid-flip)."""
-        cur = self.current_version()
+        any younger than ``orphan_age_s`` (possibly a live writer mid-flip).
+        A table with manifests but NO CURRENT (writer died during create)
+        treats every manifest as an orphan — never raises, so
+        :meth:`try_commit`'s repair-and-retry keeps its returns-False
+        contract even in that state."""
+        try:
+            cur = self.current_version()
+        except TableNotFoundError:
+            cur = -1
+        return self._repair_ahead_of(cur)
+
+    def _repair_ahead_of(self, cur: int) -> int:
         removed = 0
         now = time.time()
         for fn in os.listdir(self.meta_dir):

@@ -415,6 +415,34 @@ class SnapshotTable:
             return None  # binary stats not supported
         return v
 
+    def _enc_bound(self, v, dtype: T.DataType):
+        """Encode a user-supplied scan bound into the footer-stats domain.
+
+        Footer stats of TimestampType columns are UTC instants (parquet
+        ``isAdjustedToUTC``), while the Spark filter interprets a NAIVE
+        datetime/string literal in ``spark.sql.session.timeZone`` — so the
+        bound must be localized to the session zone and converted to a
+        UTC-naive instant before comparing against the encoded stats, or a
+        non-UTC session would prune files the filter keeps (silent row
+        loss). tz-aware bounds convert directly; string bounds for
+        timestamp columns parse the way the filter's implicit cast does.
+        TimestampNTZ stats and bounds are both wall times — no conversion."""
+        import pandas as _pd
+
+        if isinstance(dtype, T.TimestampType):
+            t = _pd.Timestamp(v)
+            if t.tzinfo is None:
+                tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+                t = t.tz_localize(tz)
+            t = t.tz_convert("UTC").tz_localize(None)
+            return t.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        if isinstance(dtype, T.TimestampNTZType):
+            t = _pd.Timestamp(v)
+            if t.tzinfo is not None:
+                t = t.tz_convert("UTC").tz_localize(None)
+            return t.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        return self._enc_stat(v)
+
     def _footer_stats(
         self, files: dict[str, list[str]], cols: list[str]
     ) -> dict[str, dict[str, list]]:
@@ -487,10 +515,11 @@ class SnapshotTable:
             rels = list(m.get("files", {}).get(b, [])) + list(
                 m.get("delta_files", {}).get(b, [])
             )
-            hits = [rel for rel in rels if in_range(rel)]
+            hits, misses = [], []
+            for rel in rels:
+                (hits if in_range(rel) else misses).append(rel)
             if not hits:
                 continue  # whole bucket out of range: no key can win in-range
-            misses = [rel for rel in rels if rel not in set(hits)]
             full.extend(hits)
             slim.extend(misses)
         return full, slim
@@ -531,8 +560,13 @@ class SnapshotTable:
             )
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        elo = self._enc_stat(lo) if lo is not None else None
-        ehi = self._enc_stat(hi) if hi is not None else None
+        ptype = next(
+            (f.dataType for f in schema.fields if f.name == predicate_col), None
+        )
+        if ptype is None:
+            raise ValueError(f"unknown scan column {predicate_col!r}")
+        elo = self._enc_bound(lo, ptype) if lo is not None else None
+        ehi = self._enc_bound(hi, ptype) if hi is not None else None
         full_rels, slim_rels = self._split_scan_files(m, predicate_col, elo, ehi)
         names = set(schema.fieldNames())
         key_cols = m["key_cols"]
@@ -592,8 +626,14 @@ class SnapshotTable:
         """Pruning-effectiveness probe: how many data files a
         :meth:`scan` would read fully, version-columns-only, or skip."""
         m = self.manifest(version)
-        elo = self._enc_stat(lo) if lo is not None else None
-        ehi = self._enc_stat(hi) if hi is not None else None
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        ptype = next(
+            (f.dataType for f in schema.fields if f.name == predicate_col), None
+        )
+        if ptype is None:
+            raise ValueError(f"unknown scan column {predicate_col!r}")
+        elo = self._enc_bound(lo, ptype) if lo is not None else None
+        ehi = self._enc_bound(hi, ptype) if hi is not None else None
         full, slim = self._split_scan_files(m, predicate_col, elo, ehi)
         total = sum(
             len(rels)

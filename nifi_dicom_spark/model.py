@@ -18,6 +18,7 @@ Reference analogs (SURVEY.md §1):
 
 from __future__ import annotations
 
+import pyarrow as pa
 from pyspark.sql import types as T
 
 # --- target table ----------------------------------------------------------
@@ -66,6 +67,26 @@ CHANGE_EVENTS_SCHEMA = T.StructType(
 )
 
 EVENT_META_COLUMNS = ["offset", "partition_id", "op", "op_seq", "schema_ver"]
+
+#: Arrow types of the change-event WIRE format — the single source of truth
+#: for every single-file parquet writer of event logs (fixture generator,
+#: the streaming requeue path). Kept next to CHANGE_EVENTS_SCHEMA so the
+#: Spark and Arrow views of the wire schema cannot drift apart. Explicit
+#: types matter: an all-null string column written from pandas without a
+#: schema becomes a null-typed parquet column that readers reject.
+ARROW_WIRE_FIELDS = {
+    "offset": pa.int64(),
+    "partition_id": pa.int32(),
+    "op": pa.string(),
+    "op_seq": pa.int64(),
+    "conv_id": pa.string(),
+    "turn_idx": pa.int32(),
+    "role": pa.string(),
+    "text": pa.string(),
+    "tool": pa.string(),
+    "ts": pa.timestamp("us"),
+    "schema_ver": pa.int32(),
+}
 
 
 def validate_event_schema(schema: T.StructType) -> list[str]:

@@ -152,7 +152,7 @@ class CDCPipeline:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            from nifi_dicom_spark.fixtures.generator import _ARROW_FIELDS
+            from nifi_dicom_spark.model import ARROW_WIRE_FIELDS
 
             out = os.path.join(
                 self.events_dir, f"retry-{uuid.uuid4().hex[:8]}.{self.fmt}"
@@ -160,7 +160,7 @@ class CDCPipeline:
             if self.fmt == "json":
                 pdf.to_json(out, orient="records", lines=True, date_format="iso")
             else:
-                schema = pa.schema([(c, _ARROW_FIELDS[c]) for c in pdf.columns])
+                schema = pa.schema([(c, ARROW_WIRE_FIELDS[c]) for c in pdf.columns])
                 pq.write_table(
                     pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
                     out,

@@ -103,6 +103,33 @@ def test_posix_fresh_orphan_is_protected_by_age_guard(tmp_path):
     assert b"live-writer" in be.load_manifest(1)
 
 
+def test_posix_crashed_create_is_recoverable(tmp_path):
+    """A writer dying between publishing v0.json and flipping CURRENT is the
+    one orphan 'ahead of CURRENT' repair can't see (there is no CURRENT);
+    a fresh create must repair the aged orphan and proceed instead of
+    wedging the location forever."""
+    meta = str(tmp_path / "meta")
+    os.makedirs(meta)
+    orphan = os.path.join(meta, "v0.json")
+    fd = os.open(orphan, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, b'{"version": 0, "by": "dead-creator"}')
+    os.close(fd)
+    os.utime(orphan, (1, 1))  # aged past the guard
+    be = PosixCommitBackend(meta)
+    assert be.repair() == 1  # repair() itself must not raise without CURRENT
+    be2 = PosixCommitBackend(meta)
+    be2.initialize()  # no CURRENT + no surviving manifests → reusable
+    assert be2.try_commit(0, b'{"version": 0, "by": "second-creator"}')
+    assert be2.current_version() == 0
+    # but a FRESH orphan (live creator mid-flip) is still protected
+    meta3 = str(tmp_path / "meta3")
+    os.makedirs(meta3)
+    with open(os.path.join(meta3, "v0.json"), "wb") as f:
+        f.write(b'{"version": 0, "by": "live-creator"}')  # fresh mtime
+    with pytest.raises(FileExistsError):
+        PosixCommitBackend(meta3, orphan_age_s=3600).initialize()
+
+
 # ----------------------------------------------------- conditional-put store
 
 

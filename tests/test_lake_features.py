@@ -180,6 +180,55 @@ def test_rebucket_layout_evolution(spark, tmp_path):
     assert read_final_state(table).filter("text like 'e2-%'").count() > 0
 
 
+def test_scan_pruning_correct_under_non_utc_session(spark, tmp_path):
+    """Footer stats are UTC instants but the Spark filter interprets naive
+    bounds in the SESSION time zone — the pruning must localize bounds the
+    same way or in-range files get silently dropped in non-UTC sessions."""
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for e in range(3):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "Asia/Tokyo")
+    try:
+        # naive bounds, interpreted in Tokyo by BOTH the filter and the
+        # pruning — 09:00 Tokyo = midnight UTC, so the UTC-encoded stats
+        # would mis-prune without localization
+        lo, hi = "2024-01-02 09:00:00", "2024-01-03 08:59:59"
+        got = table.scan("ts", lo=lo, hi=hi)
+        exp = table.read().filter(f"ts >= '{lo}' AND ts <= '{hi}'")
+        assert got.count() == exp.count() > 0
+        assert _sorted_rows(got.drop("ts")) == _sorted_rows(exp.drop("ts"))
+    finally:
+        spark.conf.set(tz_key, prev)
+
+
+def test_encrypt_null_identity_falls_back_to_v2(spark):
+    """A NULL row identity must not collapse to a shared constant IV (CBC
+    prefix oracle) — it falls back to the per-row v2 plaintext-derived IV."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nifi_dicom_spark.functions.crypto import decrypt_payload, encrypt_payload
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "t": ["alpha", "beta", "gamma"]})
+    ).select(
+        "id",
+        F.encode("t", "UTF-8").alias("p"),
+        F.when(F.col("id") == 1, F.col("id").cast("string")).alias("ident"),
+    )
+    enc = df.withColumn("env", encrypt_payload("p", "pw", identity=F.col("ident")))
+    rows = {r["id"]: bytes(r["env"]) for r in enc.collect()}
+    assert rows[1][:4] == b"NDS3"  # identity present → v3
+    assert rows[2][:4] == b"NDS2" and rows[3][:4] == b"NDS2"  # null → v2
+    # distinct plaintexts under null identity → distinct IVs (no shared IV)
+    assert rows[2][20:36] != rows[3][20:36]
+    back = enc.withColumn("b", decrypt_payload("env", "pw")).collect()
+    assert all(bytes(r["b"]) == bytes(r["p"]) for r in back)
+
+
 def test_table_changes_prunes_to_changed_buckets(spark, tmp_path):
     """CDC read side at scale: the changelog diff runs over only the buckets
     whose file sets differ between the two manifests, and still produces
