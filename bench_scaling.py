@@ -302,7 +302,12 @@ node):
   read or rewritten per epoch (merge-on-read). Dictionary-encoding
   `role`/`tool` was measured and rejected: they are ~12 of ~140 payload
   bytes/row (~6%) — `text` (~80 B avg) dominates, and it cannot be
-  dictionary-encoded.
+  dictionary-encoded. Off-heap Tungsten memory
+  (`spark.memory.offHeap.enabled`, 3g/executor) was measured this round and
+  is NEUTRAL within noise (N best-steady 5.49 s on-heap vs 5.68 s off-heap;
+  4N 4.07 vs 4.39 over 2 alternated runs/config) — expected: off-heap moves
+  Tungsten buffers out of the JVM heap but through the same saturated DRAM;
+  GC was already tamed by ParallelGC + pre-touch.
 * On a real N→4N **executor** scale-out, each added executor brings its own
   socket, caches, and memory bandwidth — precisely the resource that is
   shared (and saturated) in this proxy. The 0.80 ALU scaling + the 0.28

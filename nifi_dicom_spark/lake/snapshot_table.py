@@ -12,7 +12,10 @@ insert-if-absent at ``DatabaseInformationModel.java:805-892``):
    :class:`~nifi_dicom_spark.lake.commit.CommitBackend` (POSIX
    ``O_EXCL``+rename by default; a conditional-put backend for object
    stores — see ``commit.py`` for the contract). Readers never see partial
-   commits.
+   commits. Merge commits are **optimistically concurrent**: a lost race
+   triggers validate-and-rebase (Iceberg retry semantics) — writers over
+   disjoint buckets all succeed, serialized into consecutive versions;
+   overlapping writers get :class:`ConcurrentWriteConflict` and re-merge.
 2. **MERGE semantics.** ``merge()`` implements
    ``WHEN MATCHED [AND op='delete'] THEN DELETE / UPDATE, WHEN NOT MATCHED
    THEN INSERT`` via copy-on-write of only the *touched* key-buckets.
@@ -72,6 +75,12 @@ from nifi_dicom_spark.operators.reconcile import conform_to_schema, evolve_schem
 
 class VersionVacuumedError(RuntimeError):
     """The requested version's data files were removed by ``vacuum()``."""
+
+
+class ConcurrentWriteConflict(CommitConflict):
+    """Another writer's commit touched the same buckets (or replayed the
+    same commit keys) while this merge was in flight — the rebase
+    validation failed, so the caller must re-read and re-merge."""
 
 
 class LedgerRegression(RuntimeError):
@@ -980,72 +989,145 @@ class SnapshotTable:
         policy: str,
         skipped: int,
         delta: bool = False,
+        max_commit_retries: int = 3,
     ) -> MergeStats:
-        # carry over untouched buckets; replace (cow) or extend (mor delta)
-        # ONLY touched ones. The write may emit files for buckets outside the
-        # touched set (Spark always materializes shuffle partition 0,
-        # possibly empty) — registering those would corrupt an untouched
-        # bucket's manifest entry; they are discarded here.
-        touched_set = set(touched)
-        files = dict(m["files"])
-        deltas = {b: list(v) for b, v in m.get("delta_files", {}).items()}
-        kept = {b: rels for b, rels in new_files.items() if int(b) in touched_set}
-        if delta:
-            for b, rels in kept.items():
-                deltas.setdefault(b, []).extend(rels)
-        else:
-            for b in touched:
-                files.pop(str(b), None)
-                deltas.pop(str(b), None)
-            files.update(kept)
+        """Build and publish the post-merge manifest, with **optimistic
+        validate-and-rebase** on commit races (the Iceberg retry semantics):
+        a lost commit does NOT invalidate our already-written bucket files —
+        only the manifest pointer. If the winner's commit left our touched
+        buckets' file sets untouched and did not replay our commit keys, the
+        new manifest is rebuilt on top of the winner's (their files + our
+        bucket replacements/extensions, schemas merged, ledger watermarks
+        merged) and the commit retried — concurrent writers over DISJOINT
+        buckets all succeed, serialized into consecutive versions. A winner
+        that touched our buckets (same keys) or advanced our commit keys
+        raises :class:`ConcurrentWriteConflict`: re-read and re-merge."""
 
-        hw = self._hw(m)
-        if commit_keys:
-            for e, p in commit_keys:
-                k = str(int(p))
-                if int(e) > hw.get(k, -(10**18)):
-                    hw[k] = int(e)
+        def build(base: dict, schema: T.StructType) -> dict:
+            # carry over untouched buckets; replace (cow) or extend (mor
+            # delta) ONLY touched ones. The write may emit files for buckets
+            # outside the touched set (Spark always materializes shuffle
+            # partition 0, possibly empty) — registering those would corrupt
+            # an untouched bucket's manifest entry; discard them.
+            touched_set = set(touched)
+            files = dict(base["files"])
+            deltas = {b: list(v) for b, v in base.get("delta_files", {}).items()}
+            kept = {
+                b: rels for b, rels in new_files.items() if int(b) in touched_set
+            }
+            if delta:
+                for b, rels in kept.items():
+                    deltas.setdefault(b, []).extend(rels)
+            else:
+                for b in touched:
+                    files.pop(str(b), None)
+                    deltas.pop(str(b), None)
+                files.update(kept)
 
-        # file stats: keep entries for still-referenced files, add footers of
-        # the newly-kept files (O(touched buckets) metadata reads per commit)
-        referenced = {
-            rel for d in (files, deltas) for rels in d.values() for rel in rels
-        }
-        file_stats = {
-            rel: s
-            for rel, s in m.get("file_stats", {}).items()
-            if rel in referenced
-        }
-        file_stats.update(
-            self._footer_stats(kept, (m.get("props") or {}).get("stats_cols", []))
-        )
+            hw = self._hw(base)
+            if commit_keys:
+                for e, p in commit_keys:
+                    k = str(int(p))
+                    if int(e) > hw.get(k, -(10**18)):
+                        hw[k] = int(e)
 
-        new = {
-            "version": m["version"] + 1,
-            "parent": m["version"],
-            "schema": schema.json(),
-            "key_cols": m["key_cols"],
-            "n_buckets": m["n_buckets"],
-            "bucket_fn": m.get("bucket_fn", "xxhash64"),
-            "files": files,
-            "delta_files": deltas,
-            "applied_hw": hw,
-            "props": m["props"],
-            "file_stats": file_stats,
-            "summary": {
-                "operation": "merge",
-                "policy": policy,
-                "mode": "mor" if delta else "cow",
-                "touched_buckets": len(touched),
-            },
-        }
-        self._try_commit(new)
-        return MergeStats(
-            new["version"],
-            len(touched),
-            skipped,
-            applied=True,
-            mode="mor" if delta else "cow",
+            # file stats: keep entries for still-referenced files, add
+            # footers of the newly-kept files (O(touched) metadata reads)
+            referenced = {
+                rel for d in (files, deltas) for rels in d.values() for rel in rels
+            }
+            file_stats = {
+                rel: s
+                for rel, s in base.get("file_stats", {}).items()
+                if rel in referenced
+            }
+            file_stats.update(
+                self._footer_stats(
+                    kept, (base.get("props") or {}).get("stats_cols", [])
+                )
+            )
+            return {
+                "version": base["version"] + 1,
+                "parent": base["version"],
+                "schema": schema.json(),
+                "key_cols": base["key_cols"],
+                "n_buckets": base["n_buckets"],
+                "bucket_fn": base.get("bucket_fn", "xxhash64"),
+                "files": files,
+                "delta_files": deltas,
+                "applied_hw": hw,
+                "props": base["props"],
+                "file_stats": file_stats,
+                "summary": {
+                    "operation": "merge",
+                    "policy": policy,
+                    "mode": "mor" if delta else "cow",
+                    "touched_buckets": len(touched),
+                },
+            }
+
+        def bucket_sig(mf: dict, b: int):
+            return (
+                tuple(mf.get("files", {}).get(str(b), [])),
+                tuple(mf.get("delta_files", {}).get(str(b), [])),
+            )
+
+        new = build(m, schema)
+        for _ in range(max_commit_retries):
+            try:
+                self._try_commit(new)
+                return MergeStats(
+                    new["version"],
+                    len(touched),
+                    skipped,
+                    applied=True,
+                    mode="mor" if delta else "cow",
+                )
+            except CommitConflict:
+                cur = self.manifest()
+                # validation 1: the winner must not have changed the bucket
+                # LAYOUT (rebucket) — our files were written for m's layout
+                if cur.get("n_buckets") != m.get("n_buckets") or cur.get(
+                    "bucket_fn"
+                ) != m.get("bucket_fn"):
+                    raise ConcurrentWriteConflict(
+                        "bucket layout changed concurrently (rebucket); re-merge"
+                    ) from None
+                # validation 2: our touched buckets untouched by the winner
+                # (our reduce read m's view of them — a concurrent change
+                # there means our output is stale)
+                dirty = [
+                    b for b in touched if bucket_sig(cur, b) != bucket_sig(m, b)
+                ]
+                if dirty:
+                    raise ConcurrentWriteConflict(
+                        f"concurrent commit touched bucket(s) {dirty}; re-merge"
+                    ) from None
+                # validation 3: nobody replayed our commit keys (a second
+                # writer applying the same epochs violates the idempotency
+                # contract — skipping here would silently drop OUR data)
+                if commit_keys:
+                    cur_hw = self._hw(cur)
+                    clashed = [
+                        (int(e), int(p))
+                        for e, p in commit_keys
+                        if int(e) <= cur_hw.get(str(int(p)), -(10**18))
+                    ]
+                    if clashed:
+                        raise ConcurrentWriteConflict(
+                            f"commit keys {clashed} already applied by a "
+                            "concurrent writer"
+                        ) from None
+                # rebase: rebuild on the winner's manifest; schemas merge
+                # (their evolution ∪ ours — our files read through it with
+                # missing columns as nulls)
+                m = cur
+                schema = evolve_schema(
+                    T.StructType.fromJson(json.loads(cur["schema"])), schema
+                )
+                new = build(m, schema)
+        raise CommitConflict(
+            f"lost {max_commit_retries} consecutive commit races; giving up"
         )
 
     def compact(

@@ -256,6 +256,173 @@ def test_commit_conflict_surfaces_from_snapshot_table(spark, tmp_path):
         table._try_commit(stolen)
 
 
+# --------------------------------------------------- optimistic concurrency
+
+
+def _mini_table(spark, path, n_buckets=8):
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    return (
+        SnapshotTable.create(spark, path, schema, key_cols=["k"], n_buckets=n_buckets),
+        schema,
+    )
+
+
+def _rows(spark, schema, keys, tag, seq=1):
+    return spark.createDataFrame(
+        [(k, "update", seq, i, f"{tag}-{k}") for i, k in enumerate(keys)],
+        schema=schema,
+    )
+
+
+def _keys_by_bucket(spark, n_buckets, want=2):
+    """Distinct murmur3 buckets → one key each (driver-side probe)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.range(200)
+        .select(
+            F.concat(F.lit("key-"), F.col("id")).alias("k"),
+            F.pmod(F.hash(F.concat(F.lit("key-"), F.col("id"))), n_buckets).alias("b"),
+        )
+        .collect()
+    )
+    seen: dict[int, str] = {}
+    for r in rows:
+        seen.setdefault(r["b"], r["k"])
+        if len(seen) >= want:
+            break
+    buckets = list(seen)
+    return [seen[b] for b in buckets[:want]], buckets[:want]
+
+
+def test_concurrent_disjoint_merges_validate_and_rebase(spark, tmp_path):
+    """Two writers racing commits over DISJOINT buckets both succeed: the
+    loser's bucket files stay valid, its manifest is rebuilt on the
+    winner's (validate-and-rebase), and the commits serialize into
+    consecutive versions — the Iceberg optimistic-retry semantics."""
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    table, schema = _mini_table(spark, str(tmp_path / "t"))
+    (k_a, k_b), _ = _keys_by_bucket(spark, 8, want=2)
+
+    competitor = SnapshotTable(spark, table.path)  # second handle, same table
+    injected = {"done": False}
+
+    class RacingTable(SnapshotTable):
+        def _try_commit(self, manifest):
+            if not injected["done"]:
+                injected["done"] = True
+                # another writer commits to a DIFFERENT bucket between our
+                # manifest read and our commit
+                competitor.merge(
+                    _rows(spark, schema, [k_b], "writer-b"),
+                    policy="versioned_upsert",
+                    commit_keys=[(1, 1)],
+                )
+            return super()._try_commit(manifest)
+
+    racer = RacingTable(spark, table.path)
+    stats = racer.merge(
+        _rows(spark, schema, [k_a], "writer-a"),
+        policy="versioned_upsert",
+        commit_keys=[(1, 0)],
+    )
+    assert stats.applied
+    final = {r["k"]: r["v"] for r in table.read().collect()}
+    assert final == {k_a: f"writer-a-{k_a}", k_b: f"writer-b-{k_b}"}
+    # both commits landed as consecutive versions; ledger merged
+    assert table.current_version() == 2
+    assert table.applied_watermarks() == {0: 1, 1: 1}
+
+
+def test_concurrent_same_bucket_merge_conflicts(spark, tmp_path):
+    """A racing commit that touched OUR bucket invalidates the in-flight
+    reduce — the loser must get ConcurrentWriteConflict, never silently
+    clobber the winner's rows."""
+    import pytest as _pytest
+
+    from nifi_dicom_spark.lake.snapshot_table import (
+        ConcurrentWriteConflict,
+        SnapshotTable,
+    )
+
+    table, schema = _mini_table(spark, str(tmp_path / "t"))
+    (k_a, _k_b), _ = _keys_by_bucket(spark, 8, want=2)
+    competitor = SnapshotTable(spark, table.path)
+    injected = {"done": False}
+
+    class RacingTable(SnapshotTable):
+        def _try_commit(self, manifest):
+            if not injected["done"]:
+                injected["done"] = True
+                competitor.merge(
+                    _rows(spark, schema, [k_a], "writer-b", seq=9),
+                    policy="versioned_upsert",
+                )
+            return super()._try_commit(manifest)
+
+    racer = RacingTable(spark, table.path)
+    with _pytest.raises(ConcurrentWriteConflict, match="bucket"):
+        racer.merge(
+            _rows(spark, schema, [k_a], "writer-a"), policy="versioned_upsert"
+        )
+    # the winner's data is intact; a plain re-merge then applies cleanly
+    assert {r["v"] for r in table.read().collect()} == {f"writer-b-{k_a}"}
+    table.merge(
+        _rows(spark, schema, [k_a], "writer-a", seq=10), policy="versioned_upsert"
+    )
+    assert {r["v"] for r in table.read().collect()} == {f"writer-a-{k_a}"}
+
+
+def test_concurrent_commit_key_replay_conflicts(spark, tmp_path):
+    """A racer that applied OUR commit keys (second writer violating the
+    single-writer stream contract) must surface as a conflict, not a silent
+    'already applied' skip that drops our different data."""
+    import pytest as _pytest
+
+    from nifi_dicom_spark.lake.snapshot_table import (
+        ConcurrentWriteConflict,
+        SnapshotTable,
+    )
+
+    table, schema = _mini_table(spark, str(tmp_path / "t"))
+    (k_a, k_b), _ = _keys_by_bucket(spark, 8, want=2)
+    competitor = SnapshotTable(spark, table.path)
+    injected = {"done": False}
+
+    class RacingTable(SnapshotTable):
+        def _try_commit(self, manifest):
+            if not injected["done"]:
+                injected["done"] = True
+                # different bucket, but SAME (epoch, partition) commit key
+                competitor.merge(
+                    _rows(spark, schema, [k_b], "writer-b"),
+                    policy="versioned_upsert",
+                    commit_keys=[(5, 0)],
+                )
+            return super()._try_commit(manifest)
+
+    racer = RacingTable(spark, table.path)
+    with _pytest.raises(ConcurrentWriteConflict, match="commit keys"):
+        racer.merge(
+            _rows(spark, schema, [k_a], "writer-a"),
+            policy="versioned_upsert",
+            commit_keys=[(5, 0)],
+        )
+
+
 # ------------------------------------------------------------- vacuum guard
 
 
