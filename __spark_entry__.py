@@ -576,6 +576,76 @@ def _png_decode_oracle() -> str:
     """
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode through the multimodal path: the same
+    deterministic test pattern as ``png_decode`` is encoded with the
+    from-scratch JPEG encoder (Huffman + DCT, 4:4:4, q90) inside an Arrow
+    batch, then ``extract_features`` entropy-decodes it — decoded
+    width/height, the grayscale band feature OF THE LOSSY DECODE and the
+    exact container size replay bit-for-bit in a Python-generated oracle
+    (both sides run the identical pure-numpy codec)."""
+    from nifi_dicom_spark.functions.multimodal import extract_features
+
+    @F.pandas_udf("binary")
+    def make_jpeg(ids: pd.Series) -> pd.Series:
+        from nifi_dicom_spark.functions.jpeg import encode_jpeg
+
+        out = []
+        for i in ids:
+            w, h = _png_dims(int(i))
+            out.append(encode_jpeg(_synth_rgb(int(i), w, h), quality=90))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        make_jpeg("doc_id").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+        )
+        .alias("meta"),
+    )
+    feats = extract_features(media, dim=4)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("band0"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def _jpeg_decode_oracle() -> str:
+    """Replay synthesize→encode→decode in Python with the same codec over
+    the same doc_ids and inline the expected rows (cf. png_decode)."""
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions.codecs import image_block_features
+    from nifi_dicom_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for i in ids:
+        w, h = _png_dims(int(i))
+        payload = encode_jpeg(_synth_rgb(int(i), w, h), quality=90)
+        band0 = float(image_block_features(decode_jpeg(payload), 4)[0])
+        rows.append(f"({int(i)}, {w}, {h}, {band0!r}, {len(payload)})")
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               round(band0, 6) AS band0, CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES {values}) AS t(media_id, width, height, band0, n_bytes)
+    """
+
+
 def q_attr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 all-tags mode: every attribute stringified (200-char cap, W4) and
     emitted as (id, attr, value) rows — explode(map_entries)."""
@@ -913,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "png_decode": q_png_decode,
+        "jpeg_decode": q_jpeg_decode,
         "attr_explode": q_attr_explode,
         "path_build": q_path_build,
         "expr_lang": q_expr_lang,
@@ -1407,6 +1478,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "person_match": _person_match_oracle(),
         "png_decode": _png_decode_oracle(),
+        "jpeg_decode": _jpeg_decode_oracle(),
         "nested_deidentify": """
             SELECT user_id, event_id,
                    md5(event_type) AS event_type_remapped,

@@ -15,8 +15,9 @@ container formats are fully decodable with stdlib + numpy alone:
   (gray replicated, alpha dropped).
 
 Encoders exist for round-trip tests and for re-emitting resized images
-(PNG encoder: filter 0 + zlib, color type 2). Formats whose entropy coders
-genuinely need external libs (JPEG/MP3/MP4) still fall back to the declared
+(PNG encoder: filter 0 + zlib, color type 2). Baseline JPEG lives in its
+own module (:mod:`nifi_dicom_spark.functions.jpeg` — Huffman entropy
+coding, DCT, subsampling). Only MP3/MP4 still fall back to the declared
 deterministic stub in :mod:`nifi_dicom_spark.functions.multimodal` — the
 Spark-side plumbing is identical either way.
 

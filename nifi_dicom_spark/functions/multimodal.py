@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-Decode is REAL for the formats a from-scratch engine can own: WAV (PCM) and
-BMP (24-bit) payloads are parsed by the pure-numpy codecs in
-:mod:`nifi_dicom_spark.functions.codecs` and yield genuine features (RMS
-energy windows, grayscale band means) and genuine resizes. Compressed
-formats (JPEG/PNG/MP3/MP4 — whose entropy coders need external libs absent
-from this container) fall back to a deterministic, clearly-marked stub. The
+Decode is REAL for every image format plus PCM audio: WAV, BMP and PNG are
+parsed by the pure-stdlib+numpy codecs in
+:mod:`nifi_dicom_spark.functions.codecs`, baseline JPEG by the from-scratch
+entropy/DCT codec in :mod:`nifi_dicom_spark.functions.jpeg`; they yield
+genuine features (RMS energy windows, grayscale band means), genuine
+decoded dimensions and genuine resizes. Only MP3/MP4 (psychoacoustic audio
+/ video codec stacks, genuinely out of scope for an analytics engine
+without external libs) fall back to a deterministic, clearly-marked stub. The
 Spark-side plumbing is identical and fully tested either way: schema
 (binary payload + typed metadata struct), Arrow-batched ``mapInPandas``
 transforms, partition-size control for fat binary rows.
@@ -65,8 +67,9 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB for decoders of compressed formats (JPEG/PNG/MP3/MP4), whose
-    entropy coders require libs absent from this container.
+    """STUB for the remaining undecodable formats (MP3/MP4 — their
+    psychoacoustic/entropy stacks are genuinely out of scope without
+    external libs; WAV/BMP/PNG/baseline-JPEG decode for real).
 
     Deterministic fake: sha256-seeded pseudo-feature so tests are stable.
     Replace the body with the real decode + model features in production;
@@ -97,6 +100,11 @@ def _decode_feature(
             return codecs.image_block_features(img, dim), img.shape[1], img.shape[0]
         if codecs.is_png(payload):
             img = codecs.decode_png(payload)
+            return codecs.image_block_features(img, dim), img.shape[1], img.shape[0]
+        from nifi_dicom_spark.functions import jpeg
+
+        if jpeg.is_jpeg(payload):
+            img = jpeg.decode_jpeg(payload)
             return codecs.image_block_features(img, dim), img.shape[1], img.shape[0]
     except Exception:
         pass  # unsupported variant / corrupt container → stub path
@@ -156,6 +164,15 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                         decoded, encode, mime = (
                             codecs.decode_png(raw), codecs.encode_png, "image/png"
                         )
+                    else:
+                        from nifi_dicom_spark.functions import jpeg
+
+                        if jpeg.is_jpeg(raw):
+                            decoded, encode, mime = (
+                                jpeg.decode_jpeg(raw),
+                                jpeg.encode_jpeg,
+                                "image/jpeg",
+                            )
                 except Exception:
                     decoded = None  # unsupported variant → passthrough
                 if decoded is not None:
