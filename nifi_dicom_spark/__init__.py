@@ -18,4 +18,4 @@ The reference's behaviors are mapped operator-by-operator in SURVEY.md §2; each
 module cites the reference file:line it draws semantics from.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
