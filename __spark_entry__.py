@@ -646,6 +646,222 @@ def _jpeg_decode_oracle() -> str:
     """
 
 
+def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic (kind, payload) per doc cycling all 7 container
+    formats — the single source of truth for both the Spark pandas_udf and
+    the oracle replay, so probe results are byte-identical by construction."""
+    import numpy as np
+
+    from nifi_dicom_spark.functions import codecs, jpeg, mp3, mp4
+
+    i = int(doc_id)
+    w, h = _png_dims(i)
+    slot = i % 7
+    if slot == 0:
+        n = i % 64 + 8
+        t = np.arange(n) / 8000.0
+        sig = (0.25 * np.sin(2 * np.pi * (200 + i % 100) * t)).astype(np.float32)
+        return "audio", codecs.encode_wav(sig, 8000)
+    if slot == 1:
+        return "image", codecs.encode_bmp(_synth_rgb(i, w, h))
+    if slot == 2:
+        return "image", codecs.encode_png(_synth_rgb(i, w, h))
+    if slot == 3:
+        return "image", jpeg.encode_jpeg(_synth_rgb(i, w, h), quality=90)
+    if slot == 4:
+        import hashlib as _hl
+
+        samples = [
+            _hl.md5(f"{i}:{s}".encode()).digest() * (s % 3 + 1)
+            for s in range(i % 5 + 1)
+        ]
+        return "video", mp4.mux_mp4(
+            samples, width=w * 16, height=h * 16, timescale=1000, sample_duration=40
+        )
+    if slot == 5:
+        return "audio", mp3.write_mp3(
+            i % 6 + 2,
+            bitrate_kbps=128,
+            sample_rate=44100,
+            channels=1 if i % 2 else 2,
+            seed=str(i).encode(),
+            xing=i % 3 == 0,
+            id3=b"\x00" * (i % 11) if i % 4 == 0 else None,
+        )
+    import hashlib as _hl
+
+    return "image", _hl.md5(str(i).encode()).digest() * (i % 4 + 1)
+
+
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container identification + header metadata over a mixed-format
+    binary column: WAV/BMP/PNG/JPEG/MP4/MP3 payloads (synthesized
+    deterministically per doc by the from-scratch encoders/muxers) plus an
+    unknown-format slot, probed by the header-only parsers — format, codec,
+    dimensions, sample rate, channels, frame count, duration. The oracle
+    replays the identical synthesize→probe pipeline in Python."""
+    from nifi_dicom_spark.functions.multimodal import probe_media
+
+    @F.pandas_udf("kind string, payload binary")
+    def make_media(ids: pd.Series) -> pd.DataFrame:
+        rows = [_synth_media_payload(int(i)) for i in ids]
+        return pd.DataFrame({"kind": [k for k, _ in rows], "payload": [p for _, p in rows]})
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), make_media("doc_id").alias("m")
+    ).select("media_id", F.col("m.kind").alias("kind"), F.col("m.payload").alias("payload"))
+    return probe_media(media).select(
+        "media_id",
+        "format",
+        "codec",
+        "width",
+        "height",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_ms",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def _media_probe_oracle() -> str:
+    """Replay synthesize→probe in Python over the same doc_ids and inline
+    the expected rows (cf. png_decode)."""
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions.multimodal import probe_one
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    rows = []
+    for i in ids:
+        _kind, payload = _synth_media_payload(int(i))
+        p = probe_one(payload)
+        rows.append(
+            "(%d, %s, %s, %s, %s, %s, %s, %s, %s, %d)"
+            % (
+                int(i),
+                lit(p["format"]),
+                lit(p["codec"]),
+                lit(p["width"]),
+                lit(p["height"]),
+                lit(p["sample_rate"]),
+                lit(p["channels"]),
+                lit(p["n_frames"]),
+                lit(p["duration_ms"]),
+                p["n_bytes"],
+            )
+        )
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, format, codec,
+               CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               CAST(sample_rate AS INT) AS sample_rate,
+               CAST(channels AS INT) AS channels,
+               CAST(n_frames AS INT) AS n_frames,
+               CAST(duration_ms AS BIGINT) AS duration_ms,
+               CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES {values})
+        AS t(media_id, format, codec, width, height, sample_rate, channels,
+             n_frames, duration_ms, n_bytes)
+    """
+
+
+def _synth_mp4_payload(doc_id: int) -> bytes:
+    """Deterministic multi-chunk MP4 per doc (variable sample sizes so the
+    stsc/stco/stsz join is exercised) — shared by query and oracle."""
+    import hashlib as _hl
+
+    from nifi_dicom_spark.functions import mp4
+
+    i = int(doc_id)
+    samples = [
+        _hl.md5(f"f{i}:{s}".encode()).digest() * (s % 4 + 1)
+        for s in range(i % 7 + 3)
+    ]
+    return mp4.mux_mp4(
+        samples,
+        width=160 + i % 16,
+        height=120 + i % 9,
+        timescale=600,
+        sample_duration=25,
+        samples_per_chunk=3,
+    )
+
+
+def q_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: ISO BMFF containers are demuxed by the
+    from-scratch box parser — the stsc×stco×stsz×stts sample-table join
+    yields byte-exact access units; every 2nd frame is emitted with its
+    true size, decode timestamp and the sha256 of the actual frame bytes.
+    The oracle replays mux→demux in Python."""
+    from nifi_dicom_spark.functions.multimodal import sample_frames
+
+    @F.pandas_udf("binary")
+    def make_mp4(ids: pd.Series) -> pd.Series:
+        return pd.Series([_synth_mp4_payload(int(i)) for i in ids])
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        make_mp4("doc_id").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+        )
+        .alias("meta"),
+    )
+    return sample_frames(media, every_n=2).select(
+        "media_id", "frame_idx", "frame_sha", "frame_bytes", "pts_ms"
+    )
+
+
+def _mp4_frames_oracle() -> str:
+    """Replay mux→sample_table→hash in Python over the same doc_ids."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions import mp4
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for i in ids:
+        payload = _synth_mp4_payload(int(i))
+        for s in mp4.sample_table(payload)[::2]:
+            sha = _hl.sha256(mp4.extract_sample(payload, s)).hexdigest()
+            pts_ms = s.pts * 1000 // 600
+            rows.append(f"({int(i)}, {s.index}, '{sha}', {s.size}, {pts_ms})")
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, frame_sha,
+               CAST(frame_bytes AS INT) AS frame_bytes,
+               CAST(pts_ms AS BIGINT) AS pts_ms
+        FROM (VALUES {values})
+        AS t(media_id, frame_idx, frame_sha, frame_bytes, pts_ms)
+    """
+
+
 def q_attr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 all-tags mode: every attribute stringified (200-char cap, W4) and
     emitted as (id, attr, value) rows — explode(map_entries)."""
@@ -984,6 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
+        "media_probe": q_media_probe,
+        "mp4_frames": q_mp4_frames,
         "attr_explode": q_attr_explode,
         "path_build": q_path_build,
         "expr_lang": q_expr_lang,
@@ -1479,6 +1697,8 @@ def oracle_sql() -> dict[str, str]:
         "person_match": _person_match_oracle(),
         "png_decode": _png_decode_oracle(),
         "jpeg_decode": _jpeg_decode_oracle(),
+        "media_probe": _media_probe_oracle(),
+        "mp4_frames": _mp4_frames_oracle(),
         "nested_deidentify": """
             SELECT user_id, event_id,
                    md5(event_type) AS event_type_remapped,

@@ -5,9 +5,13 @@ parsed by the pure-stdlib+numpy codecs in
 :mod:`nifi_dicom_spark.functions.codecs`, baseline JPEG by the from-scratch
 entropy/DCT codec in :mod:`nifi_dicom_spark.functions.jpeg`; they yield
 genuine features (RMS energy windows, grayscale band means), genuine
-decoded dimensions and genuine resizes. Only MP3/MP4 (psychoacoustic audio
-/ video codec stacks, genuinely out of scope for an analytics engine
-without external libs) fall back to a deterministic, clearly-marked stub. The
+decoded dimensions and genuine resizes. MP4 and MP3 are REAL at the
+container/frame level (:mod:`..functions.mp4` box/sample-table demux,
+:mod:`..functions.mp3` frame-header/Xing parse — see ``probe_media`` and
+``sample_frames``); only their compressed *bitstream* payloads
+(H.264/Layer-III entropy stacks, genuinely out of scope without external
+libs) fall back to a deterministic, clearly-marked stub in the feature
+path. The
 Spark-side plumbing is identical and fully tested either way: schema
 (binary payload + typed metadata struct), Arrow-batched ``mapInPandas``
 transforms, partition-size control for fat binary rows.
@@ -23,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
@@ -67,9 +72,11 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB for the remaining undecodable formats (MP3/MP4 — their
-    psychoacoustic/entropy stacks are genuinely out of scope without
-    external libs; WAV/BMP/PNG/baseline-JPEG decode for real).
+    """STUB for the remaining undecodable *bitstreams* (MP3/MP4 spectral
+    payloads — their psychoacoustic/entropy stacks are genuinely out of
+    scope without external libs; WAV/BMP/PNG/baseline-JPEG decode for
+    real, and MP3/MP4 containers demux for real via probe_media /
+    sample_frames).
 
     Deterministic fake: sha256-seeded pseudo-feature so tests are stable.
     Replace the body with the real decode + model features in production;
@@ -201,29 +208,237 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """STUB video frame sampling: emits one row per sampled frame index with
-    deterministic fake frame payloads (real impl: ffmpeg seek+decode)."""
+    """Video frame sampling — REAL for ISO BMFF (MP4) payloads: the
+    container's sample table (stsc×stco×stsz×stts join, resolved by
+    :mod:`nifi_dicom_spark.functions.mp4`) gives byte-exact access units;
+    every ``every_n``-th sample is emitted with its true size, decode
+    timestamp and the sha256 of the actual frame bytes. Non-MP4 payloads
+    keep the declared deterministic stub (meta.n_frames-driven fake
+    hashes); their ``frame_bytes``/``pts_ms`` stay null so the two paths
+    are distinguishable downstream."""
+    from nifi_dicom_spark.functions import mp4
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                n = (r["meta"]["n_frames"] or 0) if r["meta"] is not None else 0
-                for f in range(0, n, every_n):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": f,
-                            "frame_sha": hashlib.sha256(
-                                (r["payload"] or b"") + f.to_bytes(4, "little")
-                            ).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "frame_sha"]
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                demuxed = False
+                if mp4.is_mp4(payload):
+                    try:
+                        meta = mp4.parse_mp4(payload)
+                        track = next(
+                            (t for t in meta["tracks"] if t["kind"] == "video"),
+                            meta["tracks"][0] if meta["tracks"] else None,
+                        )
+                        ts = (track or {}).get("timescale") or meta["timescale"] or 1
+                        for s in mp4.sample_table(payload)[::every_n]:
+                            rows.append(
+                                {
+                                    "media_id": r["media_id"],
+                                    "frame_idx": s.index,
+                                    "frame_sha": hashlib.sha256(
+                                        mp4.extract_sample(payload, s)
+                                    ).hexdigest(),
+                                    "frame_bytes": s.size,
+                                    "pts_ms": s.pts * 1000 // ts,
+                                }
+                            )
+                        demuxed = True
+                    except (ValueError, struct_error):
+                        demuxed = False  # malformed container → stub path
+                if not demuxed:
+                    n = (r["meta"]["n_frames"] or 0) if r["meta"] is not None else 0
+                    for f in range(0, n, every_n):
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "frame_idx": f,
+                                "frame_sha": hashlib.sha256(
+                                    payload + f.to_bytes(4, "little")
+                                ).hexdigest(),
+                                "frame_bytes": None,
+                                "pts_ms": None,
+                            }
+                        )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_sha", "frame_bytes", "pts_ms"],
             )
+            out["frame_bytes"] = out["frame_bytes"].astype("Int32")
+            out["pts_ms"] = out["pts_ms"].astype("Int64")
+            yield out
 
     return media.filter(F.col("kind") == "video").mapInPandas(
         kernel,
-        schema="media_id long, frame_idx int, frame_sha string",
+        schema="media_id long, frame_idx int, frame_sha string,"
+        " frame_bytes int, pts_ms long",
     )
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_bytes", T.IntegerType(), False),
+    ]
+)
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the first SOF marker — a header scan, no
+    entropy decode (the probe must stay cheap on fat payloads)."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+            return w, h
+        pos += 2 + seg_len
+    raise ValueError("no SOF marker")
+
+
+def probe_one(payload: bytes | None) -> dict:
+    """Sniff + header-parse one binary payload into PROBE_SCHEMA fields
+    (sans media_id). Pure function — shared verbatim by the Spark kernel
+    and the oracle replay. Unknown/corrupt payloads probe as
+    format='unknown' rather than raising (one bad row must not kill the
+    job)."""
+    from nifi_dicom_spark.functions import codecs, jpeg, mp3, mp4
+
+    out: dict = {
+        "format": "unknown",
+        "codec": None,
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "channels": None,
+        "n_frames": None,
+        "duration_ms": None,
+        "n_bytes": len(payload or b""),
+    }
+    if not payload:
+        return out
+    try:
+        if codecs.is_wav(payload):
+            # header fields only — fmt chunk + data size, no PCM conversion
+            pos, n = 12, len(payload)
+            fmt, data_len = None, 0
+            while pos + 8 <= n:
+                cid = payload[pos : pos + 4]
+                size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                if cid == b"fmt ":
+                    import struct as _s
+
+                    fmt = _s.unpack_from("<HHIIHH", payload, pos + 8)
+                elif cid == b"data":
+                    data_len = size
+                pos += 8 + size + (size & 1)
+            if fmt is None:
+                raise ValueError("no fmt chunk")
+            _afmt, ch, sr, _br, align, _bits = fmt
+            frames = data_len // align if align else 0
+            out.update(
+                format="wav",
+                codec="pcm",
+                sample_rate=sr,
+                channels=ch,
+                n_frames=frames,
+                duration_ms=frames * 1000 // sr if sr else None,
+            )
+        elif codecs.is_bmp(payload):
+            import struct as _s
+
+            w, h = _s.unpack_from("<ii", payload, 18)
+            out.update(format="bmp", codec="rgb24", width=w, height=abs(h))
+        elif codecs.is_png(payload):
+            out.update(
+                format="png",
+                codec="deflate",
+                width=int.from_bytes(payload[16:20], "big"),
+                height=int.from_bytes(payload[20:24], "big"),
+            )
+        elif jpeg.is_jpeg(payload):
+            w, h = _jpeg_dims(payload)
+            out.update(format="jpeg", codec="baseline", width=w, height=h)
+        elif mp4.is_mp4(payload):
+            meta = mp4.parse_mp4(payload)
+            track = next(
+                (t for t in meta["tracks"] if t["kind"] == "video"),
+                meta["tracks"][0] if meta["tracks"] else None,
+            )
+            out.update(
+                format="mp4",
+                codec=(track or {}).get("codec"),
+                width=(track or {}).get("width"),
+                height=(track or {}).get("height"),
+                sample_rate=(track or {}).get("sample_rate"),
+                channels=(track or {}).get("channels"),
+                n_frames=(track or {}).get("n_samples"),
+                duration_ms=int(meta["duration_s"] * 1000),
+            )
+        elif mp3.is_mp3(payload):
+            meta = mp3.parse_mp3(payload)
+            out.update(
+                format="mp3",
+                codec=f"mpeg{meta['version']}-layer{meta['layer']}",
+                sample_rate=meta["sample_rate"],
+                channels=meta["channels"],
+                n_frames=meta["n_frames"],
+                duration_ms=int(meta["duration_s"] * 1000),
+            )
+    except Exception:
+        return {
+            "format": "unknown",
+            "codec": None,
+            "width": None,
+            "height": None,
+            "sample_rate": None,
+            "channels": None,
+            "n_frames": None,
+            "duration_ms": None,
+            "n_bytes": len(payload),
+        }
+    return out
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Container identification + header metadata for every payload —
+    WAV/BMP/PNG/JPEG/MP4/MP3 via the from-scratch parsers, 'unknown'
+    otherwise. Header-only (no pixel/PCM/entropy decode), so the kernel is
+    O(header bytes) per row regardless of payload size; Arrow batches move
+    the binaries once. Reference analog: NiFi's IdentifyMimeType +
+    ExtractDICOMTags metadata-only read path."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            probes = [
+                probe_one(bytes(p) if p is not None else None)
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(probes)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            for col, dtype in (
+                ("width", "Int32"),
+                ("height", "Int32"),
+                ("sample_rate", "Int32"),
+                ("channels", "Int32"),
+                ("n_frames", "Int32"),
+                ("duration_ms", "Int64"),
+                ("n_bytes", "Int32"),
+            ):
+                out[col] = out[col].astype(dtype)
+            yield out
+
+    return media.mapInPandas(kernel, schema=PROBE_SCHEMA)

@@ -1,0 +1,260 @@
+"""MP4 (ISO BMFF) demux, MP3 frame parse, and the probe_media /
+sample_frames operators built on them — mux→demux round-trips, malformed
+input tolerance, and Spark-side integration."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+
+from nifi_dicom_spark.functions import mp3, mp4
+
+
+def _samples(n: int, tag: bytes = b"s") -> list[bytes]:
+    return [hashlib.md5(tag + bytes([i])).digest() * (i % 3 + 1) for i in range(n)]
+
+
+# --- MP4 --------------------------------------------------------------------
+
+
+def test_mp4_mux_parse_roundtrip_video():
+    payload = mp4.mux_mp4(
+        _samples(10), width=320, height=240, timescale=1000, sample_duration=40
+    )
+    assert mp4.is_mp4(payload)
+    meta = mp4.parse_mp4(payload)
+    assert meta["brand"] == "isom"
+    assert meta["duration_s"] == pytest.approx(0.4)
+    (track,) = meta["tracks"]
+    assert track["kind"] == "video" and track["codec"] == "mp4v"
+    assert (track["width"], track["height"]) == (320, 240)
+    assert track["n_samples"] == 10
+
+
+def test_mp4_mux_parse_roundtrip_audio():
+    payload = mp4.mux_mp4(
+        _samples(7),
+        kind="audio",
+        codec="mp4a",
+        sample_rate=16000,
+        channels=2,
+        timescale=16000,
+        sample_duration=1024,
+    )
+    (track,) = mp4.parse_mp4(payload)["tracks"]
+    assert track["kind"] == "audio"
+    assert (track["sample_rate"], track["channels"]) == (16000, 2)
+
+
+def test_mp4_sample_table_byte_exact():
+    """stsc×stco×stsz join resolves every access unit byte-exactly, across
+    chunk boundaries (3-per-chunk grouping with a short last chunk)."""
+    samples = _samples(11)
+    payload = mp4.mux_mp4(samples, timescale=600, sample_duration=25)
+    table = mp4.sample_table(payload)
+    assert [s.index for s in table] == list(range(11))
+    for i, s in enumerate(table):
+        assert mp4.extract_sample(payload, s) == samples[i]
+        assert s.pts == i * 25
+    # chunks of 3: offsets within a chunk are contiguous
+    assert table[1].offset == table[0].offset + table[0].size
+    # chunk 2 starts exactly after chunk 1's three samples
+    assert table[3].offset == table[0].offset + sum(s.size for s in table[:3])
+
+
+def test_mp4_malformed_tolerance():
+    assert not mp4.is_mp4(b"")
+    assert not mp4.is_mp4(b"\x00" * 32)
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(b"\x00" * 32)
+    # ftyp but no moov
+    ftyp_only = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(ftyp_only)
+    # truncated tail (moov is last): clean ValueError, not a struct crash
+    payload = mp4.mux_mp4(_samples(4))
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(payload[: len(payload) - 2])
+
+
+def test_mp4_largesize_box():
+    """64-bit `largesize` boxes are honored by the walker."""
+    payload = mp4.mux_mp4(_samples(3))
+    # rewrite ftyp as a largesize box: size=1 + 64-bit size
+    ftyp = next(b for b in mp4._walk(payload, 0, len(payload)) if b.type == b"ftyp")
+    body = payload[ftyp.start : ftyp.end]
+    rewritten = (
+        struct.pack(">I", 1)
+        + b"ftyp"
+        + struct.pack(">Q", 16 + len(body))
+        + body
+        + payload[ftyp.end :]
+    )
+    delta = len(rewritten) - len(payload)
+    meta = mp4.parse_mp4(rewritten)
+    assert meta["tracks"][0]["n_samples"] == 3
+    # chunk offsets shifted by the ftyp growth: account in extraction
+    table = mp4.sample_table(rewritten)
+    orig = mp4.sample_table(payload)
+    for a, b in zip(table, orig):
+        assert rewritten[a.offset + delta : a.offset + delta + a.size] == mp4.extract_sample(
+            payload, b
+        )
+
+
+# --- MP3 --------------------------------------------------------------------
+
+
+def test_mp3_write_parse_roundtrip():
+    p = mp3.write_mp3(30, bitrate_kbps=128, sample_rate=44100, channels=2, seed=b"x")
+    assert mp3.is_mp3(p)
+    m = mp3.parse_mp3(p)
+    assert m["n_frames"] == 30
+    assert m["version"] == "1" and m["layer"] == 3
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["bitrate_kbps"] == 128.0 and not m["is_vbr"]
+    assert m["duration_s"] == pytest.approx(30 * 1152 / 44100)
+    # frame table chains byte-exactly (MPEG-1 L3 128k@44.1 → 417-byte frames)
+    table = mp3.frame_table(p)
+    assert len(table) == 30 and all(f.size == 417 for f in table)
+    assert table[5].offset == 5 * 417
+    # deterministic writer
+    assert mp3.write_mp3(30, seed=b"x") == p
+
+
+def test_mp3_id3_skip_and_xing():
+    p = mp3.write_mp3(12, seed=b"y", id3=b"\x00" * 100, xing=True)
+    m = mp3.parse_mp3(p)
+    assert m["id3_bytes"] == 110
+    assert m["n_frames"] == 12 and m["xing_frames"] == 12
+    assert not m["is_vbr"]  # 'Info' tag = CBR marker
+
+
+def test_mp3_vbr_and_resync():
+    # VBR: two CBR runs at different bitrates concatenated
+    p = mp3.write_mp3(4, bitrate_kbps=128, seed=b"a") + mp3.write_mp3(
+        4, bitrate_kbps=192, seed=b"b"
+    )
+    m = mp3.parse_mp3(p)
+    assert m["n_frames"] == 8 and m["is_vbr"]
+    assert m["bitrate_kbps"] == pytest.approx(160.0)
+    # leading junk before the first header is resynced over
+    junk = b"\x01\x02\x03" * 10 + mp3.write_mp3(3, seed=b"z")
+    assert mp3.parse_mp3(junk)["n_frames"] == 3
+    # truncated final frame is not invented
+    q = mp3.write_mp3(5, seed=b"t")
+    assert mp3.parse_mp3(q[:-10])["n_frames"] == 4
+
+
+def test_mp3_header_tables():
+    """Other version/layer combinations decode with correct frame math."""
+    # MPEG-2 Layer III 24 kHz 64 kbps mono: 576 samples, len = 72*64000/24000
+    hdr = bytes([0xFF, 0xF3, (8 << 4) | (1 << 2), 3 << 6])
+    h = mp3._parse_header(hdr + b"\x00" * 200, 0)
+    assert h.version == "2" and h.layer == 3
+    assert h.sample_rate == 24000 and h.channels == 1
+    assert h.samples == 576 and h.frame_len == 576 // 8 * 64000 // 24000
+    # Layer I MPEG-1 448kbps 32kHz: slots of 4 bytes
+    hdr1 = bytes([0xFF, 0xFF, (14 << 4) | (2 << 2), 0])
+    h1 = mp3._parse_header(hdr1 + b"\x00" * 2000, 0)
+    assert h1.layer == 1 and h1.samples == 384
+    assert h1.frame_len == (12 * 448000 // 32000) * 4
+    # reserved version / bad bitrate rejected
+    assert mp3._parse_header(bytes([0xFF, 0xEB, 0x90, 0]), 0) is None
+    assert mp3._parse_header(bytes([0xFF, 0xFB, 0xF0, 0]), 0) is None
+
+
+def test_mp3_is_mp3_negative():
+    assert not mp3.is_mp3(None)
+    assert not mp3.is_mp3(b"")
+    assert not mp3.is_mp3(b"RIFF\x00\x00\x00\x00WAVE")
+    assert not mp3.is_mp3(b"\x00" * 512)
+
+
+# --- probe + sample_frames operators ---------------------------------------
+
+
+def test_probe_one_all_formats():
+    import numpy as np
+
+    from nifi_dicom_spark.functions import codecs, jpeg
+    from nifi_dicom_spark.functions.multimodal import probe_one
+
+    img = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    sig = (0.3 * np.sin(np.arange(100) / 5)).astype(np.float32)
+
+    p = probe_one(codecs.encode_wav(sig, 8000))
+    assert (p["format"], p["sample_rate"], p["channels"], p["n_frames"]) == (
+        "wav", 8000, 1, 100,
+    )
+    assert p["duration_ms"] == 100 * 1000 // 8000
+
+    p = probe_one(codecs.encode_bmp(img))
+    assert (p["format"], p["width"], p["height"]) == ("bmp", 8, 6)
+    p = probe_one(codecs.encode_png(img))
+    assert (p["format"], p["width"], p["height"]) == ("png", 8, 6)
+    p = probe_one(jpeg.encode_jpeg(img, quality=90))
+    assert (p["format"], p["width"], p["height"]) == ("jpeg", 8, 6)
+
+    p = probe_one(mp4.mux_mp4(_samples(5), width=64, height=48))
+    assert (p["format"], p["codec"], p["width"], p["n_frames"]) == (
+        "mp4", "mp4v", 64, 5,
+    )
+    p = probe_one(mp3.write_mp3(9, sample_rate=32000, channels=1, seed=b"q"))
+    assert (p["format"], p["codec"], p["sample_rate"], p["n_frames"]) == (
+        "mp3", "mpeg1-layer3", 32000, 9,
+    )
+    assert probe_one(b"\x99" * 40)["format"] == "unknown"
+    assert probe_one(None)["n_bytes"] == 0
+    # corrupt-but-sniffable: BMP magic with garbage header probes unknown
+    assert probe_one(b"BM" + b"\x00" * 60)["format"] in ("bmp", "unknown")
+
+
+def test_probe_media_spark(spark):
+    from nifi_dicom_spark.functions.multimodal import MEDIA_SCHEMA, probe_media
+
+    v = mp4.mux_mp4(_samples(6), width=32, height=16)
+    a = mp3.write_mp3(4, seed=b"sp")
+    rows = [
+        (1, "video", v, None),
+        (2, "audio", a, None),
+        (3, "image", b"junk", None),
+        (4, "image", None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert out[1]["format"] == "mp4" and out[1]["n_frames"] == 6
+    assert out[1]["width"] == 32 and out[1]["duration_ms"] == 240
+    assert out[2]["format"] == "mp3" and out[2]["n_frames"] == 4
+    assert out[3]["format"] == "unknown" and out[3]["n_bytes"] == 4
+    assert out[4]["format"] == "unknown" and out[4]["n_bytes"] == 0
+
+
+def test_sample_frames_real_mp4(spark):
+    from nifi_dicom_spark.functions.multimodal import MEDIA_SCHEMA, sample_frames
+
+    samples = _samples(9, tag=b"v")
+    payload = mp4.mux_mp4(samples, timescale=1000, sample_duration=40)
+    rows = [
+        (1, "video", payload, None),
+        # non-MP4 video → stub path (meta-driven, null frame_bytes)
+        (2, "video", b"not-a-container", (None, None, None, 5, "video/fake")),
+        (3, "image", payload, None),  # filtered out: not video
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(media, every_n=2).collect()
+    real = sorted(
+        (r for r in out if r["media_id"] == 1), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in real] == [0, 2, 4, 6, 8]
+    for r in real:
+        expect = samples[r["frame_idx"]]
+        assert r["frame_bytes"] == len(expect)
+        assert r["frame_sha"] == hashlib.sha256(expect).hexdigest()
+        assert r["pts_ms"] == r["frame_idx"] * 40
+    stub = [r for r in out if r["media_id"] == 2]
+    assert {r["frame_idx"] for r in stub} == {0, 2, 4}
+    assert all(r["frame_bytes"] is None and r["pts_ms"] is None for r in stub)
+    assert not any(r["media_id"] == 3 for r in out)
