@@ -862,6 +862,51 @@ def _mp4_frames_oracle() -> str:
     """
 
 
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: documents packed into 512-token shards
+    in doc_id order via the distributed prefix sum (range repartition +
+    per-partition window + O(partitions) offset join) — never a global
+    single-partition window."""
+    from nifi_dicom_spark.functions.corpus import pack_shards
+    from nifi_dicom_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_shards(docs, "doc_id", "n_tokens", target_weight=512)
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment candidates: document pairs sharing ≥2
+    winnowing fingerprints (posting-list join with a 64-doc
+    hot-fingerprint cap), scored shared/min(|fp|) — catches one-doc-inside-
+    another cases that symmetric Jaccard misses."""
+    from nifi_dicom_spark.functions.corpus import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", k=3, w=4, min_shared=2, max_postings=64
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling: keep a doc iff its md5-uniform
+    < the language's rate — a pure codegen filter (no shuffle, no Python)
+    whose kept-set is bit-identical across runs and engines."""
+    from nifi_dicom_spark.functions.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        rates={"en": 0.5, "de": 0.25, "fr": 0.1},
+        default_rate=0.05,
+        salt="r3",
+    )
+    return out.select("doc_id", "lang", F.col("_u").alias("u"))
+
+
 def q_attr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 all-tags mode: every attribute stringified (200-char cap, W4) and
     emitted as (id, attr, value) rows — explode(map_entries)."""
@@ -1202,6 +1247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode": q_jpeg_decode,
         "media_probe": q_media_probe,
         "mp4_frames": q_mp4_frames,
+        "shard_pack": q_shard_pack,
+        "containment": q_containment,
+        "stratified_sample": q_stratified_sample,
         "attr_explode": q_attr_explode,
         "path_build": q_path_build,
         "expr_lang": q_expr_lang,
@@ -1699,6 +1747,80 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_decode": _jpeg_decode_oracle(),
         "media_probe": _media_probe_oracle(),
         "mp4_frames": _mp4_frames_oracle(),
+        "shard_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t
+            )
+            SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS weight,
+                   CAST(cum AS BIGINT) AS cum_weight,
+                   CAST((cum - n_tokens) // 512 AS BIGINT) AS shard_id
+            FROM c
+        """,
+        "containment": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(generate_series(1, len(toks) - 2),
+                         i -> substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))
+                     ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM t
+            ), m AS (
+              SELECT doc_id,
+                     CASE WHEN len(grams) >= 4 THEN
+                       list_transform(generate_series(1, len(grams) - 3),
+                         j -> list_min(grams[j:j+3]))
+                     WHEN len(grams) >= 1 THEN [list_min(grams)]
+                     ELSE CAST([] AS VARCHAR[]) END AS mins
+              FROM g
+            ), fp AS (
+              SELECT doc_id, list_distinct(mins) AS fps FROM m
+            ), sizes AS (
+              SELECT doc_id, len(fps) AS n_fp FROM fp
+            ), post AS (
+              SELECT doc_id, unnest(fps) AS f FROM fp
+            ), elig AS (
+              SELECT f FROM post GROUP BY f
+              HAVING count(*) BETWEEN 2 AND 64
+            ), gated AS (
+              SELECT p.doc_id, p.f FROM post p JOIN elig e USING (f)
+            ), pairs AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                     count(*) AS shared_fp
+              FROM gated l JOIN gated r
+                ON l.f = r.f AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            )
+            SELECT p.id_a, p.id_b, CAST(p.shared_fp AS BIGINT) AS shared_fp,
+                   round(p.shared_fp / least(a.n_fp, b.n_fp), 6) AS containment
+            FROM pairs p
+            JOIN sizes a ON p.id_a = a.doc_id
+            JOIN sizes b ON p.id_b = b.doc_id
+        """,
+        "stratified_sample": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 'r3'), 1, 8))::BIGINT
+                       / 4294967296.0 AS u,
+                     CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                               WHEN 'fr' THEN 0.1 ELSE 0.05 END AS rate
+              FROM documents
+            )
+            SELECT doc_id, lang, round(u, 6) AS u FROM s WHERE u < rate
+        """,
         "nested_deidentify": """
             SELECT user_id, event_id,
                    md5(event_type) AS event_type_remapped,

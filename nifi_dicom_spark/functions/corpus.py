@@ -1,0 +1,228 @@
+"""Corpus-building operators for training-data pipelines: token-budget
+shard packing, substring-containment detection, deterministic stratified
+sampling.
+
+These are the steps between "deduplicated documents" and "training
+shards": pack documents into fixed-token-budget shards in a stable global
+order (distributed prefix sum — no single-partition window), find
+near-containment pairs (one doc embedded in another) via shared winnowing
+fingerprints (posting-list join with a hot-fingerprint cap — no all-pairs),
+and draw per-group deterministic samples (pure md5 expression — zero
+shuffle, bit-replayable for oracle checks and idempotent re-runs).
+
+Scale shapes at 10^9 docs:
+* ``pack_shards``: range-repartition on the order key → per-partition
+  window cumsum + O(partitions) driver-side offset prefix — the classic
+  two-phase distributed scan; never a global single-partition window.
+* ``containment_pairs``: explode fingerprint postings → shuffle on the
+  fingerprint → self-join within posting lists, capped — same shape as
+  the MinHash bucket join in :mod:`.dedup_text`.
+* ``stratified_sample``: narrow map, whole-stage codegen, no Python.
+
+Reference analog: the reference routes studies into fixed-size batches per
+destination (`nifi` flowfile batching) and samples via deterministic
+hashing for idempotency (``IdentityEntry.java:28-41`` md5 determinism);
+both patterns re-expressed here over document corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    target_weight: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row to a training shard of ≤ ``target_weight`` total
+    weight (token count), packing in ascending ``id_col`` order:
+    ``shard_id = (running_total_before_row) // target_weight``. A row that
+    straddles a boundary belongs to the shard where it starts (standard
+    contiguous packing; shards may overflow by < one document).
+
+    Distributed prefix sum, NOT a global window: range-repartition on the
+    id so partitions hold contiguous id ranges, cumsum within each
+    partition (a per-partition window), then add each partition's
+    exclusive prefix offset — computed driver-side from the O(partitions)
+    per-partition totals. Wall-clock is one shuffle + one tiny collect at
+    any data size; a naive ``Window.orderBy(id)`` with no partitionBy
+    funnels the whole table through ONE task and is exactly the
+    scale-killer this avoids.
+
+    Returns (id, weight, cum_weight, shard_id) where ``cum_weight`` is the
+    inclusive running total in id order.
+    """
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    base = (
+        df.select(F.col(id_col).alias("id"), wcol.cast("long").alias("weight"))
+        .repartitionByRange(n_parts, "id")
+        .sortWithinPartitions("id")
+        .withColumn("_pid", F.spark_partition_id())
+        # branch point: the totals aggregate and the window scan must see
+        # the SAME partitioning (spark_partition_id is plan-dependent) —
+        # persist pins it
+        .persist()
+    )
+    try:
+        totals = {
+            r["_pid"]: r["t"]
+            for r in base.groupBy("_pid").agg(F.sum("weight").alias("t")).collect()
+        }  # O(partitions) driver-side — never O(rows)
+        running, offsets = 0, []
+        for pid in sorted(totals):
+            offsets.append((pid, running))
+            running += totals[pid]
+        off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            base.join(F.broadcast(off_df), "_pid")
+            .withColumn("cum_weight", F.sum("weight").over(w) + F.col("_off"))
+            .withColumn(
+                "shard_id",
+                F.floor(
+                    (F.col("cum_weight") - F.col("weight")) / F.lit(target_weight)
+                ),
+            )
+            .select("id", "weight", "cum_weight", "shard_id")
+        )
+        # eager: release the pinned partitioning before returning
+        return out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 64,
+) -> DataFrame:
+    """Substring-containment candidates: pairs of documents sharing
+    ≥ ``min_shared`` winnowing fingerprints, scored by containment =
+    shared / min(|fp_a|, |fp_b|) — near 1.0 when one document's content is
+    embedded in the other (quotation, boilerplate wrapping, near-superset
+    duplicates), the case Jaccard-style near-dup misses because the union
+    is dominated by the larger doc.
+
+    Winnowing's guarantee (Schleimer et al.) makes this sound: any shared
+    run of ≥ w+k-1 words yields at least one shared fingerprint, so long
+    embedded substrings are caught with fingerprint sets ~|doc|/w.
+
+    Scale shape: explode fingerprints to a posting list → shuffle on the
+    fingerprint → pairs generated per posting, with fingerprints appearing
+    in > ``max_postings`` docs dropped (boilerplate guard — a fingerprint
+    shared by B docs yields B²/2 pairs; same quadratic-corner cap as the
+    MinHash bucket join). No all-pairs comparison anywhere.
+    """
+    from nifi_dicom_spark.functions.dedup_text import winnow_fingerprints
+
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    fps = (
+        df.select(
+            F.col(id_col).alias("id"),
+            winnow_fingerprints(text_col, k=k, w=w).alias("_fp"),
+        )
+        .repartition(n_parts, "id")
+        .persist()
+    )
+    try:
+        sizes = fps.select("id", F.size("_fp").alias("n_fp"))
+        posting = fps.select("id", F.explode("_fp").alias("fp"))
+        eligible = (
+            posting.groupBy("fp")
+            .count()
+            .filter((F.col("count") >= 2) & (F.col("count") <= max_postings))
+            .select("fp")
+        )
+        gated = posting.join(eligible, "fp", "left_semi")
+        pairs = (
+            gated.alias("l")
+            .join(
+                gated.alias("r"),
+                on=[
+                    F.col("l.fp") == F.col("r.fp"),
+                    F.col("l.id") < F.col("r.id"),
+                ],
+            )
+            .groupBy(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("shared_fp"))
+            .filter(F.col("shared_fp") >= min_shared)
+        )
+        out = (
+            pairs.join(
+                sizes.select(
+                    F.col("id").alias("id_a"), F.col("n_fp").alias("_na")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("id").alias("id_b"), F.col("n_fp").alias("_nb")
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "containment",
+                F.round(
+                    F.col("shared_fp") / F.least(F.col("_na"), F.col("_nb")), 6
+                ),
+            )
+            .select("id_a", "id_b", "shared_fp", "containment")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        fps.unpersist()
+
+
+def sample_uniform(id_col: str | Column, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1): md5 of the id (+ salt) → first 8
+    hex chars → 32-bit int / 2^32. Pure expression (JVM codegen), identical
+    on every run and replayable in any SQL engine:
+    ``('0x' || substr(md5(id || salt), 1, 8))::BIGINT / 4294967296.0``.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("bigint")
+    return h / F.lit(float(1 << 32))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic sampling: keep a row iff its md5-uniform
+    (:func:`sample_uniform`) falls below the group's rate. The rate map is
+    inlined as a literal CASE chain (it is human-sized config, like the
+    deidentify rule set — no join, no broadcast, full codegen), so the
+    whole operator is a narrow filter: zero shuffle, zero Python, and the
+    SAME rows are kept on every run and every engine — re-running a 100-TB
+    sampling job appends nothing new, and upstream/downstream replays
+    agree (same md5-determinism contract as the reference's
+    pseudo-identities, ``IdentityEntry.java:28-41``).
+    """
+    u = sample_uniform(id_col, salt)
+    rate: Column = F.lit(float(default_rate))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    return df.withColumn("_u", F.round(u, 6)).filter(u < rate)
