@@ -244,3 +244,90 @@ def test_spark_replay_split_invariance_spot_checks(spark, tmp_path):
         assert_final_state_equal(
             read_final_state(table).toPandas(), replay_oracle(log)
         )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(0, 40),
+    spc=st.integers(1, 7),
+    timescale=st.integers(1, 90_000),
+    dur=st.integers(0, 3_000),
+)
+def test_mp4_sample_table_roundtrip_property(
+    seed: int, n: int, spc: int, timescale: int, dur: int
+):
+    """mux∘demux is byte-exact for ANY sample list: every (offset, size)
+    the stsc×stco×stsz join resolves slices back the original access unit,
+    and decode timestamps are the running stts sum — across every
+    samples-per-chunk grouping including short last chunks and n=0."""
+    from nifi_dicom_spark.functions import mp4
+
+    rng = np.random.default_rng(seed)
+    samples = [rng.bytes(int(rng.integers(1, 64))) for _ in range(n)]
+    payload = mp4.mux_mp4(
+        samples,
+        width=16,
+        height=16,
+        timescale=timescale,
+        sample_duration=dur,
+        samples_per_chunk=spc,
+    )
+    meta = mp4.parse_mp4(payload)
+    assert meta["tracks"][0]["n_samples"] == n
+    table = mp4.sample_table(payload)
+    assert len(table) == n
+    for i, s in enumerate(table):
+        assert s.index == i
+        assert mp4.extract_sample(payload, s) == samples[i]
+        assert s.pts == i * dur and s.dt == dur
+    # deterministic writer (oracle/replay contract)
+    assert (
+        mp4.mux_mp4(
+            samples, width=16, height=16, timescale=timescale,
+            sample_duration=dur, samples_per_chunk=spc,
+        )
+        == payload
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 30),
+    br=st.sampled_from([32, 64, 96, 128, 192, 320]),
+    sr=st.sampled_from([32000, 44100, 48000]),
+    mono=st.booleans(),
+    id3_len=st.integers(0, 64),
+    xing=st.booleans(),
+)
+def test_mp3_frame_table_roundtrip_property(
+    seed: int, n: int, br: int, sr: int, mono: bool, id3_len: int, xing: bool
+):
+    """write∘parse recovers frame count, layout and stream parameters for
+    ANY valid MPEG-1 Layer III configuration, with or without ID3v2 and
+    Xing, and the frame table chains byte-exactly."""
+    from nifi_dicom_spark.functions import mp3
+
+    rng = np.random.default_rng(seed)
+    payload = mp3.write_mp3(
+        n,
+        bitrate_kbps=br,
+        sample_rate=sr,
+        channels=1 if mono else 2,
+        seed=rng.bytes(8),
+        id3=rng.bytes(id3_len) if id3_len else None,
+        xing=xing,
+    )
+    assert mp3.is_mp3(payload)
+    m = mp3.parse_mp3(payload)
+    assert m["n_frames"] == n
+    assert m["sample_rate"] == sr and m["channels"] == (1 if mono else 2)
+    assert m["bitrate_kbps"] == float(br) and not m["is_vbr"]
+    assert m["xing_frames"] == (n if xing else None)
+    expect_len = 1152 // 8 * br * 1000 // sr
+    table = mp3.frame_table(payload)
+    start = m["id3_bytes"]
+    for i, fr in enumerate(table):
+        assert fr.offset == start + i * expect_len and fr.size == expect_len
+    assert m["duration_s"] == sum(f.duration_s for f in table)
