@@ -1819,7 +1819,7 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'fr' THEN 0.1 ELSE 0.05 END AS rate
               FROM documents
             )
-            SELECT doc_id, lang, round(u, 6) AS u FROM s WHERE u < rate
+            SELECT doc_id, lang, u FROM s WHERE u < rate
         """,
         "nested_deidentify": """
             SELECT user_id, event_id,

@@ -46,23 +46,33 @@ def is_bmp(payload: bytes | None) -> bool:
     return payload is not None and len(payload) >= 54 and payload[:2] == b"BM"
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM → (mono float32 samples in [-1, 1], sample_rate)."""
+def parse_wav_header(payload: bytes) -> tuple[tuple, int, int]:
+    """One RIFF chunk walk shared by decode and probe: returns the fmt
+    tuple ``(audio_format, channels, sample_rate, byte_rate, block_align,
+    bits)``, the data chunk's byte offset, and its length. Raises on
+    missing fmt/data chunks. Chunks are word-aligned (odd sizes pad)."""
     if not is_wav(payload):
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
     fmt = None
-    data = None
+    data_off = data_len = -1
     while pos + 8 <= n:
-        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8 : pos + 8 + size]
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
         elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
+            data_off, data_len = pos + 8, size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_off < 0:
         raise ValueError("missing fmt/data chunk")
+    return fmt, data_off, data_len
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → (mono float32 samples in [-1, 1], sample_rate)."""
+    fmt, data_off, data_len = parse_wav_header(payload)
+    data = payload[data_off : data_off + data_len]
     audio_format, n_channels, sample_rate, _byte_rate, _align, bits = fmt
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")

@@ -225,4 +225,8 @@ def stratified_sample(
     rate: Column = F.lit(float(default_rate))
     for g, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
-    return df.withColumn("_u", F.round(u, 6)).filter(u < rate)
+    # _u is the RAW uniform (hash/2^32 — exactly representable in float64,
+    # so bit-identical across engines): re-applying `_u < rate` to the
+    # output reproduces the kept-set exactly. A rounded _u would contradict
+    # the filter on boundary rows.
+    return df.withColumn("_u", u).filter(F.col("_u") < rate)

@@ -60,6 +60,7 @@ class FrameHeader(NamedTuple):
     mode: str
     frame_len: int  # bytes, header included
     samples: int  # PCM samples per frame
+    has_crc: bool = False  # protection_bit == 0: 2-byte CRC follows header
 
 
 def _parse_header(data: bytes, pos: int) -> FrameHeader | None:
@@ -101,6 +102,7 @@ def _parse_header(data: bytes, pos: int) -> FrameHeader | None:
         _MODE_NAME[mode_bits],
         frame_len,
         samples,
+        (b2 & 0x1) == 0,  # protection_bit 0 = CRC present
     )
 
 
@@ -135,10 +137,12 @@ class Frame(NamedTuple):
 
 
 def _xing_offset(h: FrameHeader) -> int:
-    """Side-info length ⇒ where a Xing/Info tag would sit inside frame 1."""
+    """Side-info length ⇒ where a Xing/Info tag would sit inside frame 1
+    (the 2-byte CRC, when present, sits between header and side info)."""
+    crc = 2 if h.has_crc else 0
     if h.version == "1":
-        return 4 + (17 if h.channels == 1 else 32)
-    return 4 + (9 if h.channels == 1 else 17)
+        return 4 + crc + (17 if h.channels == 1 else 32)
+    return 4 + crc + (9 if h.channels == 1 else 17)
 
 
 def _parse_xing(data: bytes, frame_pos: int, h: FrameHeader) -> dict | None:

@@ -112,6 +112,9 @@ def parse_mp4(payload: bytes) -> dict:
     if not is_mp4(payload):
         raise ValueError("not an ISO BMFF payload (missing ftyp)")
     ftyp = _find(payload, 0, len(payload), b"ftyp")
+    if ftyp is None:
+        # magic matched but the declared box size is bogus (walker rejected)
+        raise ValueError("malformed ftyp box")
     brand = payload[ftyp.start : ftyp.start + 4].decode("latin-1")
     moov = _find(payload, 0, len(payload), b"moov")
     if moov is None:
@@ -244,15 +247,30 @@ def sample_table(payload: bytes, track_id: int | None = None) -> list[Sample]:
         if chosen is None:
             raise ValueError(f"no track with id {track_id}")
     mdia = _find(payload, chosen.start, chosen.end, b"mdia")
+    if mdia is None:
+        raise ValueError("no mdia box")
     minf = _find(payload, mdia.start, mdia.end, b"minf")
+    if minf is None:
+        raise ValueError("no minf box")
     stbl = _find(payload, minf.start, minf.end, b"stbl")
+    if stbl is None:
+        raise ValueError("no stbl box")
 
-    # stsz: sample sizes (uniform or per-sample)
+    # Every count below comes from UNTRUSTED payload bytes: validate each
+    # against its own box length (per-entry tables) or the payload size
+    # (uniform counts) BEFORE materializing lists — a corrupt 12-byte box
+    # claiming 2^32 samples must raise, not allocate gigabytes.
     stsz = _find(payload, stbl.start, stbl.end, b"stsz")
+    if stsz is None:
+        raise ValueError("no stsz box")
     uniform, count = struct.unpack_from(">II", payload, stsz.start + 4)
     if uniform:
+        if count * max(uniform, 1) > len(payload):
+            raise ValueError("stsz count exceeds payload size")
         sizes = [uniform] * count
     else:
+        if stsz.start + 12 + 4 * count > stsz.end:
+            raise ValueError("stsz count exceeds box length")
         sizes = list(
             struct.unpack_from(f">{count}I", payload, stsz.start + 12)
         )
@@ -261,17 +279,25 @@ def sample_table(payload: bytes, track_id: int | None = None) -> list[Sample]:
     stco = _find(payload, stbl.start, stbl.end, b"stco")
     if stco is not None:
         n_chunks = struct.unpack_from(">I", payload, stco.start + 4)[0]
+        if stco.start + 8 + 4 * n_chunks > stco.end:
+            raise ValueError("stco count exceeds box length")
         offsets = list(struct.unpack_from(f">{n_chunks}I", payload, stco.start + 8))
     else:
         co64 = _find(payload, stbl.start, stbl.end, b"co64")
         if co64 is None:
             raise ValueError("no stco/co64 box")
         n_chunks = struct.unpack_from(">I", payload, co64.start + 4)[0]
+        if co64.start + 8 + 8 * n_chunks > co64.end:
+            raise ValueError("co64 count exceeds box length")
         offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, co64.start + 8))
 
     # stsc: runs of (first_chunk, samples_per_chunk); expand to per-chunk
     stsc = _find(payload, stbl.start, stbl.end, b"stsc")
+    if stsc is None:
+        raise ValueError("no stsc box")
     n_runs = struct.unpack_from(">I", payload, stsc.start + 4)[0]
+    if stsc.start + 8 + 12 * n_runs > stsc.end:
+        raise ValueError("stsc count exceeds box length")
     runs = [
         struct.unpack_from(">III", payload, stsc.start + 8 + 12 * i)[:2]
         for i in range(n_runs)
@@ -279,23 +305,39 @@ def sample_table(payload: bytes, track_id: int | None = None) -> list[Sample]:
     per_chunk: list[int] = []
     for i, (first, spc) in enumerate(runs):
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
-        per_chunk.extend([spc] * (last - first + 1))
+        # clamp to the declared chunk list — corrupt first_chunk values must
+        # not inflate the expansion
+        span = max(0, min(last, n_chunks) - max(first, 1) + 1)
+        per_chunk.extend([spc] * span)
 
     # stts: runs of (sample_count, delta); expand to per-sample deltas
     stts = _find(payload, stbl.start, stbl.end, b"stts")
+    if stts is None:
+        raise ValueError("no stts box")
     n_truns = struct.unpack_from(">I", payload, stts.start + 4)[0]
+    if stts.start + 8 + 8 * n_truns > stts.end:
+        raise ValueError("stts count exceeds box length")
     deltas: list[int] = []
     for i in range(n_truns):
         cnt, dt = struct.unpack_from(">II", payload, stts.start + 8 + 8 * i)
-        deltas.extend([dt] * cnt)
+        deltas.extend([dt] * min(cnt, count - len(deltas)))
+        if len(deltas) >= count:
+            break
 
     samples: list[Sample] = []
     idx, pts = 0, 0
+    end = len(payload)
     for chunk_i, chunk_off in enumerate(offsets):
         pos = chunk_off
         for _ in range(per_chunk[chunk_i] if chunk_i < len(per_chunk) else 0):
             if idx >= count:
                 break
+            if pos + sizes[idx] > end:
+                # truncated mdat (e.g. a partially-downloaded faststart file
+                # whose moov promises more than the bytes deliver): return
+                # the verified prefix — emitting hashes of out-of-range
+                # slices would silently corrupt downstream data
+                return samples
             dt = deltas[idx] if idx < len(deltas) else 0
             samples.append(Sample(idx, pos, sizes[idx], dt, pts))
             pos += sizes[idx]
@@ -306,6 +348,8 @@ def sample_table(payload: bytes, track_id: int | None = None) -> list[Sample]:
 
 def extract_sample(payload: bytes, sample: Sample) -> bytes:
     """The actual access-unit bytes of one sample, sliced from mdat."""
+    if sample.offset + sample.size > len(payload):
+        raise ValueError("sample extends past payload end")
     return payload[sample.offset : sample.offset + sample.size]
 
 

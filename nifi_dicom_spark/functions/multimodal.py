@@ -26,14 +26,16 @@ separate columns so Parquet column pruning skips the binary entirely.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
-from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from nifi_dicom_spark.functions import codecs, jpeg, mp3, mp4
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -96,7 +98,6 @@ def _decode_feature(
     ATTEMPT — unsupported variants (float WAV, compressed/odd-bpp BMP,
     16-bit/interlaced PNG, truncated files) fall back to the stub rather
     than crashing the whole Spark job on one bad row."""
-    from nifi_dicom_spark.functions import codecs
 
     try:
         if codecs.is_wav(payload):
@@ -108,7 +109,6 @@ def _decode_feature(
         if codecs.is_png(payload):
             img = codecs.decode_png(payload)
             return codecs.image_block_features(img, dim), img.shape[1], img.shape[0]
-        from nifi_dicom_spark.functions import jpeg
 
         if jpeg.is_jpeg(payload):
             img = jpeg.decode_jpeg(payload)
@@ -154,7 +154,6 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     nearest-neighbor resized and re-encoded in their own format
     (pure-stdlib+numpy codecs); other formats pass through with re-stamped
     metadata (stub path — real impl would decode via PIL/libjpeg)."""
-    from nifi_dicom_spark.functions import codecs
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -171,15 +170,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                         decoded, encode, mime = (
                             codecs.decode_png(raw), codecs.encode_png, "image/png"
                         )
-                    else:
-                        from nifi_dicom_spark.functions import jpeg
-
-                        if jpeg.is_jpeg(raw):
-                            decoded, encode, mime = (
-                                jpeg.decode_jpeg(raw),
-                                jpeg.encode_jpeg,
-                                "image/jpeg",
-                            )
+                    elif jpeg.is_jpeg(raw):
+                        decoded, encode, mime = (
+                            jpeg.decode_jpeg(raw),
+                            jpeg.encode_jpeg,
+                            "image/jpeg",
+                        )
                 except Exception:
                     decoded = None  # unsupported variant → passthrough
                 if decoded is not None:
@@ -216,7 +212,6 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     keep the declared deterministic stub (meta.n_frames-driven fake
     hashes); their ``frame_bytes``/``pts_ms`` stay null so the two paths
     are distinguishable downstream."""
-    from nifi_dicom_spark.functions import mp4
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -245,8 +240,11 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                                 }
                             )
                         demuxed = True
-                    except (ValueError, struct_error):
-                        demuxed = False  # malformed container → stub path
+                    except Exception:
+                        # malformed container (bad box sizes, missing stbl,
+                        # truncated tables, ...) → stub path; the job must
+                        # survive any single bad row
+                        demuxed = False
                 if not demuxed:
                     n = (r["meta"]["n_frames"] or 0) if r["meta"] is not None else 0
                     for f in range(0, n, every_n):
@@ -294,12 +292,22 @@ PROBE_SCHEMA = T.StructType(
 
 def _jpeg_dims(payload: bytes) -> tuple[int, int]:
     """(width, height) from the first SOF marker — a header scan, no
-    entropy decode (the probe must stay cheap on fat payloads)."""
+    entropy decode (the probe must stay cheap on fat payloads). Handles the
+    spec's 0xFF fill bytes between segments and the length-less markers
+    (TEM, SOI/EOI, RSTn) so conformant streams from any encoder scan."""
     pos = 2
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte — next byte is the real marker
+            pos += 1
+            continue
+        if marker in (0x01, 0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone marker, no length field
+            continue
+        if pos + 4 > len(payload):
+            break
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
@@ -315,8 +323,6 @@ def probe_one(payload: bytes | None) -> dict:
     and the oracle replay. Unknown/corrupt payloads probe as
     format='unknown' rather than raising (one bad row must not kill the
     job)."""
-    from nifi_dicom_spark.functions import codecs, jpeg, mp3, mp4
-
     out: dict = {
         "format": "unknown",
         "codec": None,
@@ -332,21 +338,8 @@ def probe_one(payload: bytes | None) -> dict:
         return out
     try:
         if codecs.is_wav(payload):
-            # header fields only — fmt chunk + data size, no PCM conversion
-            pos, n = 12, len(payload)
-            fmt, data_len = None, 0
-            while pos + 8 <= n:
-                cid = payload[pos : pos + 4]
-                size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-                if cid == b"fmt ":
-                    import struct as _s
-
-                    fmt = _s.unpack_from("<HHIIHH", payload, pos + 8)
-                elif cid == b"data":
-                    data_len = size
-                pos += 8 + size + (size & 1)
-            if fmt is None:
-                raise ValueError("no fmt chunk")
+            # header fields only — the shared RIFF walk, no PCM conversion
+            fmt, _off, data_len = codecs.parse_wav_header(payload)
             _afmt, ch, sr, _br, align, _bits = fmt
             frames = data_len // align if align else 0
             out.update(
@@ -358,11 +351,11 @@ def probe_one(payload: bytes | None) -> dict:
                 duration_ms=frames * 1000 // sr if sr else None,
             )
         elif codecs.is_bmp(payload):
-            import struct as _s
-
-            w, h = _s.unpack_from("<ii", payload, 18)
+            w, h = struct.unpack_from("<ii", payload, 18)
             out.update(format="bmp", codec="rgb24", width=w, height=abs(h))
         elif codecs.is_png(payload):
+            if len(payload) < 24 or payload[12:16] != b"IHDR":
+                raise ValueError("truncated PNG header")
             out.update(
                 format="png",
                 codec="deflate",

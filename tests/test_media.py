@@ -258,3 +258,99 @@ def test_sample_frames_real_mp4(spark):
     assert {r["frame_idx"] for r in stub} == {0, 2, 4}
     assert all(r["frame_bytes"] is None and r["pts_ms"] is None for r in stub)
     assert not any(r["media_id"] == 3 for r in out)
+
+
+# --- review-fix regressions --------------------------------------------------
+
+
+def test_mp4_corrupt_counts_raise_not_allocate():
+    """Untrusted 32-bit counts in stsz/stco/stsc/stts must raise, not
+    materialize multi-GB lists."""
+    payload = bytearray(mp4.mux_mp4(_samples(7)))
+    i = bytes(payload).index(b"stsz")
+    # stsz body: ver/flags(4) uniform(4) count(4) — blow up the count
+    payload[i + 12 : i + 16] = (0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        mp4.sample_table(bytes(payload))
+    # uniform-size variant: uniform=1, count=2^32-1 → plausibility bound
+    payload2 = bytearray(mp4.mux_mp4(_samples(7)))
+    j = bytes(payload2).index(b"stsz")
+    payload2[j + 8 : j + 12] = (1).to_bytes(4, "big")
+    payload2[j + 12 : j + 16] = (0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        mp4.sample_table(bytes(payload2))
+
+
+def test_mp4_truncated_mdat_returns_verified_prefix():
+    """Offsets past EOF (partially-downloaded faststart shape) must not
+    yield hashes of out-of-range slices — only the in-bounds prefix."""
+    samples = _samples(7)
+    payload = bytearray(mp4.mux_mp4(samples, samples_per_chunk=3))
+    i = bytes(payload).index(b"stco")
+    # stco body: ver/flags(4) count(4) offsets(4 each); 3 chunks — point the
+    # last chunk past EOF
+    payload[i + 12 + 8 : i + 12 + 12] = (len(payload) + 1000).to_bytes(4, "big")
+    table = mp4.sample_table(bytes(payload))
+    assert len(table) == 6  # chunk 3's single sample dropped
+    for s in table:
+        assert mp4.extract_sample(bytes(payload), s) == samples[s.index]
+    # extract_sample itself guards out-of-range slices
+    bad = mp4.Sample(0, len(payload) - 4, 100, 0, 0)
+    with pytest.raises(ValueError):
+        mp4.extract_sample(bytes(payload), bad)
+
+
+def test_sample_frames_survives_malformed_container(spark):
+    """A payload that passes is_mp4 but dies mid-parse (bogus box size →
+    walker rejects ftyp) must fall back to the stub path, not kill the
+    task."""
+    from nifi_dicom_spark.functions.multimodal import MEDIA_SCHEMA, sample_frames
+
+    evil = struct.pack(">I", 999) + b"ftyp" + b"\x00" * 24  # size > payload
+    rows = [(1, "video", evil, (None, None, None, 4, "video/fake"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(media, every_n=2).collect()
+    assert {r["frame_idx"] for r in out} == {0, 2}
+    assert all(r["frame_bytes"] is None for r in out)  # stub path
+
+
+def test_jpeg_dims_fill_bytes_and_standalone_markers():
+    """Spec-conformant streams with 0xFF fill bytes or RST/TEM markers
+    before SOF must still probe."""
+    import numpy as np
+
+    from nifi_dicom_spark.functions import jpeg as J
+    from nifi_dicom_spark.functions.multimodal import _jpeg_dims, probe_one
+
+    img = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    payload = J.encode_jpeg(img, quality=90)
+    # insert a fill byte after SOI (0xFF pad then the next marker's 0xFF)
+    padded = payload[:2] + b"\xff" + payload[2:]
+    assert _jpeg_dims(padded) == (8, 6)
+    assert probe_one(padded)["format"] == "jpeg"
+
+
+def test_probe_truncated_png_is_unknown():
+    from nifi_dicom_spark.functions.multimodal import probe_one
+
+    sig_only = b"\x89PNG\r\n\x1a\n"
+    assert probe_one(sig_only)["format"] == "unknown"
+    assert probe_one(sig_only + b"\x00\x00\x00\x0d")["format"] == "unknown"
+
+
+def test_mp3_crc_protected_xing():
+    """CRC-protected frames put the side info (and so the Xing tag) 2 bytes
+    later; the parser must account for the protection bit."""
+    payload = bytearray(mp3.write_mp3(1, seed=b"crc"))
+    payload[1] = 0xFA  # protection_bit = 0 → CRC present
+    # rebuild the frame: header + 2-byte CRC + body (truncate 2 to keep len)
+    frame = bytes(payload[:4]) + b"\x00\x00" + bytes(payload[4:-2])
+    h = mp3._parse_header(frame, 0)
+    assert h.has_crc and mp3._xing_offset(h) == 4 + 2 + 32
+    # plant an Info tag at the CRC-adjusted offset
+    f = bytearray(frame)
+    off = mp3._xing_offset(h)
+    tag = b"Info" + struct.pack(">II", 0x1, 1)
+    f[off : off + len(tag)] = tag
+    m = mp3.parse_mp3(bytes(f))
+    assert m["n_frames"] == 1 and m["xing_frames"] == 1
