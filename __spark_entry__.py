@@ -1181,6 +1181,108 @@ def q_stats_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII redaction / repetition quality / dedup clustering
+# ---------------------------------------------------------------------------
+
+
+def _pii_enriched_text() -> "Column":
+    """Deterministic PII-bearing text: the synthetic documents are word soup,
+    so the query plants identifiers derived from doc_id (the exact same
+    expression runs in the DuckDB oracle). Every doc gets an email; phone /
+    SSN / card / IP appear on residue classes for variety."""
+    d = F.col("doc_id")
+
+    def _pad(m: int, w: int) -> Column:
+        return F.lpad((d % m).cast("string"), w, "0")
+
+    return F.concat(
+        F.col("text"),
+        F.lit(" email user"),
+        d.cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" phone "), _pad(1000, 3), F.lit("-555-"), _pad(10000, 4)),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0, F.concat(F.lit(" ssn 123-45-"), _pad(10000, 4))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0, F.concat(F.lit(" card 4111 1111 1111 "), _pad(10000, 4))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit(".25")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text deidentification — the corpus-side analogue of the
+    reference's attribute-rule engine (DeidentificationService.java): typed
+    placeholder redaction + per-kind counts, all JVM regexp (zero shuffle)."""
+    from nifi_dicom_spark.functions.pii import pii_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select("doc_id", _pii_enriched_text().alias("text"))
+    return pii_stats(enriched, "text", "doc_id")
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-token fraction, mode token and
+    word-bigram shares) — the quality-filter family for corpus curation."""
+    from nifi_dicom_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: SimHash near-dup PAIRS → connected components →
+    per-cluster canonical doc (min id) + cluster size. Composes the pairing
+    operator with the same label-propagation engine that backs the
+    reference's MergeCompositeContext grouping — the "keep one per near-dup
+    cluster" step every training-data pipeline ends with."""
+    from nifi_dicom_spark.functions.dedup_text import simhash_near_dup
+    from nifi_dicom_spark.operators.merge_context import connected_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    pairs = simhash_near_dup(docs.repartition(n), "text", "doc_id")
+    comp = connected_groups(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        "cluster_size",
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_id % 10 != 0) that
+    SimHash-near-dup a heldout doc (doc_id % 10 == 0). The heldout banded
+    chunks broadcast — the 10^10-doc train side never shuffles."""
+    from nifi_dicom_spark.functions.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    heldout = docs.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate(train, heldout, "text", "doc_id").select(
+        F.col("id").alias("doc_id"),
+        "matched_heldout_id",
+        F.col("min_hamming").cast("int").alias("min_hamming"),
+        "n_matches",
+    )
+
+
+# ---------------------------------------------------------------------------
 # OLAP sanity (flagship plan-shape check)
 # ---------------------------------------------------------------------------
 
@@ -1261,6 +1363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deadletter": q_deadletter,
         "stats_scan": q_stats_scan,
         "stats_json": q_stats_json,
+        "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition_stats,
+        "near_dup_clusters": q_near_dup_clusters,
+        "decontaminate": q_decontaminate,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -1551,6 +1657,156 @@ def _person_match_oracle() -> str:
     """
 
 
+_PII_ENRICH_SQL = """
+    text || ' email user' || CAST(doc_id AS VARCHAR) || '@example.com'
+    || CASE WHEN doc_id % 3 = 0 THEN ' phone ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+            || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25' ELSE '' END
+"""
+
+
+def _pii_redact_oracle() -> str:
+    """Same enrichment + sequential redaction + per-kind counts as
+    ``pii_stats`` — the redaction template nests regexp_replace in the same
+    declaration order the Spark side applies."""
+    from nifi_dicom_spark.functions.pii import oracle_sql_fragments
+
+    redact_tpl, count_tpls = oracle_sql_fragments()
+    # plain token replace, not str.format — regex quantifier braces ({2,})
+    # are literal text here
+    redacted = redact_tpl.replace("{col}", "text")
+    counts = ",\n               ".join(
+        f"CAST({tpl.replace('{col}', 'text')} AS BIGINT) AS n_{kind}"
+        for kind, tpl in count_tpls
+    )
+    total = " + ".join(f"n_{kind}" for kind, _ in count_tpls)
+    return f"""
+        WITH e AS (
+          SELECT doc_id, {_PII_ENRICH_SQL} AS text FROM documents
+        ), r AS (
+          SELECT doc_id,
+               {redacted} AS redacted,
+               {counts}
+          FROM e
+        )
+        SELECT *, ({total}) > 0 AS has_pii FROM r
+    """
+
+
+_REPETITION_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> ''), x -> lower(x)) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+      FROM t
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS term FROM t
+    ), tc AS (
+      SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term
+    ), tt AS (
+      SELECT doc_id, term AS top_token, c AS top_n FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, term ASC) AS rn
+        FROM tc
+      ) WHERE rn = 1
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS term
+      FROM t
+    ), bc AS (
+      SELECT doc_id, term, count(*) AS c FROM bg GROUP BY doc_id, term
+    ), bt AS (
+      SELECT doc_id, term AS top_bigram, c AS top_bn FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, term ASC) AS rn
+        FROM bc
+      ) WHERE rn = 1
+    )
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           round(CASE WHEN n_tokens > 0
+                 THEN (n_tokens - n_distinct) / CAST(n_tokens AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_token_frac,
+           coalesce(tt.top_token, '') AS top_token,
+           round(CASE WHEN n_tokens > 0
+                 THEN coalesce(top_n, 0) / CAST(n_tokens AS DOUBLE)
+                 ELSE 0.0 END, 6) AS top_token_frac,
+           coalesce(bt.top_bigram, '') AS top_bigram,
+           round(CASE WHEN n_tokens > 1
+                 THEN coalesce(top_bn, 0) / CAST(n_tokens - 1 AS DOUBLE)
+                 ELSE 0.0 END, 6) AS top_bigram_frac
+    FROM s LEFT JOIN tt USING (doc_id) LEFT JOIN bt USING (doc_id)
+"""
+
+
+def _decontaminate_oracle(
+    max_hamming: int = 3, n_bits: int = 60, n_bands: int = 4, cap: int = 256
+) -> str:
+    """Cross-set (train vs heldout) variant of the simhash pairing oracle:
+    same signatures, same pigeonhole chunks, heldout-side bucket cap,
+    per-train-doc aggregation."""
+    bounds = [b * n_bits // n_bands for b in range(n_bands + 1)]
+    chunks = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {bounds[b]}) & {(1 << (bounds[b + 1] - bounds[b])) - 1} AS chunk"
+        " FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH {_simhash_sig_cte(n_bits)}, banded AS ({chunks}),
+        tr AS (SELECT * FROM banded WHERE doc_id % 10 <> 0),
+        ho AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
+        hot AS (
+          SELECT band, chunk FROM ho GROUP BY band, chunk
+          HAVING count(*) > {cap}
+        ),
+        ho2 AS (
+          SELECT ho.* FROM ho ANTI JOIN hot USING (band, chunk)
+        ),
+        pairs AS (
+          SELECT DISTINCT t.doc_id, h.doc_id AS heldout_id,
+                 CAST(bit_count(xor(t.simhash, h.simhash)) AS INT) AS hamming
+          FROM tr t JOIN ho2 h ON t.band = h.band AND t.chunk = h.chunk
+          WHERE bit_count(xor(t.simhash, h.simhash)) <= {max_hamming}
+        )
+        SELECT doc_id, min(heldout_id) AS matched_heldout_id,
+               min(hamming) AS min_hamming,
+               count(*) AS n_matches
+        FROM pairs GROUP BY doc_id
+    """
+
+
+def _near_dup_clusters_oracle() -> str:
+    """Transitive closure (recursive CTE) over the simhash near-dup pair
+    oracle; cluster id = min reachable doc id — exactly the fixpoint the
+    pointer-doubling label propagation converges to."""
+    pairs_sql = _simhash_near_dup_oracle()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        ),
+        comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        sized AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        SELECT c.doc_id, c.cluster_id,
+               (c.doc_id = c.cluster_id) AS is_canonical,
+               s.cluster_size
+        FROM comp c JOIN sized s USING (cluster_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_replay": """
@@ -1738,6 +1994,10 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "minhash_near_dup": _minhash_oracle(),
+        "pii_redact": _pii_redact_oracle(),
+        "repetition_stats": _REPETITION_ORACLE,
+        "near_dup_clusters": _near_dup_clusters_oracle(),
+        "decontaminate": _decontaminate_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_near_dup": _simhash_near_dup_oracle(),
         "ann_lsh": _ann_lsh_oracle(),

@@ -230,3 +230,88 @@ def stratified_sample(
     # output reproduces the kept-set exactly. A rounded _u would contradict
     # the filter on boundary rows.
     return df.withColumn("_u", u).filter(F.col("_u") < rate)
+
+
+def decontaminate(
+    train: DataFrame,
+    heldout: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 60,
+    n_bands: int = 4,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Benchmark decontamination: which training documents near-duplicate a
+    heldout/eval document (SimHash hamming ≤ ``max_hamming``)?
+
+    Returns one row per CONTAMINATED train doc: (id, matched_heldout_id =
+    min matching heldout id, min_hamming, n_matches = distinct heldout docs
+    matched). Anti-join the result against the corpus to drop them.
+
+    Scale shape: the heldout set is a benchmark — thousands of docs against
+    10^9+ train docs — so its banded signature chunks are **broadcast**;
+    the train side is a single narrow scan + explode with NO shuffle (the
+    only aggregation is over the few contaminated survivors). The pigeonhole
+    banding is the same contract as :func:`..dedup_text.simhash_near_dup`:
+    hamming < n_bands ⇒ at least one shared chunk. ``max_bucket_size`` caps
+    degenerate heldout chunks (boilerplate prompts) the same way the
+    self-join variant does.
+
+    Complement: pair with :func:`containment_pairs` to also catch verbatim
+    benchmark text embedded inside a larger train doc (simhash is a
+    whole-document measure; containment is the substring one).
+    """
+    from .dedup_text import hamming64, simhash_signatures
+
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands}); raise n_bands"
+        )
+    bounds = [b * n_bits // n_bands for b in range(n_bands + 1)]
+
+    def _chunks(df: DataFrame) -> DataFrame:
+        sigs = simhash_signatures(df, text_col, id_col, n_bits)
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), bounds[b])
+                    .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
+                    .alias("chunk"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sigs.select("id", "simhash", F.explode(arr).alias("bb")).select(
+            "id", "simhash", "bb.band", "bb.chunk"
+        )
+
+    ho = _chunks(heldout)
+    # cap degenerate heldout chunks, then broadcast: the train side never
+    # shuffles — candidate generation rides the scan
+    hot = (
+        ho.groupBy("band", "chunk")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("band", "chunk")
+    )
+    ho = ho.join(F.broadcast(hot), ["band", "chunk"], "left_anti").select(
+        F.col("id").alias("_ho_id"),
+        F.col("simhash").alias("_ho_sig"),
+        "band",
+        "chunk",
+    )
+    tr = _chunks(train)
+    cand = tr.join(F.broadcast(ho), ["band", "chunk"]).select(
+        "id",
+        F.col("_ho_id").alias("heldout_id"),
+        hamming64(F.col("simhash"), F.col("_ho_sig")).alias("hamming"),
+    )
+    pairs = cand.filter(F.col("hamming") <= max_hamming).distinct()
+    return pairs.groupBy("id").agg(
+        F.min("heldout_id").alias("matched_heldout_id"),
+        F.min("hamming").alias("min_hamming"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )

@@ -7,7 +7,7 @@ tables at 100 TB never touch Python for these. Cross-engine-deterministic
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny multi-language stopword list — deterministic, not linguistic truth
@@ -99,3 +99,80 @@ def lang_guess(col: str | Column) -> Column:
     for lang in sorted(_LANG_MARKERS, reverse=True):
         out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
     return out
+
+
+# --- repetition signals (Gopher-style quality filters) ------------------------
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition signals for corpus quality filtering, after
+    the "Repetition Removal" family in Rae et al. 2021 (Gopher, §A1.1):
+    heavily repetitive documents are low-quality (boilerplate, generation
+    loops) and are filtered by thresholding these fractions.
+
+    Columns: ``n_tokens``, ``dup_token_frac`` (1 - distinct/total),
+    ``top_token`` + ``top_token_frac`` (mode token and its share),
+    ``top_bigram`` + ``top_bigram_frac`` (mode word-2-gram, share of the
+    n-1 bigram slots). Ties break to the lexicographically smallest
+    token/bigram, so results are deterministic and oracle-replayable.
+
+    Scale shape: tokens/bigrams are exploded then aggregated by
+    (doc, term) — partial aggregation collapses repeats map-side, and both
+    the groupBy and the window shuffle on the doc id, so AQE reuses one
+    exchange. Explode-then-aggregate (not array HOFs) is deliberate: a
+    single pathological 1 GB document becomes rows, not one driver-sized
+    array cell.
+    """
+    c = F.col(id_col)
+    toks = F.transform(tokens(text_col), F.lower)
+    base = df.select(c.alias("_id"), toks.alias("toks"))
+    n_bg = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n_bg),
+        F.slice("toks", 2, n_bg),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+    stats = base.select(
+        "_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+
+    def _mode(frame: DataFrame, arr: Column, out: str) -> DataFrame:
+        term = frame.select("_id", F.explode(arr).alias("term"))
+        counts = term.groupBy("_id", "term").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("_id").orderBy(F.col("c").desc(), F.col("term").asc())
+        return (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_id", F.col("term").alias(out), F.col("c").alias(out + "_n"))
+        )
+
+    top_tok = _mode(base, F.col("toks"), "top_token")
+    top_bg = _mode(base, bigrams, "top_bigram")
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        )
+
+    return (
+        stats.join(top_tok, "_id", "left")
+        .join(top_bg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            _frac(F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+            F.coalesce("top_token", F.lit("")).alias("top_token"),
+            _frac(F.coalesce("top_token_n", F.lit(0)), F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            _frac(
+                F.coalesce("top_bigram_n", F.lit(0)), F.col("n_tokens") - 1
+            ).alias("top_bigram_frac"),
+        )
+    )

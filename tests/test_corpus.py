@@ -156,3 +156,46 @@ def test_pack_shards_plan_has_no_global_window(spark):
     plan = base._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert out.count() == 1000
+
+
+# --- decontamination ---------------------------------------------------------
+
+
+def test_decontaminate_planted_and_plan(spark):
+    from nifi_dicom_spark.functions.corpus import decontaminate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    heldout = spark.createDataFrame(
+        [(100, base), (101, "totally different benchmark prompt here")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base),  # exact copy of heldout 100 → hamming 0
+            # same token SET, different order/multiplicity — simhash is a
+            # bag-of-distinct-tokens measure, so this is hamming 0 too
+            (2, "kappa iota theta eta zeta epsilon delta gamma beta alpha alpha"),
+            (3, "unrelated text about spark shuffles and parquet readers"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = decontaminate(train, heldout, "text", "doc_id")
+    rows = {r["id"]: r for r in out.collect()}
+    assert 1 in rows and rows[1]["matched_heldout_id"] == 100
+    assert rows[1]["min_hamming"] == 0 and rows[1]["n_matches"] == 1
+    assert 2 in rows, "near-copy should collide on a chunk and verify"
+    assert 3 not in rows
+    # plan shape: heldout chunks broadcast — the train side must not be
+    # exchanged for the candidate join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_decontaminate_rejects_bad_pigeonhole(spark):
+    import pytest as _pytest
+
+    from nifi_dicom_spark.functions.corpus import decontaminate
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        decontaminate(df, df, "text", "doc_id", max_hamming=4, n_bands=4)

@@ -1149,3 +1149,112 @@ def test_session_path_ordered_assembly(spark):
 
     out = E.q_session_path(spark, "/root/testdata/sf0.001").collect()
     assert all(r["path"].count(">") == r["n_events"] - 1 for r in out)
+
+
+# --- PII redaction -----------------------------------------------------------
+
+
+def test_pii_redact_all_kinds(spark):
+    from nifi_dicom_spark.functions.pii import pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail a.user+x@sub.example.co.uk call 312-555-0199 "
+                "ssn 123-45-6789 card 4111 1111 1111 1111 host 192.168.0.1",
+            ),
+            (2, "no identifiers here, just text with numbers 12345"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in pii_stats(df, "text", "id").collect()}
+    r1 = rows[1]
+    assert r1["redacted"] == (
+        "mail [EMAIL] call [PHONE] ssn [SSN] card [CARD] host [IP]"
+    )
+    assert (r1["n_email"], r1["n_phone"], r1["n_ssn"], r1["n_card"], r1["n_ipv4"]) == (
+        1,
+        1,
+        1,
+        1,
+        1,
+    )
+    assert r1["has_pii"] is True
+    r2 = rows[2]
+    assert r2["redacted"] == "no identifiers here, just text with numbers 12345"
+    assert r2["has_pii"] is False
+
+
+def test_pii_redact_order_and_subsets(spark):
+    from nifi_dicom_spark.functions.pii import redact
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        # email with digits in the local part must be consumed as ONE email,
+        # not leave a digit run for the phone pattern; SSN's 3-2-4 grouping
+        # must not be matched by the 3-3-4 phone pattern
+        [("x123-555-0100y a@b.io vs 987-65-4321",)],
+        ["text"],
+    )
+    out = df.select(redact("text").alias("r")).head()["r"]
+    # 'x123-555-0100y': letters and digits are both \w, so there is no word
+    # boundary at the x→1 transition — the phone pattern must NOT fire
+    assert "[EMAIL]" in out and "[SSN]" in out
+    assert "x123-555-0100y" in out  # embedded in a word → not a phone
+    only_email = df.select(redact("text", kinds=["email"]).alias("r")).head()["r"]
+    assert "[EMAIL]" in only_email and "[SSN]" not in only_email
+    with _pytest.raises(ValueError, match="unknown PII kinds"):
+        df.select(redact("text", kinds=["dna"]))
+
+
+# --- repetition signals ------------------------------------------------------
+
+
+def test_repetition_stats_edges(spark):
+    from nifi_dicom_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one token repeated
+            (2, "b"),                 # single token → no bigrams
+            (3, ""),                  # empty
+            (4, "x y x y z"),        # top bigram 'x y' ×2 of 4 slots
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in repetition_stats(df, "text", "id").collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["dup_token_frac"] == 0.75
+    assert rows[1]["top_token"] == "a" and rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["top_bigram"] == "a a" and rows[1]["top_bigram_frac"] == 1.0
+    assert rows[2]["n_tokens"] == 1 and rows[2]["top_bigram"] == ""
+    assert rows[2]["top_bigram_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 0 and rows[3]["top_token"] == ""
+    assert rows[3]["dup_token_frac"] == 0.0
+    r4 = rows[4]
+    assert r4["top_bigram"] == "x y" and r4["top_bigram_frac"] == 0.5
+    # tie on token counts (x:2, y:2) → lexicographically smallest wins
+    assert r4["top_token"] == "x"
+
+
+# --- near-dup clustering -----------------------------------------------------
+
+
+def test_near_dup_clusters_canonical_consistency(spark):
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q_near_dup_clusters(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "fixture corpus should contain at least one near-dup cluster"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m["doc_id"] for m in members)
+        assert cid == ids[0], "cluster id must be the min member id"
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["doc_id"] == cid
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert len(members) >= 2, "singletons only exist via pairs"
