@@ -1258,3 +1258,22 @@ def test_near_dup_clusters_canonical_consistency(spark):
         assert len(canon) == 1 and canon[0]["doc_id"] == cid
         assert all(m["cluster_size"] == len(members) for m in members)
         assert len(members) >= 2, "singletons only exist via pairs"
+
+
+def test_connected_groups_driver_and_distributed_paths_agree(spark):
+    from nifi_dicom_spark.operators.merge_context import connected_groups
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (5, 4)], ["src", "dst"]
+    )
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_groups(edges).collect()
+    }
+    slow = {
+        (r["node"], r["component"])
+        for r in connected_groups(edges, driver_threshold=0).collect()
+    }
+    assert fast == slow
+    assert (3, 1) in fast and (11, 10) in fast and (20, 20) in fast
+    assert (4, 4) in fast and (5, 4) in fast
