@@ -54,15 +54,27 @@ def _ordered_grams(col: str | Column, n: int) -> Column:
     Documents shorter than ``n`` tokens yield an empty array — guarded
     explicitly because ``sequence(1, k)`` with ``k <= 0`` produces a
     DESCENDING array ([1, 0]) whose 0 index crashes ``slice``.
+
+    The token array is BOUND as a lambda variable (via a single-element
+    ``transform``) before the per-position lambda uses it: a free
+    expression inside a higher-order-function lambda is re-evaluated on
+    every lambda call, which turned this into O(n²) re-tokenization of the
+    document — the bound form tokenizes once per row (measured 8.2 s →
+    sub-second for the sf0.1 shingle stage).
     """
     t = F.transform(tokens(col), F.lower)
-    k = F.size(t) - (n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(t, i, n))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _grams(tt: Column) -> Column:
+        k = F.size(tt) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(tt, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(t), _grams), 1)
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:
@@ -193,6 +205,27 @@ def _candidates_from_shingles(
         # digests — k > 8 would slice past them and yield constant "" hashes
         # (global band collisions, silent recall loss)
         raise ValueError(f"md5 minhash method supports k <= 8 (got {k})")
+    # Build the banded buckets DIRECTLY from per-index minhash expressions.
+    # The obvious form — materialize `sig = array(min_0..min_k)` and slice it
+    # with element_at per band — re-inlines the whole signature expression at
+    # every reference (projection collapse + no CSE inside higher-order
+    # functions), recomputing all K minhashes per element_at. Here each
+    # min_i appears exactly once, and for md5 the per-shingle digests are
+    # BOUND once as a lambda variable (same O(n²)-re-eval trap as
+    # `_ordered_grams`; this stage measured 4.3 s → ~1 s at sf0.1).
+    def _band_structs(mh: list[Column]) -> Column:
+        out = []
+        for b in range(bands):
+            els = [mh[b * rows_per_band + r] for r in range(rows_per_band)]
+            if method == "md5":
+                bucket = F.md5(F.concat_ws("|", *[e.cast("string") for e in els]))
+            else:
+                bucket = F.xxhash64(*els)
+            out.append(
+                F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+            )
+        return F.array(*out)
+
     if method == "md5":
         # hash each shingle ONCE (twice for k > 4); the K minhashes are
         # 8-hex-char slices of the concatenated digest string
@@ -201,15 +234,35 @@ def _candidates_from_shingles(
             if k > 4
             else F.md5
         )
-        sh_df = sh_df.withColumn("_shd", F.transform(F.col("_sh"), digest))
-        sig = F.array(
-            *[_minhash_one(F.col("_shd"), i, "md5_digests") for i in range(k)]
+
+        def _slice_at(i: int):
+            # NOTE: must stay a ONE-parameter lambda — pyspark passes the
+            # element index to two-parameter transform lambdas
+            return lambda d: F.substring(d, 8 * i + 1, 8)
+
+        def _from_digests(dd: Column) -> Column:
+            mh = [
+                F.array_min(F.transform(dd, _slice_at(i))) for i in range(k)
+            ]
+            return _band_structs(mh)
+
+        banded_arr = F.element_at(
+            F.transform(
+                F.array(F.transform(F.col("_sh"), digest)), _from_digests
+            ),
+            1,
         )
     else:
-        sig = F.array(*[_minhash_one(F.col("_sh"), i, method) for i in range(k)])
+
+        def _xx_at(i: int):
+            return lambda s: F.xxhash64(F.lit(i), s)
+
+        mh = [
+            F.array_min(F.transform(F.col("_sh"), _xx_at(i))) for i in range(k)
+        ]
+        banded_arr = _band_structs(mh)
     banded = sh_df.select(
-        "id",
-        F.explode(lsh_bands(sig, bands, rows_per_band, method)).alias("bb"),
+        "id", F.explode(banded_arr).alias("bb")
     ).select("id", "bb.band", F.col("bb.bucket").cast("string").alias("bucket"))
     # signatures are the expensive part and `banded` is consumed three times
     # (bucket counts, gate, self-join) — materialize once. The pair set is
