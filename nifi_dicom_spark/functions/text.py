@@ -30,10 +30,25 @@ def word_tokens(col: str | Column) -> Column:
     return F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
 
 
-def stopword_ratio(col: str | Column) -> Column:
-    t = tokens(col)
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``fn`` with ``expr`` bound as a lambda variable.
+
+    Free expressions inside higher-order-function lambdas (and expressions
+    repeated across a projection) are re-evaluated at every reference —
+    binding via a single-element ``transform`` materializes ``expr`` once
+    per row. Same trick as ``dedup_text._ordered_grams``; here it keeps
+    each text metric at ONE tokenization per row instead of one per use.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def _stopword_ratio_of(t: Column) -> Column:
     sw = F.filter(t, lambda x: F.lower(x).isin(STOPWORDS))
     return F.when(F.size(t) > 0, F.size(sw) / F.size(t)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    return _bind(tokens(col), _stopword_ratio_of)
 
 
 def punct_ratio(col: str | Column) -> Column:
@@ -42,23 +57,31 @@ def punct_ratio(col: str | Column) -> Column:
     return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
 
 
-def mean_word_len(col: str | Column) -> Column:
-    t = tokens(col)
+def _mean_word_len_of(t: Column) -> Column:
     total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
 
 
+def mean_word_len(col: str | Column) -> Column:
+    return _bind(tokens(col), _mean_word_len_of)
+
+
 def quality_score(col: str | Column) -> Column:
     """Composite quality heuristic in [0,1]: long enough, balanced word
-    length, some stopwords, little punctuation noise."""
-    n = token_count(col)
-    len_ok = F.when(n >= 5, 1.0).otherwise(n / F.lit(5.0))
-    mwl = mean_word_len(col)
-    wl_ok = F.when((mwl >= 3) & (mwl <= 10), 1.0).otherwise(0.5)
-    sw = stopword_ratio(col)
-    sw_ok = F.when((sw > 0.0) & (sw < 0.6), 1.0).otherwise(0.5)
+    length, some stopwords, little punctuation noise. The three
+    token-based parts share ONE bound tokenization per row."""
+
+    def _token_parts(t: Column) -> Column:
+        n = F.size(t)
+        len_ok = F.when(n >= 5, 1.0).otherwise(n / F.lit(5.0))
+        mwl = _mean_word_len_of(t)
+        wl_ok = F.when((mwl >= 3) & (mwl <= 10), 1.0).otherwise(0.5)
+        sw = _stopword_ratio_of(t)
+        sw_ok = F.when((sw > 0.0) & (sw < 0.6), 1.0).otherwise(0.5)
+        return len_ok + wl_ok + sw_ok
+
     pr_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.3)
-    return F.round((len_ok + wl_ok + sw_ok + pr_ok) / 4.0, 6)
+    return F.round((_bind(tokens(col), _token_parts) + pr_ok) / 4.0, 6)
 
 
 def fingerprint(col: str | Column) -> Column:
@@ -81,24 +104,36 @@ _LANG_MARKERS = {
 }
 
 
-def lang_score(col: str | Column, lang: str) -> Column:
-    """Marker-token hit count for one language."""
-    lowered = F.transform(tokens(col), F.lower)
+def _lang_score_of(lowered: Column, lang: str) -> Column:
     markers = _LANG_MARKERS[lang]
     return F.size(F.filter(lowered, lambda x: x.isin(markers)))
+
+
+def lang_score(col: str | Column, lang: str) -> Column:
+    """Marker-token hit count for one language."""
+    return _lang_score_of(F.transform(tokens(col), F.lower), lang)
 
 
 def lang_guess(col: str | Column) -> Column:
     """argmax over marker-token hit counts, alphabetical tie-break;
     'und' (undetermined) when all scores are 0. Expressed as an explicit
-    when-chain so the exact same logic is one CASE expression in SQL."""
-    scores = {lang: lang_score(col, lang) for lang in sorted(_LANG_MARKERS)}
-    best = F.greatest(*scores.values())
-    out = F.lit("und")
-    # reverse alphabetical so the earliest language wins ties in the chain
-    for lang in sorted(_LANG_MARKERS, reverse=True):
-        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
-    return out
+    when-chain so the exact same logic is one CASE expression in SQL.
+    All per-language scores share one bound tokenization per row."""
+
+    def _guess(lowered: Column) -> Column:
+        scores = {
+            lang: _lang_score_of(lowered, lang) for lang in sorted(_LANG_MARKERS)
+        }
+        best = F.greatest(*scores.values())
+        out = F.lit("und")
+        # reverse alphabetical so the earliest language wins ties in the chain
+        for lang in sorted(_LANG_MARKERS, reverse=True):
+            out = F.when(
+                (best > 0) & (scores[lang] == best), F.lit(lang)
+            ).otherwise(out)
+        return out
+
+    return _bind(F.transform(tokens(col), F.lower), _guess)
 
 
 # --- repetition signals (Gopher-style quality filters) ------------------------
