@@ -1263,6 +1263,40 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup against a durable signature store: the
+    doc_id % 10 == 0 slice is ingested first (in-batch clustered, roots
+    committed), the % 10 == 1 slice is the probe batch — each doc either
+    matches a stored root, joins an in-batch cluster, or becomes a new
+    unique. Store reads are bucket-pruned; probe joins broadcast the batch
+    side. (Two 10% slices keep the bench query proportionate — the query
+    exercises two full ingest cycles of the table machinery.)"""
+    import tempfile
+
+    from nifi_dicom_spark.operators.incremental_dedup import (
+        create_signature_store,
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n)
+    store = create_signature_store(
+        spark, tempfile.mkdtemp(prefix="sigstore_") + "/sigs"
+    )
+    incremental_dedup(
+        store, docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id"
+    )
+    out = incremental_dedup(
+        store, docs.filter(F.col("doc_id") % 10 == 1), "text", "doc_id"
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "is_unique",
+        F.col("matched_id").cast("bigint").alias("matched_id"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (doc_id % 10 != 0) that
     SimHash-near-dup a heldout doc (doc_id % 10 == 0). The heldout banded
@@ -1367,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "near_dup_clusters": q_near_dup_clusters,
         "decontaminate": q_decontaminate,
+        "incremental_dedup": q_incremental_dedup,
         "tpch_q1": q_tpch_q1,
     }
 
@@ -1757,9 +1792,9 @@ def _decontaminate_oracle(
         for b in range(n_bands)
     )
     return f"""
-        WITH {_simhash_sig_cte(n_bits)}, banded AS ({chunks}),
+        WITH {_simhash_sig_cte(n_bits)}, banded AS MATERIALIZED ({chunks}),
         tr AS (SELECT * FROM banded WHERE doc_id % 10 <> 0),
-        ho AS (SELECT * FROM banded WHERE doc_id % 10 = 0),
+        ho AS MATERIALIZED (SELECT * FROM banded WHERE doc_id % 10 = 0),
         hot AS (
           SELECT band, chunk FROM ho GROUP BY band, chunk
           HAVING count(*) > {cap}
@@ -1780,14 +1815,88 @@ def _decontaminate_oracle(
     """
 
 
+def _incremental_dedup_oracle(
+    max_hamming: int = 3, n_bits: int = 60, n_bands: int = 4, cap: int = 256
+) -> str:
+    """Replays the two-phase incremental dedup: evens clustered (recursive
+    CTE), roots become the store; odds match stored roots (chunk-capped)
+    else cluster among themselves. All id comparisons are over the VARCHAR
+    form — the operator keys the store by string ids, so min/ordering are
+    lexicographic."""
+    bounds = [b * n_bits // n_bands for b in range(n_bands + 1)]
+    chunks = "\nUNION ALL\n".join(
+        f"SELECT CAST(doc_id AS VARCHAR) AS id, doc_id, simhash, {b} AS band,"
+        f" (simhash >> {bounds[b]}) & {(1 << (bounds[b + 1] - bounds[b])) - 1} AS chunk"
+        " FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH RECURSIVE {_simhash_sig_cte(n_bits)}, banded AS MATERIALIZED ({chunks}),
+        ev AS MATERIALIZED (SELECT * FROM banded WHERE doc_id % 10 = 0),
+        od AS MATERIALIZED (SELECT * FROM banded WHERE doc_id % 10 = 1),
+        epairs AS (
+          SELECT DISTINCT l.id AS a, r.id AS b
+          FROM ev l JOIN ev r ON l.band = r.band AND l.chunk = r.chunk
+                             AND l.id < r.id
+          WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+        ),
+        eedges AS (SELECT a, b FROM epairs UNION SELECT b, a FROM epairs),
+        enodes AS (SELECT DISTINCT id FROM ev),
+        ereach(id, r) AS (
+          SELECT id, id FROM enodes
+          UNION
+          SELECT e.a, ereach.r FROM eedges e JOIN ereach ON e.b = ereach.id
+        ),
+        ecomp AS (SELECT id, min(r) AS root FROM ereach GROUP BY id),
+        store AS (
+          SELECT ev.* FROM ev JOIN ecomp ON ev.id = ecomp.id AND ecomp.id = ecomp.root
+        ),
+        hot AS (
+          SELECT band, chunk FROM store GROUP BY band, chunk
+          HAVING count(*) > {cap}
+        ),
+        store2 AS (SELECT store.* FROM store ANTI JOIN hot USING (band, chunk)),
+        om AS (
+          SELECT o.id, min(s2.id) AS matched_id
+          FROM od o JOIN store2 s2 ON o.band = s2.band AND o.chunk = s2.chunk
+          WHERE bit_count(xor(o.simhash, s2.simhash)) <= {max_hamming}
+          GROUP BY o.id
+        ),
+        surv AS (
+          SELECT DISTINCT id FROM od WHERE id NOT IN (SELECT id FROM om)
+        ),
+        sb AS (SELECT od.* FROM od JOIN surv USING (id)),
+        opairs AS (
+          SELECT DISTINCT l.id AS a, r.id AS b
+          FROM sb l JOIN sb r ON l.band = r.band AND l.chunk = r.chunk
+                             AND l.id < r.id
+          WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+        ),
+        oedges AS (SELECT a, b FROM opairs UNION SELECT b, a FROM opairs),
+        oreach(id, r) AS (
+          SELECT id, id FROM surv
+          UNION
+          SELECT e.a, oreach.r FROM oedges e JOIN oreach ON e.b = oreach.id
+        ),
+        ocomp AS (SELECT id, min(r) AS root FROM oreach GROUP BY id),
+        odup AS (SELECT id, root AS matched_id FROM ocomp WHERE id <> root),
+        alldup AS (SELECT * FROM om UNION ALL SELECT * FROM odup),
+        odocs AS (SELECT DISTINCT id, doc_id FROM od)
+        SELECT odocs.doc_id,
+               (alldup.matched_id IS NULL) AS is_unique,
+               CAST(alldup.matched_id AS BIGINT) AS matched_id
+        FROM odocs LEFT JOIN alldup USING (id)
+    """
+
+
 def _near_dup_clusters_oracle() -> str:
     """Transitive closure (recursive CTE) over the simhash near-dup pair
     oracle; cluster id = min reachable doc id — exactly the fixpoint the
     pointer-doubling label propagation converges to."""
     pairs_sql = _simhash_near_dup_oracle()
     return f"""
-        WITH RECURSIVE pairs AS ({pairs_sql}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+        edges AS MATERIALIZED (
           SELECT id_a AS a, id_b AS b FROM pairs
           UNION
           SELECT id_b AS a, id_a AS b FROM pairs
@@ -1998,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_ORACLE,
         "near_dup_clusters": _near_dup_clusters_oracle(),
         "decontaminate": _decontaminate_oracle(),
+        "incremental_dedup": _incremental_dedup_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_near_dup": _simhash_near_dup_oracle(),
         "ann_lsh": _ann_lsh_oracle(),

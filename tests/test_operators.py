@@ -1277,3 +1277,73 @@ def test_connected_groups_driver_and_distributed_paths_agree(spark):
     assert fast == slow
     assert (3, 1) in fast and (11, 10) in fast and (20, 20) in fast
     assert (4, 4) in fast and (5, 4) in fast
+
+
+# --- incremental near-dup dedup ----------------------------------------------
+
+
+def test_incremental_dedup_cross_batch_and_replay(spark, tmp_path):
+    from nifi_dicom_spark.operators.incremental_dedup import (
+        create_signature_store,
+        incremental_dedup,
+    )
+
+    store = create_signature_store(spark, str(tmp_path / "sigs"))
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different text one two three")],
+        ["doc_id", "text"],
+    )
+    d1 = {r["id"]: r for r in incremental_dedup(store, b1, "text", "doc_id").collect()}
+    assert d1["1"]["is_unique"] and d1["2"]["is_unique"]
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),  # near-dup of stored doc 1
+            (11, "fresh unseen content here today"),  # unique
+            # same token set as base (order/multiplicity differ) → dup of 1
+            (12, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+            (13, "brand new wording nothing alike"),  # unique
+        ],
+        ["doc_id", "text"],
+    )
+    d2 = sorted(
+        (r["id"], r["is_unique"], r["matched_id"])
+        for r in incremental_dedup(store, b2, "text", "doc_id").collect()
+    )
+    assert d2 == [
+        ("10", False, "1"),
+        ("11", True, None),
+        ("12", False, "1"),
+        ("13", True, None),
+    ]
+    # crash-replay of batch 2: identical decisions (self-matches ignored),
+    # store cardinality unchanged (first-writer-wins)
+    n = store.read().count()
+    d2r = sorted(
+        (r["id"], r["is_unique"], r["matched_id"])
+        for r in incremental_dedup(store, b2, "text", "doc_id").collect()
+    )
+    assert d2r == d2
+    assert store.read().count() == n
+
+
+def test_incremental_dedup_in_batch_clustering(spark, tmp_path):
+    from nifi_dicom_spark.operators.incremental_dedup import (
+        create_signature_store,
+        incremental_dedup,
+    )
+
+    store = create_signature_store(spark, str(tmp_path / "sigs"))
+    text = "one two three four five six seven eight nine ten " * 2
+    batch = spark.createDataFrame(
+        [(5, text), (3, text), (9, text), (7, "unrelated other words here")],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in incremental_dedup(store, batch, "text", "doc_id").collect()}
+    # min STRING id of the identical trio is the root ('3' < '5' < '9')
+    assert rows["3"]["is_unique"] and rows["7"]["is_unique"]
+    assert not rows["5"]["is_unique"] and rows["5"]["matched_id"] == "3"
+    assert not rows["9"]["is_unique"] and rows["9"]["matched_id"] == "3"
+    # only roots' signatures were committed: 4 bands × 2 unique docs
+    assert store.read().count() == 8
