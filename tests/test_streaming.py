@@ -244,3 +244,91 @@ def test_gap_timeout_conversation_completeness(spark, tmp_path):
     assert rows["A"]["n_events"] == 2 and rows["A"]["completed"]
     assert rows["B"]["n_events"] == 1
     assert rows["A"]["last_ts"] == (t0 + pd.Timedelta(seconds=10)).to_pydatetime()
+
+
+def test_streaming_incremental_dedup_exactly_once(spark, tmp_path):
+    """incremental_dedup as a foreachBatch consumer: per-epoch commit keys
+    make the signature-store inserts exactly-once across a restart-replay,
+    and the re-run epoch returns byte-identical decisions (self-matches are
+    ignored). This is the ingest-dedup half of the CDC engine driven by the
+    real streaming machinery."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nifi_dicom_spark.operators.incremental_dedup import (
+        create_signature_store,
+        incremental_dedup,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    batches = [
+        [(1, base), (2, "completely different text one two three")],
+        [(10, base), (11, "fresh unseen content here today")],
+        [(20, base), (21, "fresh unseen content here today"), (22, "third new thing")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            f"{docs_dir}/b{i}", mode="overwrite"
+        )
+    store = create_signature_store(spark, str(tmp_path / "sigs"))
+    decisions: dict[int, list] = {}
+
+    def handle(batch_df, epoch_id):
+        out = incremental_dedup(
+            store, batch_df, "text", "doc_id", commit_keys=[(epoch_id, 0)]
+        )
+        decisions[epoch_id] = sorted(
+            (r["id"], r["is_unique"], r["matched_id"]) for r in out.collect()
+        )
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir + "/b*")
+    )
+    q = (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(decisions) == 3
+    flat = {i: d for e in decisions.values() for (i, u, m) in e for d in [(u, m)]}
+    assert flat["1"] == (True, None) and flat["2"] == (True, None)
+    assert flat["10"] == (False, "1") and flat["11"] == (True, None)
+    assert flat["20"] == (False, "1") and flat["22"] == (True, None)
+    assert flat["21"] == (False, "11")  # dup of the earlier epoch's unique
+    n_store = store.read().count()
+
+    # crash-replay: wipe the checkpoint so EVERY epoch re-runs against the
+    # already-populated store; decisions must be identical and the ledger
+    # must skip every insert
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    replay: dict[int, list] = {}
+
+    def handle2(batch_df, epoch_id):
+        out = incremental_dedup(
+            store, batch_df, "text", "doc_id", commit_keys=[(epoch_id, 0)]
+        )
+        replay[epoch_id] = sorted(
+            (r["id"], r["is_unique"], r["matched_id"]) for r in out.collect()
+        )
+
+    q2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir + "/b*")
+        .writeStream.foreachBatch(handle2)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert replay == decisions
+    assert store.read().count() == n_store
