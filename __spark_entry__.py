@@ -1237,6 +1237,16 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, "text", "doc_id")
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped corpus decision: C4/Gopher-style keep/drop with
+    machine-readable reasons, composing token-count / repetition / quality /
+    language / PII rules in one zero-shuffle projection."""
+    from nifi_dicom_spark.functions.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs, "text", "doc_id")
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: SimHash near-dup PAIRS → connected components →
     per-cluster canonical doc (min id) + cluster size. Composes the pairing
@@ -1399,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_json": q_stats_json,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
         "near_dup_clusters": q_near_dup_clusters,
         "decontaminate": q_decontaminate,
         "incremental_dedup": q_incremental_dedup,
@@ -1889,6 +1900,77 @@ def _incremental_dedup_oracle(
     """
 
 
+def _quality_filter_oracle(
+    min_tokens: int = 10, max_dup_frac: float = 0.8, min_quality: float = 0.5
+) -> str:
+    """quality_filter replayed: same quality composite as the text_stats
+    oracle, same lang CASE, PII counts over the raw text, reasons joined in
+    the same fixed rule order."""
+    from nifi_dicom_spark.functions.pii import oracle_sql_fragments
+
+    _, count_tpls = oracle_sql_fragments()
+    pii_total = " + ".join(tpl.replace("{col}", "text") for _, tpl in count_tpls)
+    sw = (
+        "len(list_filter(toks, x -> x IN "
+        "('the','a','of','and','to','in','is','it','that','for')))"
+    )
+    quality = f"""round((
+        (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE len(toks) / 5.0 END)
+        + (CASE WHEN len(toks) > 0
+                AND list_sum(list_transform(toks, x -> len(x))) / CAST(len(toks) AS DOUBLE) BETWEEN 3 AND 10
+                THEN 1.0 ELSE 0.5 END)
+        + (CASE WHEN len(toks) > 0
+                AND {sw} / CAST(len(toks) AS DOUBLE) > 0.0
+                AND {sw} / CAST(len(toks) AS DOUBLE) < 0.6
+                THEN 1.0 ELSE 0.5 END)
+        + (CASE WHEN (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / CAST(greatest(len(text), 1) AS DOUBLE) < 0.2
+                THEN 1.0 ELSE 0.3 END)
+      ) / 4.0, 6)"""
+    lang = """CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END"""
+    reasons = f"""concat_ws(',',
+        CASE WHEN n_tokens < {min_tokens} THEN 'too_short' END,
+        CASE WHEN dup_token_frac > {max_dup_frac} THEN 'repetitive' END,
+        CASE WHEN quality < {min_quality} THEN 'low_quality' END,
+        CASE WHEN lang = 'und' THEN 'lang_unknown' END,
+        CASE WHEN n_pii > 0 THEN 'has_pii' END)"""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> ''), x -> lower(x)) AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, toks,
+                 len(list_filter(toks, x -> x IN ('der','und','ist'))) AS s_de,
+                 len(list_filter(toks, x -> x IN ('the','and','is'))) AS s_en,
+                 len(list_filter(toks, x -> x IN ('el','y','es'))) AS s_es,
+                 len(list_filter(toks, x -> x IN ('le','et','est'))) AS s_fr
+          FROM t
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 round(CASE WHEN len(toks) > 0
+                       THEN (len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END, 6) AS dup_token_frac,
+                 {quality} AS quality,
+                 {lang} AS lang,
+                 ({pii_total}) AS n_pii
+          FROM s
+        ), r AS (
+          SELECT doc_id, n_tokens, dup_token_frac, quality, lang,
+                 {reasons} AS reasons
+          FROM m
+        )
+        SELECT doc_id, n_tokens, dup_token_frac, quality, lang, reasons,
+               (reasons = '') AS keep
+        FROM r
+    """
+
+
 def _near_dup_clusters_oracle() -> str:
     """Transitive closure (recursive CTE) over the simhash near-dup pair
     oracle; cluster id = min reachable doc id — exactly the fixpoint the
@@ -2104,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dup": _minhash_oracle(),
         "pii_redact": _pii_redact_oracle(),
+        "quality_filter": _quality_filter_oracle(),
         "repetition_stats": _REPETITION_ORACLE,
         "near_dup_clusters": _near_dup_clusters_oracle(),
         "decontaminate": _decontaminate_oracle(),

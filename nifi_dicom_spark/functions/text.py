@@ -211,3 +211,61 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+# --- composite corpus filter ---------------------------------------------------
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 10,
+    max_dup_frac: float = 0.8,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """C4/Gopher-style keep/drop decision with machine-readable reasons.
+
+    Composes the signal family into the decision a corpus pipeline actually
+    ships: too_short (token count), repetitive (duplicate-token fraction),
+    low_quality (composite score), lang_unknown (marker heuristic), has_pii
+    (any structured identifier). ``reasons`` is the comma-joined list of
+    failed rules in fixed order; ``keep`` is "no rule failed".
+
+    One narrow projection — every rule is a built-in expression over one
+    bound tokenization + one regexp pass, zero shuffle, pipelines with the
+    scan at 100 TB.
+    """
+    from .pii import _KINDS, pii_count
+
+    def _parts(t: Column) -> Column:
+        n = F.size(t)
+        dup = F.when(
+            n > 0,
+            (n - F.size(F.array_distinct(t))) / n.cast("double"),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            n.cast("long").alias("n"), F.round(dup, 6).alias("dup")
+        )
+
+    s = _bind(F.transform(tokens(text_col), F.lower), _parts)
+    q = quality_score(text_col)
+    lang = lang_guess(text_col)
+    n_pii = sum(pii_count(text_col, k).cast("long") for k in _KINDS)
+    reasons = F.concat_ws(
+        ",",
+        F.when(s["n"] < min_tokens, "too_short"),
+        F.when(s["dup"] > max_dup_frac, "repetitive"),
+        F.when(q < min_quality, "low_quality"),
+        F.when(lang == "und", "lang_unknown"),
+        F.when(n_pii > 0, "has_pii"),
+    )
+    return df.select(
+        F.col(id_col),
+        s["n"].alias("n_tokens"),
+        s["dup"].alias("dup_token_frac"),
+        q.alias("quality"),
+        lang.alias("lang"),
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )

@@ -1347,3 +1347,30 @@ def test_incremental_dedup_in_batch_clustering(spark, tmp_path):
     assert not rows["9"]["is_unique"] and rows["9"]["matched_id"] == "3"
     # only roots' signatures were committed: 4 bands × 2 unique docs
     assert store.read().count() == 8
+
+
+def test_quality_filter_rules(spark):
+    from nifi_dicom_spark.functions.text import quality_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, "spam " * 40),  # one token repeated → repetitive (+ quality)
+            (
+                3,
+                "the quick brown fox jumps over a lazy dog and it runs far "
+                "away to the old mill where water flows past green fields",
+            ),
+            (
+                4,
+                "the quick brown fox jumps over a lazy dog and it is seen "
+                "near the river mail me at someone@example.com for details",
+            ),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(df, "text", "doc_id").collect()}
+    assert not rows[1]["keep"] and "too_short" in rows[1]["reasons"]
+    assert not rows[2]["keep"] and "repetitive" in rows[2]["reasons"]
+    assert rows[3]["keep"] and rows[3]["reasons"] == ""
+    assert not rows[4]["keep"] and rows[4]["reasons"] == "has_pii"
