@@ -62,6 +62,15 @@ def main() -> None:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="bench-", dir=shm)
     try:
+        # Untimed warm-up replay (fresh-JVM JIT/codegen of the merge path is
+        # a one-time cost the 10^10-event steady-state target never sees;
+        # run_replay's internal quarter-size epoch 0 warms the TABLE, not a
+        # cold JVM — measured 69k vs 150k ev/s first-vs-second invocation).
+        # Same estimator as BENCH/BASELINE.md: steady-state capability.
+        warm = os.path.join(work, "warmup")
+        os.makedirs(warm, exist_ok=True)
+        run_replay(spark, n_events=100_000, n_epochs=1, n_buckets=64, work_dir=warm)
+        shutil.rmtree(warm, ignore_errors=True)
         replay = run_replay(
             spark, n_events=n_events, n_epochs=n_epochs, n_buckets=64, work_dir=work
         )
