@@ -262,28 +262,17 @@ def decontaminate(
     benchmark text embedded inside a larger train doc (simhash is a
     whole-document measure; containment is the substring one).
     """
-    from .dedup_text import hamming64, simhash_signatures
+    from .dedup_text import hamming64, simhash_band_chunks, simhash_signatures
 
     if max_hamming >= n_bands:
         raise ValueError(
             f"pigeonhole needs max_hamming < n_bands "
             f"(got {max_hamming} >= {n_bands}); raise n_bands"
         )
-    bounds = [b * n_bits // n_bands for b in range(n_bands + 1)]
 
     def _chunks(df: DataFrame) -> DataFrame:
         sigs = simhash_signatures(df, text_col, id_col, n_bits)
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(F.col("simhash"), bounds[b])
-                    .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
-                    .alias("chunk"),
-                )
-                for b in range(n_bands)
-            ]
-        )
+        arr = simhash_band_chunks(n_bits, n_bands)
         return sigs.select("id", "simhash", F.explode(arr).alias("bb")).select(
             "id", "simhash", "bb.band", "bb.chunk"
         )

@@ -107,9 +107,15 @@ def _minhash_one(shingles: Column, seed: int, method: str) -> Column:
       on large shingle sets, inflating band-bucket collisions that the
       ``max_bucket_size`` gate then dropped (silent recall loss). API note:
       ``k`` stays capped at 8 for the md5 method (raises above), as it has
-      since the 16-bit scheme. When the caller pre-materializes digests
-      (see ``_candidates_from_shingles``), pass that column as ``shingles``
-      with ``method="md5_digests"`` to hash each shingle exactly once.
+      since the 16-bit scheme.
+    * ``md5_digests``: the caller pre-materialized the digest column with
+      :func:`md5_minhash_digest` (hash each shingle exactly once) and
+      passes it as ``shingles``. The digest MUST be built by that helper:
+      hash index i slices chars [8i+1, 8i+8], so indices ≥ 4 need the
+      64-char two-digest concatenation — a bare 32-char ``md5(s)`` only
+      supports k ≤ 4 (higher indices would slice past the end into
+      constant ``''`` minhashes: global band collisions, silent recall
+      loss).
     """
     if method in ("md5", "md5_digests") and seed >= 8:
         raise ValueError(
@@ -138,6 +144,18 @@ def _minhash_one(shingles: Column, seed: int, method: str) -> Column:
     return F.array_min(
         F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
     )
+
+
+def md5_minhash_digest(s: Column, k: int) -> Column:
+    """Per-shingle digest column for ``method="md5_digests"``: ``md5(s)``
+    for k ≤ 4, ``md5(s) ‖ md5(s ‖ '#2')`` for k ≤ 8 — the ONLY shapes the
+    slicing in :func:`_minhash_one` is defined over. SQL-replayable:
+    ``md5(s)`` / ``md5(s) || md5(s || '#2')``."""
+    if k <= 4:
+        return F.md5(s)
+    if k <= 8:
+        return F.concat(F.md5(s), F.md5(F.concat(s, F.lit("#2"))))
+    raise ValueError(f"md5 minhash method supports k <= 8 (got {k})")
 
 
 def minhash_signature(
@@ -228,12 +246,9 @@ def _candidates_from_shingles(
 
     if method == "md5":
         # hash each shingle ONCE (twice for k > 4); the K minhashes are
-        # 8-hex-char slices of the concatenated digest string
-        digest = (
-            (lambda s: F.concat(F.md5(s), F.md5(F.concat(s, F.lit("#2")))))
-            if k > 4
-            else F.md5
-        )
+        # 8-hex-char slices of the digest built by md5_minhash_digest
+        def digest(s):
+            return md5_minhash_digest(s, k)
 
         def _slice_at(i: int):
             # NOTE: must stay a ONE-parameter lambda — pyspark passes the
@@ -503,6 +518,35 @@ def simhash_signatures(
     )
 
 
+def simhash_band_chunks(
+    n_bits: int, n_bands: int, col: str | Column = "simhash"
+) -> Column:
+    """``array<struct<band:int, chunk:bigint>>`` — the pigeonhole band
+    slices of a simhash column (band b = bits [b*n_bits/n_bands,
+    (b+1)*n_bits/n_bands)).
+
+    THE single definition of the band layout. The near-dup self-join
+    (:func:`simhash_near_dup`), benchmark decontamination
+    (``corpus.decontaminate``) and the incremental signature store
+    (``operators.incremental_dedup``) all bucket by these chunks; if any of
+    them computed the slices differently, a store written by one operator
+    would be probed with incompatible chunks by another and silently miss
+    matches — so they all call this."""
+    c = _c_col(col)
+    bounds = [b * n_bits // n_bands for b in range(n_bands + 1)]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(c, bounds[b])
+                .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
+                .alias("chunk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str,
@@ -526,19 +570,8 @@ def simhash_near_dup(
             f"pigeonhole needs max_hamming < n_bands "
             f"(got {max_hamming} >= {n_bands}); raise n_bands"
         )
-    bounds = [b * n_bits // n_bands for b in range(n_bands + 1)]
     sigs = simhash_signatures(df, text_col, id_col, n_bits)
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), bounds[b])
-                .bitwiseAND(F.lit((1 << (bounds[b + 1] - bounds[b])) - 1))
-                .alias("chunk"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    chunks = simhash_band_chunks(n_bits, n_bands)
     banded = sigs.select(
         "id", "simhash", F.explode(chunks).alias("bb")
     ).select("id", "simhash", "bb.band", "bb.chunk")

@@ -32,8 +32,13 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
     # 16-digit card in 4-4-4-4 grouping (space or dash separated)
     ("card", r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b", "[CARD]"),
-    # NANP-ish phone: optional (area) + 3-3-4 with -/./space separators
-    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "[PHONE]"),
+    # NANP-ish phone: '(415) 555-0123' / '(415)555-0123' or bare 3-3-4 with
+    # -/./space separators ('415-555-0123', '415.555.0123', '415 555 0123')
+    (
+        "phone",
+        r"(\([0-9]{3}\) ?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b",
+        "[PHONE]",
+    ),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
 ]
 

@@ -114,26 +114,28 @@ def lang_score(col: str | Column, lang: str) -> Column:
     return _lang_score_of(F.transform(tokens(col), F.lower), lang)
 
 
+def _lang_guess_of(lowered: Column) -> Column:
+    """argmax over marker-token hit counts of an already-lowered token
+    array, alphabetical tie-break; 'und' when all scores are 0."""
+    scores = {
+        lang: _lang_score_of(lowered, lang) for lang in sorted(_LANG_MARKERS)
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reverse alphabetical so the earliest language wins ties in the chain
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        out = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(out)
+    return out
+
+
 def lang_guess(col: str | Column) -> Column:
     """argmax over marker-token hit counts, alphabetical tie-break;
     'und' (undetermined) when all scores are 0. Expressed as an explicit
     when-chain so the exact same logic is one CASE expression in SQL.
     All per-language scores share one bound tokenization per row."""
-
-    def _guess(lowered: Column) -> Column:
-        scores = {
-            lang: _lang_score_of(lowered, lang) for lang in sorted(_LANG_MARKERS)
-        }
-        best = F.greatest(*scores.values())
-        out = F.lit("und")
-        # reverse alphabetical so the earliest language wins ties in the chain
-        for lang in sorted(_LANG_MARKERS, reverse=True):
-            out = F.when(
-                (best > 0) & (scores[lang] == best), F.lit(lang)
-            ).otherwise(out)
-        return out
-
-    return _bind(F.transform(tokens(col), F.lower), _guess)
+    return _bind(F.transform(tokens(col), F.lower), _lang_guess_of)
 
 
 # --- repetition signals (Gopher-style quality filters) ------------------------
@@ -232,9 +234,12 @@ def quality_filter(
     (any structured identifier). ``reasons`` is the comma-joined list of
     failed rules in fixed order; ``keep`` is "no rule failed".
 
-    One narrow projection — every rule is a built-in expression over one
-    bound tokenization + one regexp pass, zero shuffle, pipelines with the
-    scan at 100 TB.
+    One narrow projection, zero shuffle — pipelines with the scan at
+    100 TB. Tokenization cost: the lowered token array is bound ONCE per
+    row and shared by the count/repetition/language rules; quality_score
+    binds its own unlowered array (token lengths must not pass through
+    lower(), whose locale edge cases differ across engines). The PII rules
+    are regexp passes over the raw text, one per kind.
     """
     from .pii import _KINDS, pii_count
 
@@ -245,12 +250,14 @@ def quality_filter(
             (n - F.size(F.array_distinct(t))) / n.cast("double"),
         ).otherwise(F.lit(0.0))
         return F.struct(
-            n.cast("long").alias("n"), F.round(dup, 6).alias("dup")
+            n.cast("long").alias("n"),
+            F.round(dup, 6).alias("dup"),
+            _lang_guess_of(t).alias("lang"),
         )
 
     s = _bind(F.transform(tokens(text_col), F.lower), _parts)
     q = quality_score(text_col)
-    lang = lang_guess(text_col)
+    lang = s["lang"]
     n_pii = sum(pii_count(text_col, k).cast("long") for k in _KINDS)
     reasons = F.concat_ws(
         ",",

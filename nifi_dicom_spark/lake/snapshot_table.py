@@ -56,6 +56,7 @@ import json
 import os
 import shutil
 import threading
+import time
 import uuid
 import warnings
 from dataclasses import dataclass
@@ -710,7 +711,21 @@ class SnapshotTable:
             ):
                 return True
             plan = df._jdf.queryExecution().executedPlan().toString()
-            return "REPARTITION_BY_NUM" in plan
+            # The decision must be made on the exchange that produces the
+            # write's partitioning — the topmost shuffle exchange (broadcast
+            # exchanges belong to join subtrees and carry no partitioning).
+            # A bare substring search over the whole plan is wrong: a merge
+            # SOURCE that itself contains a repartition-by-num (e.g. an
+            # upstream .repartition(n) for kernel parallelism) would satisfy
+            # it even when OUR final repartition was elided by an
+            # ENSURE_REQUIREMENTS exchange — the exact hazard this guard
+            # exists for.
+            for line in plan.splitlines():
+                if "BroadcastExchange" in line:
+                    continue
+                if "Exchange" in line:
+                    return "REPARTITION_BY_NUM" in line
+            return False
         except Exception:
             return False
 
@@ -1205,12 +1220,22 @@ class SnapshotTable:
         blob = self.backend.get_blob("VACUUM.json")
         return int(json.loads(blob.decode())["min_retained_version"]) if blob else 0
 
-    def vacuum(self, keep_versions: int = 2) -> int:
+    def vacuum(
+        self, keep_versions: int = 2, min_file_age_s: float = 3600.0
+    ) -> int:
         """Delete data files unreferenced by the newest ``keep_versions``
         manifests; records the new ``min_retained_version`` atomically-enough
         (blob written BEFORE any file deletion, so a crash mid-vacuum can
         only over-claim — reads of a half-vacuumed version raise rather than
-        crash). Returns number of files removed."""
+        crash). Returns number of files removed.
+
+        ``min_file_age_s``: files younger than this are kept even when
+        unreferenced — an OCC writer mid-merge (or rebasing after a lost
+        commit race) has written its bucket files but not yet published the
+        manifest that references them; deleting them would make its
+        subsequent commit publish dangling paths. Mirrors the commit
+        backend's ``orphan_age_s`` guard, sized for a long bucket write
+        rather than a pointer flip. Pass 0 only when no writer can be live."""
         cur = self.current_version()
         min_retained = max(self.min_retained_version(), cur - keep_versions + 1, 0)
         self.backend.put_blob(
@@ -1225,18 +1250,30 @@ class SnapshotTable:
                 for rels in mf.get(which, {}).values():
                     referenced.update(rels)
         removed = 0
+        now = time.time()
         for root, _dirs, fns in os.walk(self.data_dir):
             for fn in fns:
                 abspath = os.path.join(root, fn)
                 rel = os.path.relpath(abspath, self.data_dir)
                 if fn.endswith(".parquet") and rel not in referenced:
+                    try:
+                        if now - os.path.getmtime(abspath) < min_file_age_s:
+                            continue  # possibly a live writer's pre-commit file
+                    except OSError:
+                        continue
                     os.unlink(abspath)
                     removed += 1
-        # prune empty commit dirs
+        # prune commit dirs that are empty and old enough that no live
+        # writer can still be about to populate them
         for entry in os.listdir(self.data_dir):
             p = os.path.join(self.data_dir, entry)
             if os.path.isdir(p) and not any(
                 fns for _r, _d, fns in os.walk(p)
             ):
+                try:
+                    if now - os.path.getmtime(p) < min_file_age_s:
+                        continue
+                except OSError:
+                    continue
                 shutil.rmtree(p)
         return removed

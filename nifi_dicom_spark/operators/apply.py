@@ -100,7 +100,16 @@ def apply_changes(
     scans where a second read is a second network fetch).
     """
     if cache_batch is None:
-        cache_batch = os.environ.get("NIFI_SPARK_CACHE_BATCH", "0") == "1"
+        raw = os.environ.get("NIFI_SPARK_CACHE_BATCH", "0").strip().lower()
+        if raw in ("1", "true", "yes", "on"):
+            cache_batch = True
+        elif raw in ("0", "false", "no", "off", ""):
+            cache_batch = False
+        else:
+            raise ValueError(
+                f"NIFI_SPARK_CACHE_BATCH={raw!r} is not a boolean "
+                "(use 1/true/yes/on or 0/false/no/off)"
+            )
     events = conform_to_schema(events, CHANGE_EVENTS_SCHEMA)
     if cache_batch:
         events.persist()

@@ -17,12 +17,13 @@ signature, bucketed by the band:chunk composite. Per batch:
 
 1. signature + banded chunks of the incoming docs (narrow, Arrow kernel);
 2. bucket-pruned read of ONLY the store buckets the batch's chunks hash
-   into (O(batch) buckets touched, never O(corpus)); the batch side of the
-   probe join is broadcast;
+   into (O(batch) buckets touched, never O(corpus)); the batch's own ids
+   are anti-joined out of the store view FIRST — on a crash-replay of a
+   batch whose inserts already committed this restores the exact store
+   state the first run probed (same hot-bucket counts, same matches ⇒
+   identical decisions on replay); the batch side of the probe join is
+   broadcast;
 3. hamming-verified matches → dup (matched_id = min matching stored id);
-   a match on the doc's OWN id is ignored — that is a crash-replay of a
-   batch whose inserts already committed, and ignoring self-matches makes
-   the whole operator idempotent (same decisions on replay);
 4. survivors are near-dup-clustered WITHIN the batch (connected
    components; small graphs take the driver union-find path) — cluster
    roots (min id) are unique, members point at their root;
@@ -63,17 +64,17 @@ def create_signature_store(
 
 
 def _chunk_array(n_bits: int, n_bands: int) -> F.Column:
-    bounds = [b * n_bits // n_bands for b in range(n_bands + 1)]
-    return F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.shiftright(F.col("simhash"), bounds[b]).bitwiseAND(
-                    F.lit((1 << (bounds[b + 1] - bounds[b])) - 1)
-                ),
-            )
-            for b in range(n_bands)
-        ]
+    """``array<string>`` of ``"band:chunk"`` store keys — the string form of
+    the ONE shared band layout (:func:`..functions.dedup_text
+    .simhash_band_chunks`), so store rows written here are probe-compatible
+    with every other simhash-banded operator."""
+    from nifi_dicom_spark.functions.dedup_text import simhash_band_chunks
+
+    return F.transform(
+        simhash_band_chunks(n_bits, n_bands),
+        lambda s: F.concat(
+            s["band"].cast("string"), F.lit(":"), s["chunk"].cast("string")
+        ),
     )
 
 
@@ -126,6 +127,17 @@ def incremental_dedup(
             .collect()
         )
         stored = store.read(buckets=touched)
+        # Exclude the batch's OWN ids from the store view BEFORE anything —
+        # including the hot-bucket count. On a crash-replay the store already
+        # contains this batch's committed roots; if they were counted, a
+        # bucket could cross max_bucket_size only on the replay and drop a
+        # match the first run found (decisions must be identical on replay,
+        # and a flipped decision also re-inserts the doc — cardinality
+        # growth). With self rows removed the probe sees the store exactly
+        # as the first run did.
+        stored = stored.join(
+            F.broadcast(batch_ids.select("id")), "id", "left_anti"
+        )
         # probe join: batch chunks (small) broadcast against pruned store;
         # degenerate store chunks capped before pairing
         hot = (
@@ -151,7 +163,6 @@ def incremental_dedup(
                 ),
                 "bc",
             )
-            .filter(F.col("_st_id") != F.col("_new_id"))
             .filter(hamming64(F.col("_st_sig"), F.col("_new_sig")) <= max_hamming)
             .groupBy(F.col("_new_id").alias("id"))
             .agg(F.min("_st_id").alias("matched_id"))

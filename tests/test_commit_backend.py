@@ -434,7 +434,7 @@ def test_vacuum_guard_and_history_flags(spark, tiny_log, tmp_path):
     apply_changes(table, _spark_events(spark, tiny_log.iloc[2 * third:]), epoch=2)
     cur = table.current_version()
     assert cur >= 3
-    removed = table.vacuum(keep_versions=2)
+    removed = table.vacuum(keep_versions=2, min_file_age_s=0)
     assert removed > 0
     min_ret = table.min_retained_version()
     assert min_ret == cur - 1
@@ -454,6 +454,42 @@ def test_vacuum_guard_and_history_flags(spark, tiny_log, tmp_path):
     # vacuum is monotonic: a later vacuum never lowers the watermark
     table.vacuum(keep_versions=10_000)
     assert table.min_retained_version() == min_ret
+
+
+def test_vacuum_age_guard_spares_inflight_writer_files(
+    spark, tiny_log, tmp_path
+):
+    """An OCC writer mid-merge has written bucket files that no manifest
+    references yet; vacuum's default min_file_age_s must not delete them
+    (its commit would otherwise publish dangling paths). Old unreferenced
+    files are still collected."""
+    import os
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=8)
+    half = len(tiny_log) // 2
+    apply_changes(table, _spark_events(spark, tiny_log.iloc[:half]), epoch=0)
+    apply_changes(table, _spark_events(spark, tiny_log.iloc[half:]), epoch=1)
+
+    # simulate a concurrent writer's freshly written, not-yet-committed file
+    inflight_dir = os.path.join(table.data_dir, "c-inflight00000")
+    os.makedirs(inflight_dir)
+    inflight = os.path.join(inflight_dir, "part-00000-w.snappy.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"PAR1 pending writer bytes")
+
+    # and a genuinely orphaned OLD file (crashed writer from long ago)
+    old = os.path.join(inflight_dir, "part-00001-dead.snappy.parquet")
+    with open(old, "wb") as f:
+        f.write(b"PAR1 stale")
+    ancient = 1_000_000_000.0
+    os.utime(old, (ancient, ancient))
+
+    table.vacuum(keep_versions=1)  # default age guard
+    assert os.path.exists(inflight), "young pre-commit file must survive"
+    assert not os.path.exists(old), "aged orphan must be collected"
+
+    table.vacuum(keep_versions=1, min_file_age_s=0)
+    assert not os.path.exists(inflight)
 
 
 # ------------------------------------------------------------ ledger strict

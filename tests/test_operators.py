@@ -1165,6 +1165,7 @@ def test_pii_redact_all_kinds(spark):
                 "ssn 123-45-6789 card 4111 1111 1111 1111 host 192.168.0.1",
             ),
             (2, "no identifiers here, just text with numbers 12345"),
+            (3, "ring (415) 555-0123 or (415)555.0124 or 415 555 0125"),
         ],
         ["id", "text"],
     )
@@ -1184,6 +1185,9 @@ def test_pii_redact_all_kinds(spark):
     r2 = rows[2]
     assert r2["redacted"] == "no identifiers here, just text with numbers 12345"
     assert r2["has_pii"] is False
+    r3 = rows[3]  # parenthesized-area NANP forms
+    assert r3["redacted"] == "ring [PHONE] or [PHONE] or [PHONE]"
+    assert r3["n_phone"] == 3
 
 
 def test_pii_redact_order_and_subsets(spark):
@@ -1325,6 +1329,85 @@ def test_incremental_dedup_cross_batch_and_replay(spark, tmp_path):
         for r in incremental_dedup(store, b2, "text", "doc_id").collect()
     )
     assert d2r == d2
+    assert store.read().count() == n
+
+
+def test_incremental_dedup_replay_stable_under_hot_gate(spark, tmp_path):
+    """Crash-replay must not flip decisions even when the batch's OWN
+    committed roots push a store bucket over max_bucket_size: the probe
+    anti-joins the batch's ids out of the store view first, so the replay
+    sees the same bucket counts (and finds the same matches) as the first
+    run. Regression: counting self rows made the bucket hot only on the
+    replay, silently dropping the match and re-inserting the doc."""
+    from nifi_dicom_spark.functions.dedup_text import simhash_signatures
+    from nifi_dicom_spark.operators.incremental_dedup import (
+        _chunk_array,
+        create_signature_store,
+        incremental_dedup,
+    )
+
+    kw = dict(max_hamming=0, n_bits=8, n_bands=4, max_bucket_size=2)
+    seed_text = "alpha beta gamma delta epsilon zeta " * 2
+
+    # pick filler texts whose 2-bit band chunks collide with the seed's —
+    # deterministic: signatures are a pure function of the fixed texts
+    import hashlib
+
+    # diverse token sets (near-identical fillers collapse to a handful of
+    # 8-bit signatures and can't cover all four seed chunks)
+    cands = [
+        (
+            i,
+            " ".join(
+                hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:6]
+                for j in range(8)
+            ),
+        )
+        for i in range(120)
+    ]
+    cdf = spark.createDataFrame(cands + [(999, seed_text)], ["doc_id", "text"])
+    sig = simhash_signatures(cdf, "text", "doc_id", 8).select(
+        "id", "simhash", F.col("simhash").alias("s"),
+        _chunk_array(8, 4).alias("bcs"),
+    )
+    rows = {int(r["id"]): r for r in sig.collect()}
+    seed_bcs = set(rows[999]["bcs"])
+    seed_sig = rows[999]["simhash"]
+    # a match is found via ANY shared chunk, so EVERY seed chunk's bucket
+    # must cross the cap (cap=2: seed row + >=2 filler roots) for the old
+    # self-counting bug to drop the match on replay
+    fillers, seen_sigs = {}, {seed_sig}
+    cover = {bc: 0 for bc in seed_bcs}
+    for i, text in cands:
+        r = rows[i]
+        shared = set(r["bcs"]) & {bc for bc, k in cover.items() if k < 2}
+        if r["simhash"] not in seen_sigs and shared:
+            fillers[i] = text
+            seen_sigs.add(r["simhash"])
+            for bc in set(r["bcs"]) & seed_bcs:
+                cover[bc] += 1
+    assert all(k >= 2 for k in cover.values()), (
+        f"fixture drift: seed chunks not all double-covered: {cover}"
+    )
+    fillers = sorted(fillers.items())
+
+    store = create_signature_store(spark, str(tmp_path / "sigs"))
+    b0 = spark.createDataFrame([(1, seed_text)], ["doc_id", "text"])
+    incremental_dedup(store, b0, "text", "doc_id", **kw)
+
+    b1 = spark.createDataFrame([(50, seed_text)] + fillers, ["doc_id", "text"])
+    d1 = sorted(
+        (r["id"], r["is_unique"], r["matched_id"])
+        for r in incremental_dedup(store, b1, "text", "doc_id", **kw).collect()
+    )
+    assert ("50", False, "1") in d1  # the match the hot gate used to drop
+    n = store.read().count()
+
+    d1r = sorted(
+        (r["id"], r["is_unique"], r["matched_id"])
+        for r in incremental_dedup(store, b1, "text", "doc_id", **kw).collect()
+    )
+    assert d1r == d1
     assert store.read().count() == n
 
 

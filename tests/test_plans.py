@@ -144,3 +144,19 @@ def test_plan_coalesce_safe_detection(spark, tmp_path):
         assert table._plan_coalesce_safe(base)  # nothing to protect against
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    # The hazard case: OUR final repartition(4, k) is elided by an upstream
+    # ENSURE_REQUIREMENTS exchange (agg on the key at shuffle.partitions ==
+    # n_buckets), while an UNRELATED repartition-by-num survives deeper in
+    # the plan (kernel-parallelism .repartition(8)). The decision must come
+    # from the topmost shuffle exchange — a whole-plan substring search
+    # would wrongly report safe here.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        agg = base.repartition(8).groupBy("k").agg(F.max("v").alias("v"))
+        elided = agg.repartition(4, "k").sortWithinPartitions("k")
+        plan = elided._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in plan  # the decoy is present
+        assert not table._plan_coalesce_safe(elided)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
