@@ -7,10 +7,10 @@ never observe a partial commit. Everything filesystem-specific about how
 that atomicity is achieved lives here, behind :class:`CommitBackend` — the
 engine's merge/compaction/ledger logic is byte-identical across backends.
 
-Why a backend interface: the POSIX protocol (``O_EXCL`` create + atomic
-``CURRENT`` pointer rename) rests on semantics object stores do NOT provide
-— S3 has no rename, and until conditional writes there was no
-create-if-absent. At the 100-TB deployment target the table lives on an
+Why a backend interface: the POSIX protocol (atomic ``link(2)`` publish)
+rests on semantics object stores do NOT provide — S3 has no hard links or
+rename, and until conditional writes there was no create-if-absent. At the
+100-TB deployment target the table lives on an
 object store, so the commit contract must be expressible as a
 **conditional put** (S3 ``If-None-Match: *``, GCS
 ``x-goog-if-generation-match: 0``, ABFS ``If-None-Match``), which
@@ -20,18 +20,19 @@ property from embedded Derby's transactional store
 catalog's atomic swap — this module is the from-scratch analog of that
 catalog contract.
 
-Two concrete backends:
+Two concrete backends, BOTH single-operation commits (current = max listed
+version; no pointer to flip, no mid-commit crash window, no orphan
+manifests by construction):
 
-* :class:`PosixCommitBackend` (default) — ``O_EXCL`` manifest create plus a
-  ``CURRENT`` pointer flipped by atomic rename. Because the commit is TWO
-  steps, a writer can die between them; the backend therefore owns the
-  orphan-repair protocol (age-guarded deletion of manifests ahead of
-  CURRENT) that un-wedges the table.
+* :class:`PosixCommitBackend` (default) — write the payload to a temp
+  file, fsync, then ``os.link(tmp, v{N}.json)``: link(2) is the
+  filesystem's conditional put (atomic, ``EEXIST`` for losers) and the
+  published name never exists with a partial payload. A writer that dies
+  before the link has published nothing; its temp file is age-swept
+  litter. (An earlier two-step O_EXCL+CURRENT design is retired — see the
+  class docstring for why its orphan repair was inherently racy.)
 * :class:`ConditionalPutCommitBackend` — the object-store shape: the
   conditional put of ``v{N}.json`` IS the commit (single atomic operation).
-  No CURRENT pointer (current = max listed version), therefore **no
-  mid-flip window and no orphans by construction** — a writer that dies
-  before the put has published nothing; after it, the commit is complete.
   The backend takes any key-value store implementing the four-method
   contract of :class:`KVStore`; :class:`InMemoryKVStore` is the in-process
   reference implementation used by the fault-injection tests.
@@ -114,19 +115,39 @@ class CommitBackend(ABC):
 
 
 class PosixCommitBackend(CommitBackend):
-    """O_EXCL + rename protocol for POSIX filesystems (the local default).
+    """Single-step hard-link commit for POSIX filesystems (the local
+    default) — the filesystem rendition of the conditional put.
 
-    Commit = (1) ``open(v{N}.json, O_CREAT|O_EXCL)`` — the per-version
-    exclusivity point — then (2) atomic rename onto ``CURRENT``. A writer
-    dying between (1) and (2) leaves an orphan manifest that would make
-    every future commit of version N lose its O_EXCL race forever; orphan
-    repair (backend-owned) deletes manifests ahead of CURRENT, age-guarded
-    by ``orphan_age_s`` so a live concurrent writer mid-flip does not lose
-    its fresh manifest.
+    Commit = write the full payload to a hidden temp file, fsync, then
+    ``os.link(tmp, v{N}.json)``: link(2) is atomic and fails with
+    ``EEXIST`` when the target exists, so exactly one writer per version
+    ever succeeds, and the published name only ever appears with its
+    COMPLETE payload (readers can never observe a partial manifest).
+    There is no CURRENT pointer (current = max listed version, exactly
+    like the object-store backend) and therefore no multi-step crash
+    window: a writer that dies before the link has published nothing (its
+    temp file is litter, age-swept by :meth:`repair`); a writer that dies
+    just after the link HAS committed even if it never learns so — on
+    restart the ledger inside the published manifest marks its epoch
+    applied, so the replay is skipped.
+
+    Design note: an earlier revision used O_EXCL create + an atomic
+    ``CURRENT`` rename. That two-step shape needed orphan repair
+    (manifests ahead of CURRENT), and repair itself carried an unfixable
+    race — a writer stalled longer than the age guard between its two
+    steps could have its manifest repaired away and replaced, after which
+    BOTH writers' try_commit returned True for the same version (or
+    CURRENT was left pointing at a deleted manifest). The single-step
+    link has no such window by construction; the only stall casualty is a
+    writer whose unpublished temp file aged out, and it loses SAFELY
+    (returns False).
     """
 
-    def __init__(self, meta_dir: str, orphan_age_s: float = 10.0):
+    def __init__(self, meta_dir: str, orphan_age_s: float = 60.0):
         self.meta_dir = meta_dir
+        #: temp files older than this are swept by repair(); a writer
+        #: stalled past it between payload write and link loses its commit
+        #: safely rather than double-committing
         self.orphan_age_s = orphan_age_s
 
     # -- protocol ----------------------------------------------------------
@@ -134,87 +155,78 @@ class PosixCommitBackend(CommitBackend):
     def initialize(self) -> None:
         try:
             os.makedirs(self.meta_dir, exist_ok=False)
-            return
         except FileExistsError:
-            if os.path.exists(os.path.join(self.meta_dir, "CURRENT")):
-                raise  # a committed table lives here
-            # a writer that died DURING create (v0.json published, CURRENT
-            # never flipped) leaves a meta dir with only orphans — the one
-            # crash window "ahead of CURRENT" repair can't see because there
-            # is no CURRENT. Age-guarded repair, then proceed if empty.
-            self._repair_ahead_of(-1)
             if any(_MANIFEST_RE.match(fn) for fn in os.listdir(self.meta_dir)):
-                raise  # fresh manifest: possibly a LIVE creator mid-flip
-
-    def _publish(self, version: int, payload: bytes) -> None:
-        """One O_EXCL create + CURRENT flip; FileExistsError if v exists."""
-        mpath = os.path.join(self.meta_dir, f"v{version}.json")
-        fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            with os.fdopen(fd, "wb") as f:
-                f.write(payload)
-        except Exception:
-            os.unlink(mpath)
-            raise
-        tmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, os.path.join(self.meta_dir, "CURRENT"))
+                raise  # a committed table lives here
+            # only temp litter from dead/live creators remains — harmless:
+            # if a live creator is still racing us, its v0 link and ours
+            # serialize through EEXIST like any other commit race
 
     def try_commit(self, version: int, payload: bytes) -> bool:
+        target = os.path.join(self.meta_dir, f"v{version}.json")
+        tmp = os.path.join(
+            self.meta_dir, f".v{version}.{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            self._publish(version, payload)
+            os.link(tmp, target)  # atomic; EEXIST = another writer won
             return True
         except FileExistsError:
-            # an orphan from a crashed writer (manifest written, CURRENT not
-            # flipped) is repaired and the commit retried once; a real
-            # concurrent commit will have advanced CURRENT and still lose.
-            if self.repair():
-                try:
-                    self._publish(version, payload)
-                    return True
-                except FileExistsError:
-                    pass
             return False
+        except FileNotFoundError:
+            # our temp file was age-swept by a concurrent repair (this
+            # writer stalled longer than orphan_age_s) — lose safely
+            return False
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     def current_version(self) -> int:
         try:
-            with open(os.path.join(self.meta_dir, "CURRENT")) as f:
-                return int(f.read().strip())
+            versions = [
+                int(m.group(1))
+                for fn in os.listdir(self.meta_dir)
+                for m in [_MANIFEST_RE.match(fn)]
+                if m
+            ]
         except FileNotFoundError as e:
             raise TableNotFoundError(str(e)) from e
+        if not versions:
+            raise TableNotFoundError(
+                f"no committed version in {self.meta_dir}"
+            )
+        return max(versions)
 
     def load_manifest(self, version: int) -> bytes:
         with open(os.path.join(self.meta_dir, f"v{version}.json"), "rb") as f:
             return f.read()
 
     def repair(self) -> int:
-        """Remove manifests ahead of CURRENT (known-dead writers), skipping
-        any younger than ``orphan_age_s`` (possibly a live writer mid-flip).
-        A table with manifests but NO CURRENT (writer died during create)
-        treats every manifest as an orphan — never raises, so
-        :meth:`try_commit`'s repair-and-retry keeps its returns-False
-        contract even in that state."""
-        try:
-            cur = self.current_version()
-        except TableNotFoundError:
-            cur = -1
-        return self._repair_ahead_of(cur)
-
-    def _repair_ahead_of(self, cur: int) -> int:
+        """Sweep aged temp files (dead writers' litter). Committed
+        manifests are NEVER touched — under the single-step protocol every
+        published ``v{N}.json`` is a complete commit, so there is nothing
+        else to repair."""
         removed = 0
         now = time.time()
-        for fn in os.listdir(self.meta_dir):
-            m = _MANIFEST_RE.match(fn)
-            if m and int(m.group(1)) > cur:
-                p = os.path.join(self.meta_dir, fn)
-                try:
-                    if now - os.path.getmtime(p) < self.orphan_age_s:
-                        continue
+        try:
+            names = os.listdir(self.meta_dir)
+        except FileNotFoundError:
+            return 0
+        for fn in names:
+            if not (fn.startswith(".v") and fn.endswith(".tmp")):
+                continue
+            p = os.path.join(self.meta_dir, fn)
+            try:
+                if now - os.path.getmtime(p) >= self.orphan_age_s:
                     os.unlink(p)
                     removed += 1
-                except FileNotFoundError:
-                    pass
+            except FileNotFoundError:
+                pass
         return removed
 
     # -- blobs -------------------------------------------------------------

@@ -9,9 +9,10 @@ insert-if-absent at ``DatabaseInformationModel.java:805-892``):
 1. **Snapshot isolation + time travel.** Every commit publishes an immutable
    manifest ``v{N}.json`` listing the data files of that version; readers pin
    a manifest, writers race an atomic publish through a pluggable
-   :class:`~nifi_dicom_spark.lake.commit.CommitBackend` (POSIX
-   ``O_EXCL``+rename by default; a conditional-put backend for object
-   stores — see ``commit.py`` for the contract). Readers never see partial
+   :class:`~nifi_dicom_spark.lake.commit.CommitBackend` (single-step
+   hard-link publish on POSIX by default; a conditional-put backend for
+   object stores — see ``commit.py`` for the contract). Readers never see
+   partial
    commits. Merge commits are **optimistically concurrent**: a lost race
    triggers validate-and-rebase (Iceberg retry semantics) — writers over
    disjoint buckets all succeed, serialized into consecutive versions;
@@ -206,9 +207,9 @@ class SnapshotTable:
     ) -> "SnapshotTable":
         t = cls(spark, path, backend)
         t.current_version()  # validates existence
-        # backend-owned recovery of partially-committed state (POSIX: orphan
-        # manifests from a writer that died mid-flip; conditional-put: no-op
-        # — the put is the commit, nothing partial can exist)
+        # backend-owned housekeeping (POSIX: sweep dead writers' aged temp
+        # files; conditional-put: structural no-op — in both protocols the
+        # single atomic publish means nothing partial can exist)
         t.backend.repair()
         return t
 
@@ -408,6 +409,14 @@ class SnapshotTable:
         return list((self.manifest().get("props") or {}).get("stats_cols", []))
 
     @staticmethod
+    def _iso_fixed(t) -> str:
+        """Fixed-width ISO-8601 of a naive timestamp. ``strftime('%Y')`` is
+        NOT zero-padded for years < 1000 ('50-01-01…' sorts after '20xx…'),
+        which would silently break the lexicographic == chronological
+        invariant the stat pruning rests on — pad the year explicitly."""
+        return f"{t.year:04d}-" + t.strftime("%m-%dT%H:%M:%S.%f")
+
+    @staticmethod
     def _enc_stat(v):
         """JSON-encodable, ORDER-PRESERVING encoding of a stat value.
         Timestamps → fixed-width ISO-8601 (lexicographic == chronological);
@@ -420,7 +429,7 @@ class SnapshotTable:
             t = _pd.Timestamp(v)
             if t.tzinfo is not None:
                 t = t.tz_convert("UTC").tz_localize(None)
-            return t.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            return SnapshotTable._iso_fixed(t)
         if isinstance(v, bytes):
             return None  # binary stats not supported
         return v
@@ -445,12 +454,12 @@ class SnapshotTable:
                 tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
                 t = t.tz_localize(tz)
             t = t.tz_convert("UTC").tz_localize(None)
-            return t.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            return self._iso_fixed(t)
         if isinstance(dtype, T.TimestampNTZType):
             t = _pd.Timestamp(v)
             if t.tzinfo is not None:
                 t = t.tz_convert("UTC").tz_localize(None)
-            return t.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            return self._iso_fixed(t)
         return self._enc_stat(v)
 
     def _footer_stats(
@@ -943,7 +952,21 @@ class SnapshotTable:
                         if len(rels) >= thresh
                     ]
                     if over:
-                        self.compact(buckets=over)
+                        # best-effort maintenance: the MERGE above already
+                        # committed — a concurrent writer racing the
+                        # compaction must not surface as a merge failure
+                        # (the caller would re-merge a committed epoch /
+                        # crash a streaming query over data that is safely
+                        # in the table). The next over-threshold merge or an
+                        # explicit compact() retries.
+                        try:
+                            self.compact(buckets=over)
+                        except ConcurrentWriteConflict as ex:
+                            warnings.warn(
+                                f"auto-compaction skipped (lost a commit "
+                                f"race; deltas remain readable): {ex}",
+                                stacklevel=2,
+                            )
             return stats
 
         # cache: we reuse source for bucket discovery + anti-join + projection
@@ -1236,6 +1259,11 @@ class SnapshotTable:
         subsequent commit publish dangling paths. Mirrors the commit
         backend's ``orphan_age_s`` guard, sized for a long bucket write
         rather than a pointer flip. Pass 0 only when no writer can be live."""
+        if keep_versions < 1:
+            raise ValueError(
+                f"keep_versions must be >= 1 (got {keep_versions}): "
+                "0 would unreference the LIVE version's data files"
+            )
         cur = self.current_version()
         min_retained = max(self.min_retained_version(), cur - keep_versions + 1, 0)
         self.backend.put_blob(

@@ -126,9 +126,7 @@ def apply_changes(
             for r in metrics_rows:
                 r["checkpoint_epoch"] = epoch
 
-        bad = route_events(events)[1] if (
-            dead_letter is not None or quarantine_dir is not None
-        ) else None
+        valid, bad = route_events(events)
         if dead_letter is not None:
             if epoch is None:
                 # the retry ledger is keyed by epoch — a batch caller asking
@@ -156,7 +154,6 @@ def apply_changes(
         # no pre-dedup: versioned_upsert's own LWW reduce dedups in-batch and
         # cross-batch in ONE shuffle (pre-deduping here would add a second
         # full shuffle for no correctness gain)
-        valid, _ = route_events(events)
         source = valid.select(*STORED_COLUMNS)
         stats = table.merge(
             source,
@@ -177,8 +174,6 @@ def create_transcripts_table(
     """DDL for the engine's target table (stored schema = transcripts payload
     + LWW version columns; FIXTURES.md §1)."""
     from pyspark.sql import types as T
-
-    from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
 
     by_name = {f.name: f for f in CHANGE_EVENTS_SCHEMA.fields}
     stored = T.StructType([by_name[c] for c in STORED_COLUMNS])

@@ -89,12 +89,14 @@ class CDCPipeline:
             pdf = pd.DataFrame(result.metrics)
             pdf["wall_ms"] = wall_ms
             pdf["applied"] = result.merge.applied
-            pdf.to_parquet(
-                os.path.join(
-                    self.metrics_dir, f"m-{epoch_id:012d}-{uuid.uuid4().hex[:8]}.parquet"
-                ),
-                index=False,
+            # write-temp-then-rename: a crash mid-write must not leave a
+            # truncated .parquet that poisons every future read_metrics()
+            final = os.path.join(
+                self.metrics_dir, f"m-{epoch_id:012d}-{uuid.uuid4().hex[:8]}.parquet"
             )
+            tmp = final + ".tmp"
+            pdf.to_parquet(tmp, index=False)
+            os.replace(tmp, final)
         self.epochs_applied.append(epoch_id)
         if self.on_batch is not None:
             self.on_batch(epoch_id, result)

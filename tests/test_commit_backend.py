@@ -1,6 +1,7 @@
 """Commit-protocol tests: the pluggable CommitBackend contract, two-writer
-fault injection (one killed mid-flip), object-store (conditional-put)
-semantics, the vacuum time-travel guard and the ledger strict mode.
+fault injection (writers killed before/after the atomic publish, stalled
+writers racing repair), object-store (conditional-put) semantics, the
+vacuum time-travel guard and the ledger strict mode.
 
 Reference behavior being replaced: embedded Derby's transactional MERGE
 store gave the reference atomic commits for free
@@ -71,63 +72,93 @@ def test_posix_two_writer_race_single_winner(tmp_path):
     assert wins[0] in be.load_manifest(1)
 
 
-def test_posix_writer_killed_mid_flip_then_second_writer(tmp_path):
-    """Fault injection: writer A creates v1.json but dies BEFORE flipping
-    CURRENT (the two-step protocol's only crash window). Writer B must
-    repair the aged orphan and win version 1 with ITS manifest."""
+def test_posix_writer_killed_before_link_published_nothing(tmp_path):
+    """Fault injection: writer A writes its temp payload but dies BEFORE
+    the link (the single-step protocol's only crash point). It has
+    published nothing; writer B commits the same version cleanly, and the
+    aged temp litter is swept by repair()."""
     be = PosixCommitBackend(str(tmp_path / "meta"))
     be.initialize()
     assert be.try_commit(0, b'{"version": 0}')
-    # what a dead writer leaves behind: the O_EXCL-created manifest, no flip
-    orphan = os.path.join(be.meta_dir, "v1.json")
-    fd = os.open(orphan, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.write(fd, b'{"version": 1, "by": "dead-writer"}')
-    os.close(fd)
-    os.utime(orphan, (1, 1))  # older than the age guard
+    # what a dead writer leaves behind: a fully written temp, never linked
+    litter = os.path.join(be.meta_dir, ".v1.deadbeef.tmp")
+    with open(litter, "wb") as f:
+        f.write(b'{"version": 1, "by": "dead-writer"}')
+    os.utime(litter, (1, 1))  # aged past the sweep guard
     assert be.current_version() == 0  # the dead writer published nothing
     assert be.try_commit(1, b'{"version": 1, "by": "writer-b"}')
     assert be.current_version() == 1
     assert b"writer-b" in be.load_manifest(1)
+    assert be.repair() == 1  # the aged litter is swept
+    assert not os.path.exists(litter)
+    assert be.current_version() == 1  # sweeping never touches manifests
 
 
-def test_posix_fresh_orphan_is_protected_by_age_guard(tmp_path):
-    """A manifest younger than the age guard may belong to a LIVE writer
-    mid-flip — a competing commit must lose rather than destroy it."""
-    be = PosixCommitBackend(str(tmp_path / "meta"), orphan_age_s=3600)
+def test_posix_writer_killed_after_link_is_committed(tmp_path):
+    """A writer dying just AFTER the link (before returning True to its
+    caller) HAS committed: the manifest is complete by construction, a
+    competing writer loses, and repair never deletes it — the retired
+    two-step protocol 'repaired away' exactly this state."""
+    be = PosixCommitBackend(str(tmp_path / "meta"))
     be.initialize()
     assert be.try_commit(0, b'{"version": 0}')
-    fd = os.open(os.path.join(be.meta_dir, "v1.json"), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.write(fd, b'{"version": 1, "by": "live-writer"}')
-    os.close(fd)  # fresh mtime
+    # simulate the post-link crash: published manifest + un-unlinked temp
+    dead_tmp = os.path.join(be.meta_dir, ".v1.cafe.tmp")
+    with open(dead_tmp, "wb") as f:
+        f.write(b'{"version": 1, "by": "dead-writer"}')
+    os.link(dead_tmp, os.path.join(be.meta_dir, "v1.json"))
+    os.utime(dead_tmp, (1, 1))
+    assert be.current_version() == 1  # the commit is real
     assert not be.try_commit(1, b'{"version": 1, "by": "intruder"}')
-    assert b"live-writer" in be.load_manifest(1)
+    assert b"dead-writer" in be.load_manifest(1)
+    be.repair()  # sweeps the temp name...
+    assert b"dead-writer" in be.load_manifest(1)  # ...manifest untouched
 
 
-def test_posix_crashed_create_is_recoverable(tmp_path):
-    """A writer dying between publishing v0.json and flipping CURRENT is the
-    one orphan 'ahead of CURRENT' repair can't see (there is no CURRENT);
-    a fresh create must repair the aged orphan and proceed instead of
-    wedging the location forever."""
+def test_posix_stalled_writer_cannot_double_commit(tmp_path):
+    """The stall race the two-step protocol lost: writer A stalls longer
+    than the age guard mid-commit, a concurrent repair sweeps its temp
+    file, writer B commits the version. A must LOSE (False), not
+    double-commit — exactly one True per version even under stalls."""
+    import unittest.mock as mock
+
+    be = PosixCommitBackend(str(tmp_path / "meta"), orphan_age_s=0.0)
+    be.initialize()
+    assert be.try_commit(0, b'{"version": 0}')
+
+    real_link = os.link
+    stall = {"done": False}
+
+    def stalled_link(src, dst, **kw):
+        # A is 'stalled' between payload write and link: a repair sweeps
+        # its temp (age 0 = everything stale) and B commits the version
+        if not stall["done"]:
+            stall["done"] = True
+            be.repair()
+            with mock.patch("os.link", real_link):
+                assert be.try_commit(1, b'{"version": 1, "by": "writer-b"}')
+        return real_link(src, dst, **kw)
+
+    with mock.patch("os.link", side_effect=stalled_link):
+        won = be.try_commit(1, b'{"version": 1, "by": "writer-a"}')
+    assert not won  # A lost safely
+    assert b"writer-b" in be.load_manifest(1)  # B's commit is intact
+
+
+def test_posix_initialize_rejects_existing_table_but_not_litter(tmp_path):
+    """initialize() must refuse a location holding committed manifests and
+    accept one holding only dead creators' temp litter (a dead creator
+    published NOTHING under the single-step protocol)."""
     meta = str(tmp_path / "meta")
     os.makedirs(meta)
-    orphan = os.path.join(meta, "v0.json")
-    fd = os.open(orphan, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    os.write(fd, b'{"version": 0, "by": "dead-creator"}')
-    os.close(fd)
-    os.utime(orphan, (1, 1))  # aged past the guard
+    with open(os.path.join(meta, ".v0.feed.tmp"), "wb") as f:
+        f.write(b'{"version": 0, "by": "dead-creator"}')
     be = PosixCommitBackend(meta)
-    assert be.repair() == 1  # repair() itself must not raise without CURRENT
-    be2 = PosixCommitBackend(meta)
-    be2.initialize()  # no CURRENT + no surviving manifests → reusable
-    assert be2.try_commit(0, b'{"version": 0, "by": "second-creator"}')
-    assert be2.current_version() == 0
-    # but a FRESH orphan (live creator mid-flip) is still protected
-    meta3 = str(tmp_path / "meta3")
-    os.makedirs(meta3)
-    with open(os.path.join(meta3, "v0.json"), "wb") as f:
-        f.write(b'{"version": 0, "by": "live-creator"}')  # fresh mtime
+    be.initialize()  # litter-only location is reusable
+    assert be.try_commit(0, b'{"version": 0, "by": "second-creator"}')
+    assert be.current_version() == 0
     with pytest.raises(FileExistsError):
-        PosixCommitBackend(meta3, orphan_age_s=3600).initialize()
+        PosixCommitBackend(meta).initialize()  # a committed table now exists
 
 
 # ----------------------------------------------------- conditional-put store
@@ -136,7 +167,7 @@ def test_posix_crashed_create_is_recoverable(tmp_path):
 class _DiesAfterPut(InMemoryKVStore):
     """Fault injector: the process 'dies' immediately after the conditional
     put lands (network op done, ack never processed) — the object-store
-    analog of being killed mid-flip."""
+    analog of dying just after the POSIX link."""
 
     def __init__(self):
         super().__init__()

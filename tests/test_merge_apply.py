@@ -483,21 +483,27 @@ def test_null_keyed_events_quarantined_not_lost(spark, tmp_path):
     assert spark.read.parquet(qdir + "/epoch=0").count() == 2
 
 
-def test_orphan_manifest_recovery(spark, small_log, tmp_path):
-    """Regression: a crash between writing v{N}.json and flipping CURRENT
-    must not wedge the table forever."""
-    import json as _json
+def test_crashed_commit_litter_recovery(spark, small_log, tmp_path):
+    """A writer that died mid-commit (single-step link protocol: payload
+    temp written, link never executed) published NOTHING — the table loads,
+    the next merge commits the next version normally, and the aged litter
+    is swept at load."""
     import os
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
 
     table = create_transcripts_table(spark, str(tmp_path / "t"))
     apply_changes(table, _spark_events(spark, small_log), epoch=0)
     cur = table.current_version()
-    # simulate the crash: orphan manifest ahead of CURRENT, old mtime
-    orphan = os.path.join(table.meta_dir, f"v{cur + 1}.json")
-    with open(orphan, "w") as f:
-        _json.dump({"version": cur + 1}, f)
-    os.utime(orphan, (1, 1))
-    # next merge must repair and commit as version cur+1
+    # simulate the crash: a fully written but never-linked temp payload
+    litter = os.path.join(table.meta_dir, f".v{cur + 1}.deadbeef.tmp")
+    with open(litter, "w") as f:
+        f.write('{"version": "never published"}')
+    os.utime(litter, (1, 1))
+    # the dead writer published nothing; the next merge commits cur+1
     r = apply_changes(table, _spark_events(spark, small_log), epoch=1)
     assert r.merge.applied and table.current_version() == cur + 1
     assert_final_state_equal(read_final_state(table).toPandas(), replay_oracle(small_log))
+    # loading the table sweeps the aged litter (backend repair at load)
+    SnapshotTable.load(spark, table.path)
+    assert not os.path.exists(litter)

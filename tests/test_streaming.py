@@ -209,17 +209,30 @@ def test_gap_timeout_conversation_completeness(spark, tmp_path):
             "ts": [t0, t0 + pd.Timedelta(seconds=10), t0 + pd.Timedelta(seconds=5)],
         }
     )
+    # watermark delay is 2h, gap 60s: watermark = max_ts - 2h, so an event
+    # 2h2m ahead pushes the watermark past A/B's 60s deadlines while a
+    # straggler minutes behind still passes Spark's late-input filter —
+    # the window where the post-completion tombstone is reachable
     late = pd.DataFrame(
-        {
-            "conv_id": ["C"],
-            "ts": [t0 + pd.Timedelta(hours=2)],  # advances watermark past A/B
-        }
+        {"conv_id": ["C"], "ts": [t0 + pd.Timedelta(hours=2, minutes=2)]}
+    )
+    keeper = pd.DataFrame(  # A/B time out while this batch runs
+        {"conv_id": ["D"], "ts": [t0 + pd.Timedelta(hours=2, minutes=3)]}
+    )
+    straggler = pd.DataFrame(  # late A event AFTER A's completion row
+        {"conv_id": ["A"], "ts": [t0 + pd.Timedelta(minutes=4)]}
+    )
+    flusher = pd.DataFrame(  # advances watermark past the straggler deadline
+        {"conv_id": ["E"], "ts": [t0 + pd.Timedelta(hours=2, minutes=10)]}
+    )
+    final = pd.DataFrame(  # one more batch so the superseding timeout fires
+        {"conv_id": ["F"], "ts": [t0 + pd.Timedelta(hours=2, minutes=20)]}
     )
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     schema = pa.schema([("conv_id", pa.string()), ("ts", pa.timestamp("us"))])
-    for i, pdf in enumerate((early, late)):
+    for i, pdf in enumerate((early, late, keeper, straggler, flusher, final)):
         pq.write_table(
             pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
             ev_dir / f"part-{i:03d}.parquet",
@@ -230,7 +243,7 @@ def test_gap_timeout_conversation_completeness(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(ev_dir))
     )
-    out = conversation_completeness(src, gap_seconds=60, watermark_delay="1 second")
+    out = conversation_completeness(src, gap_seconds=60, watermark_delay="2 hours")
     q = (
         out.writeStream.format("memory")
         .queryName("completions")
@@ -239,11 +252,57 @@ def test_gap_timeout_conversation_completeness(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    rows = {r["conv_id"]: r for r in spark.sql("select * from completions").collect()}
-    assert set(rows) == {"A", "B"}, rows  # C is still within its gap
-    assert rows["A"]["n_events"] == 2 and rows["A"]["completed"]
-    assert rows["B"]["n_events"] == 1
-    assert rows["A"]["last_ts"] == (t0 + pd.Timedelta(seconds=10)).to_pydatetime()
+    all_rows = spark.sql("select * from completions").collect()
+    by_conv: dict = {}
+    for r in all_rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    # C/D/E/F stay within their gaps (the watermark never reaches their
+    # deadlines under the 2h delay); only A and B complete
+    assert set(by_conv) == {"A", "B"}, all_rows
+    assert [r["n_events"] for r in by_conv["B"]] == [1]
+    # A completed at n=2, then the straggler landed inside the tombstone
+    # window -> ONE superseding row with the CUMULATIVE count (3, not 1)
+    a_counts = sorted(r["n_events"] for r in by_conv["A"])
+    assert a_counts == [2, 3], all_rows
+    assert all(r["completed"] for r in by_conv["A"])
+    assert by_conv["A"][0]["last_ts"] == (
+        t0 + pd.Timedelta(seconds=10)
+    ).to_pydatetime()
+
+    # regression: the kernel receives NAIVE session-zone wall times but
+    # setTimeoutTimestamp/watermark are UTC epoch ms — in a UTC-8 session
+    # the unconverted deadline sat 8h behind the watermark, so EVERY
+    # conversation (C/D/E/F included) completed prematurely at the next
+    # batch regardless of the gap. Same inputs, non-UTC session, same
+    # completion set.
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        src_la = (
+            spark.readStream.schema("conv_id string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(ev_dir))
+        )
+        out_la = conversation_completeness(
+            src_la, gap_seconds=60, watermark_delay="2 hours"
+        )
+        q2 = (
+            out_la.writeStream.format("memory")
+            .queryName("completions_la")
+            .option("checkpointLocation", str(tmp_path / "ck_la"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        la_rows = spark.sql("select * from completions_la").collect()
+        la_by_conv: dict = {}
+        for r in la_rows:
+            la_by_conv.setdefault(r["conv_id"], []).append(r)
+        assert set(la_by_conv) == {"A", "B"}, la_rows
+        assert sorted(
+            r["n_events"] for r in la_by_conv["A"]
+        ) == [2, 3], la_rows
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def test_streaming_incremental_dedup_exactly_once(spark, tmp_path):
