@@ -330,6 +330,7 @@ class SnapshotTable:
         n_buckets: int,
         bucket_fn: str = "murmur3",
         already_clustered: bool = False,
+        key_cols: list[str] | None = None,
     ) -> dict[str, list[str]]:
         """Write df as exactly one sorted parquet file per non-empty bucket
         under a fresh commit directory; return bucket -> [relpath].
@@ -348,10 +349,14 @@ class SnapshotTable:
         out_rel = f"c-{commit_tag}"
         out_abs = os.path.join(self.data_dir, out_rel)
         data_cols = [c for c in df.columns if c not in ("_bucket", "_pk")]
+        # callers on the hot per-epoch path pass key_cols from the manifest
+        # they already hold — re-deriving it here is a version LIST + GET
+        # per use on an object-store backend
+        kc = list(key_cols) if key_cols is not None else self.key_cols()
         if bucket_fn == "murmur3":
             clustered = (
                 df if already_clustered
-                else df.repartition(n_buckets, self.key_cols()[0])
+                else df.repartition(n_buckets, kc[0])
             )
         else:
             pks = _partition_preimages(self.spark, n_buckets)
@@ -361,7 +366,7 @@ class SnapshotTable:
             clustered = df.withColumn(
                 "_pk", mapping[F.col("_bucket")].cast("long")
             ).repartition(n_buckets, "_pk")
-        wdf = clustered.select(*data_cols).sortWithinPartitions(*self.key_cols())
+        wdf = clustered.select(*data_cols).sortWithinPartitions(*kc)
         # AQE partition coalescing MUST NOT fire on this write: if the source
         # plan already carries an ENSURE_REQUIREMENTS exchange hash-
         # partitioned on the key with numPartitions == n_buckets (e.g. an
@@ -681,7 +686,9 @@ class SnapshotTable:
         schema = self.schema()
         df = self.read()  # current logical state (deltas LWW-merged in)
         tag = uuid.uuid4().hex[:12]
-        new_files = self._write_bucket_files(df, tag, new_n_buckets, "murmur3")
+        new_files = self._write_bucket_files(
+            df, tag, new_n_buckets, "murmur3", key_cols=m["key_cols"]
+        )
         new = {
             "version": m["version"] + 1,
             "parent": m["version"],
@@ -750,7 +757,9 @@ class SnapshotTable:
             df = df.withColumn(
                 "_bucket", _bucket_expr(self.key_cols()[0], n_buckets, fn)
             )
-        files = self._write_bucket_files(df, tag, n_buckets, fn)
+        files = self._write_bucket_files(
+            df, tag, n_buckets, fn, key_cols=m["key_cols"]
+        )
         new = {
             "version": m["version"] + 1,
             "parent": m["version"],
@@ -933,12 +942,19 @@ class SnapshotTable:
                 clustered = combined.repartition(n_buckets, key_cols[0])
                 merged = lww_dedup(clustered, key_cols).select(*schema.fieldNames())
                 new_files = self._write_bucket_files(
-                    merged, tag, n_buckets, fn, already_clustered=True
+                    merged,
+                    tag,
+                    n_buckets,
+                    fn,
+                    already_clustered=True,
+                    key_cols=key_cols,
                 )
             else:
                 merged = lww_dedup(combined, key_cols).withColumn("_bucket", bucket)
                 merged = merged.select(*schema.fieldNames(), "_bucket")
-                new_files = self._write_bucket_files(merged, tag, n_buckets, fn)
+                new_files = self._write_bucket_files(
+                    merged, tag, n_buckets, fn, key_cols=key_cols
+                )
             stats = self._commit_merge(
                 m, schema, touched, new_files, commit_keys, policy, skipped,
                 delta=(mode == "mor"),
@@ -1009,7 +1025,9 @@ class SnapshotTable:
                 raise ValueError(f"unknown merge policy {policy!r}")
 
             tag = uuid.uuid4().hex[:12]
-            new_files = self._write_bucket_files(merged, tag, n_buckets, fn)
+            new_files = self._write_bucket_files(
+                merged, tag, n_buckets, fn, key_cols=key_cols
+            )
         finally:
             src.unpersist()
 
@@ -1195,7 +1213,9 @@ class SnapshotTable:
                 "_bucket", _bucket_expr(m["key_cols"][0], m["n_buckets"], fn)
             )
         tag = uuid.uuid4().hex[:12]
-        new_files = self._write_bucket_files(merged, tag, m["n_buckets"], fn)
+        new_files = self._write_bucket_files(
+            merged, tag, m["n_buckets"], fn, key_cols=m["key_cols"]
+        )
         stats = self._commit_merge(
             m, self.schema(), todo, new_files, None, "compact", 0, delta=False
         )
