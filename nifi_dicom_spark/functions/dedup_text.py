@@ -36,7 +36,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (first-writer-wins on the dup group)."""
     fp = fingerprint(text_col).alias("fp")
     return (
-        df.select(fp, F.col(id_col), F.col(text_col))
+        df.select(fp, F.col(id_col))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias(id_col),
@@ -492,6 +492,11 @@ def simhash_signatures(
     Tokenization matches ``tokens()`` (ASCII ``\\s`` split, Java-regex
     semantics).
     """
+    if not (1 <= n_bits <= 60):
+        # the per-token value is 15 hex chars (60 bits) of md5; silently
+        # zero-padding bits 60+ would skew every downstream band layout and
+        # hamming threshold with no error
+        raise ValueError(f"n_bits must be in [1, 60] (got {n_bits})")
     ws = re.compile(r"\s+", re.ASCII)
     shifts = np.arange(n_bits, dtype=np.uint64)
 

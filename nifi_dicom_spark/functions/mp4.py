@@ -303,12 +303,25 @@ def sample_table(payload: bytes, track_id: int | None = None) -> list[Sample]:
         for i in range(n_runs)
     ]
     per_chunk: list[int] = []
+    prev_first = 0
     for i, (first, spc) in enumerate(runs):
+        first = max(first, 1)
+        if first <= prev_first:
+            # non-increasing runs would silently misalign every later
+            # chunk's sample base — corrupt table, refuse
+            raise ValueError("stsc first_chunk values must be increasing")
+        if i == 0 and first > 1:
+            # malformed: chunks before the first run have NO declared
+            # sample count — give them zero samples rather than applying
+            # the run's count at the wrong chunk base (positional
+            # alignment: per_chunk[k] is chunk k+1's count)
+            per_chunk.extend([0] * (first - 1))
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
         # clamp to the declared chunk list — corrupt first_chunk values must
         # not inflate the expansion
-        span = max(0, min(last, n_chunks) - max(first, 1) + 1)
+        span = max(0, min(last, n_chunks) - first + 1)
         per_chunk.extend([spc] * span)
+        prev_first = first
 
     # stts: runs of (sample_count, delta); expand to per-sample deltas
     stts = _find(payload, stbl.start, stbl.end, b"stts")

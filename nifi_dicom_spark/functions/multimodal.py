@@ -226,7 +226,11 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                             (t for t in meta["tracks"] if t["kind"] == "video"),
                             meta["tracks"][0] if meta["tracks"] else None,
                         )
-                        ts = (track or {}).get("timescale") or meta["timescale"] or 1
+                        # pts ticks are in the TRACK's media timescale; the
+                        # movie-header timescale is a different clock (often
+                        # 1000 vs 90000) — a missing mdhd yields null pts_ms
+                        # rather than a 90x-wrong value
+                        ts = (track or {}).get("timescale")
                         for s in mp4.sample_table(payload)[::every_n]:
                             rows.append(
                                 {
@@ -236,7 +240,9 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                                         mp4.extract_sample(payload, s)
                                     ).hexdigest(),
                                     "frame_bytes": s.size,
-                                    "pts_ms": s.pts * 1000 // ts,
+                                    "pts_ms": (
+                                        s.pts * 1000 // ts if ts else None
+                                    ),
                                 }
                             )
                         demuxed = True

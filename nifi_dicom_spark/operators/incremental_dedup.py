@@ -26,7 +26,10 @@ signature, bucketed by the band:chunk composite. Per batch:
 3. hamming-verified matches → dup (matched_id = min matching stored id);
 4. survivors are near-dup-clustered WITHIN the batch (connected
    components; small graphs take the driver union-find path) — cluster
-   roots (min id) are unique, members point at their root;
+   roots (min id) are unique, members point at their root; the self-join
+   is gated by the same ``max_bucket_size`` cap as the store probe, so a
+   boilerplate flood degrades to "every doc unique" instead of a
+   quadratic pair explosion;
 5. roots' signature rows are inserted with ``insert_if_absent``
    (re-inserts are no-ops — cardinality never grows on replay).
 
@@ -170,8 +173,26 @@ def incremental_dedup(
         dup_vs_store = matches.persist()
         survivors = batch_ids.join(dup_vs_store, "id", "left_anti")
 
-        # within-batch clustering of the survivors: same pigeonhole self-join
+        # within-batch clustering of the survivors: same pigeonhole
+        # self-join, and the SAME degenerate-bucket cap as the store probe —
+        # without it a boilerplate flood (one shared chunk across B docs)
+        # materializes B²/2 pairs through the distinct. The trade is the
+        # one simhash_near_dup documents: capped chunks lose those pairs
+        # (the flood's docs insert as individual uniques) instead of
+        # running quadratic work; bound store growth with a coarser
+        # upstream exact-dedup if boilerplate floods are expected.
         surv_banded = batch.join(survivors.select("id"), "id", "left_semi")
+        eligible = (
+            surv_banded.groupBy("bc")
+            .count()
+            .filter(
+                (F.col("count") >= 2) & (F.col("count") <= max_bucket_size)
+            )
+            .select("bc")
+        )
+        surv_banded = surv_banded.join(
+            F.broadcast(eligible), "bc", "left_semi"
+        )
         l, r = surv_banded.alias("l"), surv_banded.alias("r")
         in_batch_pairs = (
             l.join(
@@ -212,17 +233,27 @@ def incremental_dedup(
             .localCheckpoint(eager=True)
         )
 
-        # commit the unique docs' signature rows (first-writer-wins)
+        # commit the unique docs' signature rows (first-writer-wins).
+        # touched_buckets = the buckets the INSERTS land in, not the probe
+        # set: a dup-heavy batch probes many buckets but writes few (or
+        # none), and the store merge is copy-on-write per touched bucket —
+        # passing the probe superset would rewrite O(store) per epoch.
         uniques = decisions.filter("is_unique").select("id")
         new_rows = batch.join(uniques, "id", "left_semi").select(
             "bc", "id", "simhash"
+        )
+        write_touched = sorted(
+            r["b"]
+            for r in new_rows.select(store.bucket_expr("bc").alias("b"))
+            .distinct()
+            .collect()
         )
         store.merge(
             new_rows,
             op_col=None,
             policy="insert_if_absent",
             commit_keys=commit_keys,
-            touched_buckets=touched,
+            touched_buckets=write_touched,
         )
         return decisions
     finally:

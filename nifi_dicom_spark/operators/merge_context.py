@@ -29,16 +29,27 @@ def priority_merge(
 ) -> DataFrame:
     """One row per key: for each value column, the value of the
     lowest-sequence record that has a non-null (and, optionally, non-empty)
-    value — 'earliest wins, but never pick a dummy over a real value'."""
+    value — 'earliest wins, but never pick a dummy over a real value'.
+
+    Ties on ``seq_col`` break by the value's string form, so the output is
+    a pure function of the data: bare ``min_by`` picks an arbitrary row on
+    ordering ties (partition/task order), which would violate the engine's
+    replay-determinism contract whenever ``seq_col`` is not unique per key.
+    """
     aggs = []
     for c in value_cols:
         v = F.col(c)
         if empty_is_null:
             v = F.when(F.trim(v.cast("string")) == "", None).otherwise(v)
-        # min_by over rows where the value exists: NULL values are excluded
-        # by replacing their ordering key with +inf via a null-safe struct
+        # min_by over rows where the value exists: NULL ordering keys are
+        # excluded from the aggregate; (seq, value) struct = deterministic
         aggs.append(
-            F.min_by(v, F.when(v.isNotNull(), F.col(seq_col))).alias(c)
+            F.min_by(
+                v,
+                F.when(
+                    v.isNotNull(), F.struct(F.col(seq_col), v.cast("string"))
+                ),
+            ).alias(c)
         )
     return df.groupBy(*key_cols).agg(*aggs)
 

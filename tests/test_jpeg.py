@@ -272,3 +272,18 @@ def test_multimodal_feature_path_decodes_jpeg(spark):
         expected = image_block_features(decode_jpeg(encode_jpeg(img, 95)), 4)
         got = np.array(out[mid]["feature"], dtype=np.float32)
         assert np.allclose(got, expected, atol=1e-6)
+
+
+def test_decode_tolerates_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker; the
+    decoder must skip them instead of misreading a garbage segment length."""
+    from nifi_dicom_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=90)
+    want = decode_jpeg(payload)
+    i = payload.index(b"\xff\xdb")  # pad before DQT
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    got = decode_jpeg(padded)
+    assert np.array_equal(got, want)

@@ -354,3 +354,33 @@ def test_mp3_crc_protected_xing():
     f[off : off + len(tag)] = tag
     m = mp3.parse_mp3(bytes(f))
     assert m["n_frames"] == 1 and m["xing_frames"] == 1
+
+
+def test_mp4_stsc_misaligned_first_chunk():
+    """A corrupt stsc whose first run does not start at chunk 1 must not
+    apply that run's sample count at the wrong chunk base: chunks before
+    the first run get zero samples; non-increasing runs raise."""
+    samples = _samples(6)
+    payload = bytearray(mp4.mux_mp4(samples, samples_per_chunk=3))
+    i = bytes(payload).index(b"stsc")
+    # stsc body: ver/flags(4) count(4) then (first_chunk, spc, desc_idx);
+    # patch first_chunk 1 -> 2
+    payload[i + 12 : i + 16] = (2).to_bytes(4, "big")
+    table = mp4.sample_table(bytes(payload))
+    offsets_box = bytes(payload).index(b"stco")
+    chunk2_off = int.from_bytes(
+        payload[offsets_box + 12 + 4 : offsets_box + 12 + 8], "big"
+    )
+    assert table, "best-effort table expected"
+    assert table[0].offset == chunk2_off  # chunk 1 contributed nothing
+    for s in table:  # everything emitted stays in bounds
+        mp4.extract_sample(bytes(payload), s)
+
+    # non-increasing runs are refused outright
+    payload2 = bytearray(mp4.mux_mp4(samples, samples_per_chunk=3))
+    j = bytes(payload2).index(b"stsc")
+    n_runs = int.from_bytes(payload2[j + 8 : j + 12], "big")
+    if n_runs >= 2:
+        payload2[j + 12 + 12 : j + 16 + 12] = (1).to_bytes(4, "big")
+        with pytest.raises(ValueError):
+            mp4.sample_table(bytes(payload2))

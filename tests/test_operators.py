@@ -1457,3 +1457,26 @@ def test_quality_filter_rules(spark):
     assert not rows[2]["keep"] and "repetitive" in rows[2]["reasons"]
     assert rows[3]["keep"] and rows[3]["reasons"] == ""
     assert not rows[4]["keep"] and rows[4]["reasons"] == "has_pii"
+
+
+def test_priority_merge_deterministic_on_seq_ties(spark):
+    """Two records sharing the lowest seq must resolve by the value's
+    string form, not partition order — replay determinism when seq_col is
+    not unique per key."""
+    from nifi_dicom_spark.operators.merge_context import priority_merge
+
+    rows = [("k", 5, "B"), ("k", 5, "A"), ("k", 9, "C")]
+    for attempt in range(3):  # shuffle input layout across attempts
+        df = spark.createDataFrame(rows, ["key", "seq", "v"]).repartition(
+            attempt + 1
+        )
+        out = priority_merge(df, ["key"], "seq", ["v"]).collect()
+        assert [(r["key"], r["v"]) for r in out] == [("k", "A")]
+
+
+def test_simhash_signatures_rejects_oversized_n_bits(spark):
+    from nifi_dicom_spark.functions.dedup_text import simhash_signatures
+
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n_bits"):
+        simhash_signatures(df, "text", "doc_id", n_bits=64)
