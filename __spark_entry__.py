@@ -381,6 +381,36 @@ def q_anti_join_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join: each purchase event matched to the latest
+    at-or-before click of the same user (union-tag + running-last window,
+    one exchange). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from nifi_dicom_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max("value").alias("click_value"),
+        )
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("value"),
+        "click_id",
+        F.round("click_value", 4).alias("click_value"),
+        "matched_ts",
+    )
+
+
 def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (n=1) Jaccard near-dup pairs over a keyed subset — the exact
     verification primitive of the dedup family, oracle-checkable."""
@@ -1386,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "snapshot_diff": q_snapshot_diff,
         "anti_join_sync": q_anti_join_sync,
+        "asof_join": q_asof_join,
         "token_jaccard": q_token_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
@@ -2375,6 +2406,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 300000)
+        """,
+        "asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ),
+            r AS (
+              SELECT user_id, ts,
+                     max(event_id) AS click_id, max(value) AS click_value
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   round(l.value, 4) AS value,
+                   r.click_id,
+                   round(r.click_value, 4) AS click_value,
+                   r.ts AS matched_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "token_jaccard": """
             WITH t AS (

@@ -1,0 +1,149 @@
+"""As-of (temporal) join — match each left row to the nearest right row in
+time within the same key (SURVEY §2.4 family; the temporal analog of J3's
+hierarchy join).
+
+Reference semantics: the reference resolves "which deidentification map /
+attribute state was in force when this instance arrived" by querying the
+latest matching record at-or-before the instance timestamp
+(``DeidentificationController.java`` keeps one current row per key and every
+lookup sees the latest committed state — an as-of lookup degenerated to
+"latest"). Generalized here to the full point-in-time join a CDC/transcript
+pipeline needs: enrich each turn with the most recent prior state of a
+slowly-changing dimension (active tool version, user plan, model revision).
+
+Spark-first shape (no built-in ASOF in Spark): the classic union-tag
+algorithm —
+
+1. tag right rows 0 and left rows 1, union them on (key, ts, tag);
+2. ONE shuffle: ``Window.partitionBy(key).orderBy(ts, tag, seq)``;
+3. ``last(right_payload, ignorenulls=True)`` over
+   ``rowsBetween(unboundedPreceding, currentRow)`` — each left row sees the
+   latest right row at-or-before it (tag 0 sorts before tag 1 at equal ts,
+   so the match is INCLUSIVE, same as DuckDB ``ASOF JOIN ... ON l.ts >=
+   r.ts``);
+4. keep left rows, unpack the payload struct.
+
+This is a sort-merge pass, not an all-pairs join: cost is one exchange of
+|L|+|R| rows on the key plus a per-key sort — the same plan shape Spark
+picks for a window aggregate, and it scales linearly at 10^10 rows.
+
+Scale notes: per-key ordering is required, so a single pathologically hot
+key serializes into one task's sort (same failure mode as any window).
+Mitigation at 100 TB: range-split hot keys by time with one boundary right
+row replicated into each split (the split's "carry-in"), then run the same
+operator — the carry-in makes splits independent. Not automated here;
+``asof_join`` is deterministic and correct for the common key-cardinality ≫
+cores case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    right_seq: str | None = None,
+    prefix: str = "",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the payload of the single
+    matching ``right`` row (nulls when none).
+
+    ``direction='backward'`` matches the latest right row with
+    ``right_ts <= left_ts`` (inclusive); ``'forward'`` the earliest with
+    ``right_ts >= left_ts``. ``tolerance_s`` (seconds for timestamps, plain
+    difference for numeric ts columns) voids matches farther than the
+    tolerance. Right rows with a null ``right_ts`` never match; left rows
+    with a null ``left_ts`` match nothing (null sorts first).
+
+    Ties among right rows at the same (key, ts) are broken by ``right_seq``
+    when given (largest wins, both directions) — otherwise by the payload
+    struct itself, so the result is always deterministic.
+
+    Output columns: all of ``left``, then one ``<prefix><c>`` per right
+    payload column (right columns minus keys/ts), plus
+    ``<prefix>matched_ts`` = the matched right timestamp.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+    if right_seq is not None and right_seq not in payload_cols:
+        raise ValueError(f"right_seq {right_seq!r} not a right payload column")
+
+    pay = F.struct(
+        F.col(right_ts).alias("_mts"),
+        *[F.col(c) for c in payload_cols],
+    )
+    # the tiebreak column must be orderable and identical in both branches
+    tie = F.col(right_seq) if right_seq else pay
+    # SQL equi-join semantics: a null key never matches — drop such right
+    # rows so null-keyed left rows (grouped under the null partition) see
+    # an empty right side and come out unmatched
+    r_nonnull = right.filter(F.col(right_ts).isNotNull())
+    for k in keys:
+        r_nonnull = r_nonnull.filter(F.col(k).isNotNull())
+    r = r_nonnull.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        tie.alias("_tie"),
+        pay.alias("_rpay"),
+        *[F.lit(None).cast(f.dataType).alias(f"_l_{f.name}") for f in left.schema.fields],
+    )
+    l = left.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+        *[F.col(f.name).alias(f"_l_{f.name}") for f in left.schema.fields],
+    )
+    u = r.unionByName(l)
+
+    if direction == "backward":
+        order = [F.asc_nulls_first("_ats"), F.asc("_side"), F.asc_nulls_first("_tie")]
+    else:
+        order = [F.desc_nulls_last("_ats"), F.asc("_side"), F.asc_nulls_first("_tie")]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "_m",
+        # a null left ts never matches: under desc ordering (forward) nulls
+        # sort last and would otherwise see every right row
+        F.when(
+            F.col("_ats").isNotNull(), F.last("_rpay", ignorenulls=True).over(w)
+        ),
+    ).filter(F.col("_side") == 1)
+
+    if tolerance_s is not None:
+        lt, rt = F.col("_ats"), F.col("_m._mts")
+        if isinstance(left.schema[left_ts].dataType, (T.TimestampType, T.TimestampNTZType)):
+            gap = (F.unix_micros(lt) - F.unix_micros(rt)) / F.lit(1e6)
+        else:
+            gap = lt - rt
+        if direction == "forward":
+            gap = -gap
+        matched = matched.withColumn(
+            "_m", F.when(gap <= F.lit(float(tolerance_s)), F.col("_m"))
+        )
+
+    out_left = [F.col(f"_l_{f.name}").alias(f.name) for f in left.schema.fields]
+    out_right = [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload_cols]
+    return matched.select(
+        *out_left, *out_right, F.col("_m._mts").alias(f"{prefix}matched_ts")
+    )

@@ -1,0 +1,114 @@
+"""asof_join edge cases: direction, tolerance, ties, null keys/timestamps."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_dicom_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:10:00"), 1),
+            ("a", _ts("2024-01-01 01:00:00"), 2),
+            ("a", _ts("2024-01-01 02:00:00"), 3),
+            ("b", _ts("2024-01-01 00:00:00"), 4),  # before any right row
+            (None, _ts("2024-01-01 01:00:00"), 5),  # null key
+            ("a", None, 6),  # null left ts
+        ],
+        "k string, ts timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00"), 10, "r10"),
+            ("a", _ts("2024-01-01 01:00:00"), 11, "r11"),  # tie with left @01:00
+            ("a", _ts("2024-01-01 01:00:00"), 12, "r12"),  # dup ts: seq 12 wins
+            ("b", _ts("2024-01-01 05:00:00"), 13, "r13"),
+            (None, _ts("2024-01-01 00:00:00"), 14, "r14"),  # null right key
+            ("a", None, 15, "r15"),  # null right ts: never matches
+        ],
+        "k string, ts timestamp, seq int, v string",
+    )
+    return left, right
+
+
+def _by_lid(df):
+    return {r["lid"]: r for r in df.collect()}
+
+
+def test_backward_inclusive_and_ties(spark, frames):
+    left, right = frames
+    out = _by_lid(asof_join(left, right, on="k", right_seq="seq"))
+    assert out[1]["v"] == "r10"  # 00:10 -> latest at/before = 00:00
+    assert out[2]["v"] == "r12"  # tie at 01:00 inclusive; max seq wins
+    assert out[3]["v"] == "r12"  # 02:00 -> 01:00
+    assert out[4]["v"] is None  # 'b' has no right row at/before 00:00
+    assert out[5]["v"] is None  # null key never matches
+    assert out[6]["v"] is None  # null left ts never matches
+
+
+def test_forward_direction(spark, frames):
+    left, right = frames
+    out = _by_lid(asof_join(left, right, on="k", direction="forward", right_seq="seq"))
+    assert out[1]["v"] == "r12"  # 00:10 -> earliest at/after = 01:00, max seq
+    assert out[2]["v"] == "r12"  # inclusive at equal ts
+    assert out[3]["v"] is None  # nothing after 02:00 for 'a'
+    assert out[4]["v"] == "r13"  # 'b' 00:00 -> 05:00
+    assert out[5]["v"] is None and out[6]["v"] is None
+
+
+def test_tolerance_voids_stale_matches(spark, frames):
+    left, right = frames
+    out = _by_lid(asof_join(left, right, on="k", tolerance_s=600, right_seq="seq"))
+    assert out[1]["v"] == "r10"  # 10 min gap == tolerance, kept
+    assert out[3]["v"] is None  # 60 min gap > 10 min tolerance, voided
+    out2 = _by_lid(
+        asof_join(
+            left, right, on="k", direction="forward", tolerance_s=3600, right_seq="seq"
+        )
+    )
+    assert out2[1]["v"] == "r12"  # 50 min ahead <= 60 min
+    assert out2[4]["v"] is None  # 'b': 5 h ahead > 1 h, voided
+
+
+def test_payload_struct_tiebreak_deterministic(spark, frames):
+    left, right = frames
+    # no right_seq: ties broken by the payload struct itself — the row with
+    # the lexically-largest (ts, seq, v) wins, which is again seq=12
+    out = _by_lid(asof_join(left, right, on="k"))
+    assert out[2]["v"] == "r12"
+    assert out[2]["seq"] == 12
+
+
+def test_matched_ts_and_prefix(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", prefix="r_", right_seq="seq")
+    assert {"r_seq", "r_v", "r_matched_ts"} <= set(out.columns)
+    row = {r["lid"]: r for r in out.collect()}[3]
+    assert row["r_matched_ts"] == _ts("2024-01-01 01:00:00")
+
+
+def test_numeric_ts_and_tolerance(spark):
+    left = spark.createDataFrame([(1, 100, 1), (1, 205, 2)], "k int, t long, lid int")
+    right = spark.createDataFrame([(1, 90, "x"), (1, 200, "y")], "k int, t long, s string")
+    out = _by_lid(asof_join(left, right, on="k", left_ts="t", tolerance_s=10))
+    assert out[1]["s"] == "x" and out[2]["s"] == "y"
+    out2 = _by_lid(asof_join(left, right, on="k", left_ts="t", tolerance_s=7))
+    assert out2[1]["s"] is None and out2[2]["s"] == "y"
+
+
+def test_single_exchange_plan(spark, frames):
+    left, right = frames
+    plan = asof_join(left, right, on="k", right_seq="seq")._jdf.queryExecution(
+    ).executedPlan().toString()
+    # one shuffle on the key for the window; the union must not add its own
+    assert plan.count("Exchange hashpartitioning") == 1
