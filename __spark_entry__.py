@@ -371,6 +371,60 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE INTO (Delta-style WHEN clauses) over the lake
+    table: deletes where flagged, guarded balance updates, re-keyed
+    inserts — final state read back after one copy-on-write commit."""
+    import tempfile
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    tab = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="mergeinto_") + "/t",
+        cust.schema,
+        key_cols=["c_custkey"],
+        n_buckets=8,
+    )
+    tab.overwrite(cust)
+    src = (
+        cust.filter((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 5 == 0))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, "del").otherwise("upd").alias("flag"),
+            F.lit(100.0).alias("delta"),
+            "c_name",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit("ins").alias("flag"),
+                F.lit(0.0).alias("delta"),
+                F.concat(F.lit("new^"), F.col("c_name")).alias("c_name"),
+                F.lit(1000.0).alias("c_acctbal"),
+                "c_mktsegment",
+            )
+        )
+    )
+    tab.merge_into(
+        src,
+        when_matched_update={"c_acctbal": "round(t.c_acctbal + s.delta, 2)"},
+        update_condition="s.flag = 'upd'",
+        delete_condition="s.flag = 'del'",
+    )
+    return tab.read().select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 4).alias("bal"),
+        "c_mktsegment",
+    )
+
+
 def q_anti_join_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/S6: remote-vs-local anti-join — entities present in the dimension
     but absent from the fact log (the incremental-sync 'what is missing')."""
@@ -1417,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "anti_join_sync": q_anti_join_sync,
         "asof_join": q_asof_join,
+        "merge_into": q_merge_into,
         "token_jaccard": q_token_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
@@ -2425,6 +2480,28 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS matched_ts
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "merge_into": """
+            WITH src AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0 THEN 'del' ELSE 'upd' END AS flag,
+                     100.0 AS delta
+              FROM customer
+              WHERE c_custkey % 7 = 0 OR c_custkey % 5 = 0
+            )
+            SELECT t.c_custkey, t.c_name,
+                   round(CASE WHEN s.flag = 'upd'
+                              THEN round(t.c_acctbal + s.delta, 2)
+                              ELSE t.c_acctbal END, 4) AS bal,
+                   t.c_mktsegment
+            FROM customer t LEFT JOIN src s USING (c_custkey)
+            WHERE s.flag IS NULL OR s.flag <> 'del'
+            UNION ALL
+            SELECT c_custkey + 10000000 AS c_custkey,
+                   'new^' || c_name AS c_name,
+                   round(1000.0, 4) AS bal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % 11 = 0
         """,
         "token_jaccard": """
             WITH t AS (

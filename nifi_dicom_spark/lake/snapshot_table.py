@@ -63,7 +63,7 @@ import warnings
 from dataclasses import dataclass
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -781,6 +781,47 @@ class SnapshotTable:
 
     # ----------------------------------------------------------------- merge
 
+    def _gate_commit_keys(
+        self,
+        m: dict,
+        commit_keys: list[tuple[int, int]] | None,
+        on_replayed: str | None,
+    ) -> tuple[list[tuple[int, int]] | None, int]:
+        """Exactly-once replay gate shared by every commit-keyed write path:
+        drop keys at/below their partition's high-watermark (an already-
+        applied epoch), applying the table's ``on_replayed`` policy. Returns
+        (fresh keys — empty list means the whole write is a replay no-op;
+        None when the caller passed no keys, skipped count)."""
+        if commit_keys is None:
+            return None, 0
+        hw = self._hw(m)
+        fresh = [
+            k for k in commit_keys if int(k[0]) > hw.get(str(int(k[1])), -(10**18))
+        ]
+        skipped = len(commit_keys) - len(fresh)
+        if skipped:
+            policy_on_replayed = on_replayed or (m.get("props") or {}).get(
+                "on_replayed", "skip"
+            )
+            if policy_on_replayed != "skip":
+                replayed = [
+                    (int(k[0]), int(k[1]))
+                    for k in commit_keys
+                    if int(k[0]) <= hw.get(str(int(k[1])), -(10**18))
+                ]
+                msg = (
+                    f"{len(replayed)} commit key(s) at/below their "
+                    f"partition high-watermark (first: epoch={replayed[0][0]} "
+                    f"partition={replayed[0][1]} hw="
+                    f"{hw.get(str(replayed[0][1]))}) — crash-replay if the "
+                    "single-writer contract holds; otherwise silent loss "
+                    "(checkpoint reset / backfill / second writer)"
+                )
+                if policy_on_replayed == "error":
+                    raise LedgerRegression(msg)
+                warnings.warn(msg, stacklevel=3)
+        return fresh, skipped
+
     def merge(
         self,
         source: DataFrame,
@@ -849,41 +890,11 @@ class SnapshotTable:
         effective_mode = (
             (mode or "mor") if policy == "versioned_upsert" else "cow"
         )
-        skipped = 0
-        if commit_keys is not None:
-            hw = self._hw(m)
-            fresh = [
-                k
-                for k in commit_keys
-                if int(k[0]) > hw.get(str(int(k[1])), -(10**18))
-            ]
-            skipped = len(commit_keys) - len(fresh)
-            if skipped:
-                policy_on_replayed = on_replayed or (m.get("props") or {}).get(
-                    "on_replayed", "skip"
-                )
-                if policy_on_replayed != "skip":
-                    replayed = [
-                        (int(k[0]), int(k[1]))
-                        for k in commit_keys
-                        if int(k[0]) <= hw.get(str(int(k[1])), -(10**18))
-                    ]
-                    msg = (
-                        f"{len(replayed)} commit key(s) at/below their "
-                        f"partition high-watermark (first: epoch={replayed[0][0]} "
-                        f"partition={replayed[0][1]} hw="
-                        f"{hw.get(str(replayed[0][1]))}) — crash-replay if the "
-                        "single-writer contract holds; otherwise silent loss "
-                        "(checkpoint reset / backfill / second writer)"
-                    )
-                    if policy_on_replayed == "error":
-                        raise LedgerRegression(msg)
-                    warnings.warn(msg, stacklevel=2)
-            if not fresh:
-                return MergeStats(
-                    m["version"], 0, skipped, applied=False, mode=effective_mode
-                )
-            commit_keys = fresh
+        commit_keys, skipped = self._gate_commit_keys(m, commit_keys, on_replayed)
+        if commit_keys is not None and not commit_keys:
+            return MergeStats(
+                m["version"], 0, skipped, applied=False, mode=effective_mode
+            )
 
         if assert_unique_source:
             dupes = (
@@ -1033,6 +1044,172 @@ class SnapshotTable:
 
         return self._commit_merge(
             m, schema, touched, new_files, commit_keys, policy, skipped
+        )
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        when_matched_update: dict[str, "Column | str"] | None = None,
+        update_condition: "Column | str | None" = None,
+        when_matched_delete: bool = False,
+        delete_condition: "Column | str | None" = None,
+        when_not_matched_insert: bool = True,
+        insert_condition: "Column | str | None" = None,
+        commit_keys: list[tuple[int, int]] | None = None,
+        on_replayed: str | None = None,
+        assert_unique_source: bool = False,
+    ) -> MergeStats:
+        """General conditional ``MERGE INTO this USING source ON key_cols``
+        — the user-facing upsert surface (Delta/Iceberg MERGE semantics;
+        reference analog: the uid_map MERGE in
+        ``DeidentificationController.java:108-123``, whose WHEN clauses are
+        hard-coded — here they are caller-supplied expressions).
+
+        Clause evaluation order per row (first match wins, fixed):
+
+        1. matched + ``delete_condition`` (requires ``when_matched_delete``
+           or a ``delete_condition``) → row removed;
+        2. matched + ``update_condition`` → columns assigned from
+           ``when_matched_update`` (unlisted columns keep target values);
+        3. matched, no clause hit → row kept unchanged;
+        4. not matched (source-only) + ``insert_condition`` → row inserted,
+           source columns conformed to the table schema (missing → null);
+        5. not matched, insert declined → source row ignored.
+
+        Conditions and update values are Columns or SQL strings over the
+        aliases ``t`` (target) and ``s`` (source) — e.g.
+        ``update_condition="s.op_seq > t.op_seq"``,
+        ``when_matched_update={"text": "s.text"}``. Unqualified names that
+        exist on both sides are ambiguous; qualify them.
+
+        ``source`` must have ≤1 row per key (``assert_unique_source`` adds
+        the count check); an unconditional delete clause together with an
+        update clause is rejected as ambiguous.
+
+        Scale shape: bucket discovery prunes the target read to touched
+        buckets; the join shuffles |source| + |touched target| rows once
+        (Catalyst broadcasts a small source); only touched buckets are
+        rewritten (copy-on-write), committed with the same optimistic
+        validate-and-rebase as :meth:`merge`, and ``commit_keys`` give the
+        same exactly-once replay gate.
+        """
+        if (
+            when_matched_update is None
+            and not when_matched_delete
+            and delete_condition is None
+            and not when_not_matched_insert
+        ):
+            raise ValueError("merge_into needs at least one WHEN clause")
+        do_delete = when_matched_delete or delete_condition is not None
+        if (
+            do_delete
+            and delete_condition is None
+            and when_matched_update is not None
+        ):
+            raise ValueError(
+                "unconditional WHEN MATCHED DELETE together with an update "
+                "clause is ambiguous — give delete_condition"
+            )
+
+        def _cond(c, default: bool) -> Column:
+            if c is None:
+                return F.lit(default)
+            return F.expr(c) if isinstance(c, str) else c
+
+        m = self.manifest()
+        key_cols = m["key_cols"]
+        n_buckets = m["n_buckets"]
+        fn = m.get("bucket_fn", "xxhash64")
+        schema = self.schema()
+
+        commit_keys, skipped = self._gate_commit_keys(m, commit_keys, on_replayed)
+        if commit_keys is not None and not commit_keys:
+            return MergeStats(m["version"], 0, skipped, applied=False, mode="cow")
+
+        if assert_unique_source:
+            dupes = (
+                source.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
+            )
+            if dupes:
+                raise ValueError(f"merge source has {dupes} duplicate keys")
+
+        bucket = _bucket_expr(key_cols[0], n_buckets, fn)
+        touched = sorted(
+            r["_b"]
+            for r in source.select(bucket.alias("_b")).distinct().collect()
+        )
+        if not touched:
+            return MergeStats(m["version"], 0, skipped, applied=False, mode="cow")
+
+        t = self.read(buckets=touched).withColumn("_t1", F.lit(True)).alias("t")
+        s = source.withColumn("_s1", F.lit(True)).alias("s")
+        joined = t.join(
+            s, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols], "full_outer"
+        )
+
+        matched = F.col("t._t1").isNotNull() & F.col("s._s1").isNotNull()
+        src_only = F.col("t._t1").isNull()
+        delete_c = (
+            matched & _cond(delete_condition, True)
+            if do_delete
+            else F.lit(False)
+        )
+        update_c = (
+            matched & _cond(update_condition, True)
+            if when_matched_update is not None
+            else F.lit(False)
+        )
+        insert_c = (
+            src_only & _cond(insert_condition, True)
+            if when_not_matched_insert
+            else F.lit(False)
+        )
+        action = (
+            F.when(delete_c, "D")
+            .when(update_c, "U")
+            .when(matched, "K")
+            .when(insert_c, "I")
+            .when(src_only, "X")
+            .otherwise("K")  # target-only rows always survive
+        )
+        kept = joined.withColumn("_action", action).filter(
+            ~F.col("_action").isin("D", "X")
+        )
+
+        upd = {
+            c: (F.expr(v) if isinstance(v, str) else v)
+            for c, v in (when_matched_update or {}).items()
+        }
+        unknown = sorted(set(upd) - set(schema.fieldNames()))
+        if unknown:
+            raise ValueError(f"when_matched_update targets unknown columns {unknown}")
+        src_names = set(source.columns)
+        out_cols = []
+        for f in schema.fields:
+            c = f.name
+            tcol = F.col(f"t.{c}")
+            ins = (
+                F.col(f"s.{c}").cast(f.dataType)
+                if c in src_names
+                else F.lit(None).cast(f.dataType)
+            )
+            val = F.when(F.col("_action") == "I", ins)
+            if c in upd:
+                val = val.when(F.col("_action") == "U", upd[c].cast(f.dataType))
+            out_cols.append(val.otherwise(tcol).alias(c))
+        merged = kept.select(*out_cols)
+        if fn != "murmur3":
+            merged = merged.withColumn("_bucket", bucket).select(
+                *schema.fieldNames(), "_bucket"
+            )
+
+        tag = uuid.uuid4().hex[:12]
+        new_files = self._write_bucket_files(
+            merged, tag, n_buckets, fn, key_cols=key_cols
+        )
+        return self._commit_merge(
+            m, schema, touched, new_files, commit_keys, "merge_into", skipped
         )
 
     def _commit_merge(
