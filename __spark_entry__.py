@@ -371,6 +371,50 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC wire-format boundary: events re-serialized as Debezium JSON
+    envelopes (before/after images, op codes, source.lsn), then normalized
+    back to the canonical change-event frame by parse_debezium — one
+    from_json, zero UDFs. The oracle recomputes the expected frame straight
+    from events."""
+    from nifi_dicom_spark.sources.debezium import parse_debezium
+
+    ev = _t(spark, sf_dir, "events")
+    img = F.struct(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 1000).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(
+            F.col("event_id") % 2 == 1, F.concat(F.lit("tool_"), F.col("event_type"))
+        ).alias("tool"),
+        F.unix_micros(F.col("ts")).alias("ts"),
+    )
+    op = (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_id") % 3 == 0, "c")
+        .otherwise("u")
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(op == "d", img).alias("before"),
+                F.when(op != "d", img).alias("after"),
+                op.alias("op"),
+                F.unix_millis(F.col("ts")).alias("ts_ms"),
+                F.struct(
+                    F.col("event_id").alias("lsn"),
+                    F.col("user_id").alias("txId"),
+                    F.unix_millis(F.col("ts")).alias("ts_ms"),
+                    F.lit("mysql").alias("connector"),
+                ).alias("source"),
+            ).alias("payload")
+        )
+    )
+    wire = ev.select(envelope.alias("value"))
+    return parse_debezium(wire)
+
+
 def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional MERGE INTO (Delta-style WHEN clauses) over the lake
     table: deletes where flagged, guarded balance updates, re-keyed
@@ -1472,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_sync": q_anti_join_sync,
         "asof_join": q_asof_join,
         "merge_into": q_merge_into,
+        "debezium_parse": q_debezium_parse,
         "token_jaccard": q_token_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
@@ -2480,6 +2525,23 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS matched_ts
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "debezium_parse": """
+            SELECT event_id AS "offset",
+                   0 AS partition_id,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        WHEN event_id % 3 = 0 THEN 'insert'
+                        ELSE 'update' END AS op,
+                   event_id AS op_seq,
+                   CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id % 1000 AS INTEGER) AS turn_idx,
+                   event_type AS role,
+                   props AS text,
+                   CASE WHEN event_id % 2 = 1
+                        THEN 'tool_' || event_type END AS tool,
+                   ts,
+                   2 AS schema_ver
+            FROM events
         """,
         "merge_into": """
             WITH src AS (

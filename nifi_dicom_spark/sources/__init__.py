@@ -1,3 +1,4 @@
 from nifi_dicom_spark.sources.changelog import read_change_log, stream_change_log
+from nifi_dicom_spark.sources.debezium import parse_debezium
 
-__all__ = ["read_change_log", "stream_change_log"]
+__all__ = ["read_change_log", "stream_change_log", "parse_debezium"]

@@ -96,3 +96,86 @@ def test_conform_rejects_narrowing(spark):
     target = T.StructType([T.StructField("x", T.IntegerType())])
     with pytest.raises(ValueError, match="cannot reconcile"):
         conform_to_schema(df, target)
+
+
+def test_debezium_parse_semantics(spark):
+    import json
+
+    from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+    from nifi_dicom_spark.sources.debezium import parse_debezium
+
+    def env(op, image, lsn, part=None):
+        payload = {
+            "before": image if op == "d" else None,
+            "after": None if op == "d" else image,
+            "op": op,
+            "ts_ms": 1704067200123,
+            "source": {"lsn": lsn, "txId": 7, "connector": "postgres"},
+        }
+        row = {"value": json.dumps({"payload": payload})}
+        if part is not None:
+            row["part"] = part
+        return row
+
+    img = {
+        "conv_id": "c1",
+        "turn_idx": 3,
+        "role": "user",
+        "text": "hi \"there\"\nnewline",
+        "tool": None,
+        "ts": 1704067200123456,
+    }
+    rows = [
+        env("c", img, 10, 0),
+        env("u", dict(img, text="edited", tool="bash"), 11, 1),
+        env("d", img, 12, 0),
+        env("x", img, 13, 1),  # unknown op code
+    ]
+    df = spark.createDataFrame(
+        [(r["value"], r["part"]) for r in rows], "value string, part int"
+    )
+    out = parse_debezium(df, partition_col="part").orderBy("offset").collect()
+
+    assert [f.name for f in parse_debezium(df).schema.fields] == [
+        f.name for f in CHANGE_EVENTS_SCHEMA.fields
+    ]
+    assert [r.op for r in out] == ["insert", "update", "delete", None]
+    assert [r.partition_id for r in out] == [0, 1, 0, 1]
+    assert out[0].text == 'hi "there"\nnewline'  # JSON escaping roundtrip
+    assert out[1].tool == "bash"
+    assert out[2].conv_id == "c1"  # delete reads the BEFORE image
+    assert out[0].op_seq == 10 and out[0].offset == 10  # lsn is the LWW order
+    assert str(out[0].ts) == "2024-01-01 00:00:00.123456"
+
+
+def test_debezium_parse_is_streaming_safe(spark, tmp_path):
+    import json
+    import os
+
+    from nifi_dicom_spark.sources.debezium import parse_debezium
+
+    d = tmp_path / "wire"
+    os.makedirs(d)
+    payload = {
+        "before": None,
+        "after": {"conv_id": "s1", "turn_idx": 0, "role": "user",
+                  "text": "t", "tool": None, "ts": 1704067200000000},
+        "op": "c",
+        "ts_ms": 1,
+        "source": {"lsn": 1, "txId": 1, "connector": "mysql"},
+    }
+    (d / "a.json").write_text(json.dumps({"payload": payload}) + "\n")
+    stream = spark.readStream.schema("value string").text(str(d)).withColumnRenamed(
+        "value", "value"
+    )
+    parsed = parse_debezium(stream)
+    assert parsed.isStreaming  # pure expressions: no action, no UDF
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("dbz_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("select * from dbz_stream").collect()
+    assert len(got) == 1 and got[0].conv_id == "s1" and got[0].op == "insert"
