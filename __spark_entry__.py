@@ -1294,6 +1294,63 @@ def q_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (time-clustered sorted rewrite, multi-file buckets) followed
+    by a stats-pruned window scan: one bulk merge leaves every file spanning
+    the full month (pruning inert), optimize(sort_by=ts) splits each bucket
+    into time-disjoint files, and the same scan then reads only the
+    window's slices. Result must stay bit-identical to the windowed LWW."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 3).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="opt-") + "/t",
+        schema,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=8,
+        props={"stats_cols": ["ts"]},
+    )
+    table.merge(ev, op_col="op", policy="versioned_upsert", commit_keys=[(0, 0)])
+    n = ev.count()
+    table.optimize(sort_by=["ts"], max_records_per_file=max(n // 64, 16))
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 15)
+    return (
+        table.scan("ts", lo=lo, hi=hi)
+        .filter(F.col("op") != "delete")
+        .select(
+            "conv_id", "turn_idx", "op_seq", F.round("value", 4).alias("value"), "ts"
+        )
+    )
+
+
 def q_stats_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: metrics serialized as JSON rows (``LogCacheStatistics.java:50-60``
     → ``F.to_json(F.struct(...))``)."""
@@ -1537,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_deidentify": q_nested_deidentify,
         "deadletter": q_deadletter,
         "stats_scan": q_stats_scan,
+        "optimize_scan": q_optimize_scan,
         "stats_json": q_stats_json,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
@@ -2442,6 +2500,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND op <> 'delete'
               AND ts BETWEEN TIMESTAMP '2024-01-28 00:00:00'
                          AND TIMESTAMP '2024-01-31 00:00:00'
+        """,
+        "optimize_scan": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 3 AS INT) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq, event_id AS "offset", value, ts
+              FROM events
+            ), w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY op_seq DESC, "offset" DESC) AS rn
+              FROM ev
+            )
+            SELECT conv_id, turn_idx, op_seq, round(value, 4) AS value, ts
+            FROM w
+            WHERE rn = 1 AND op <> 'delete'
+              AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                         AND TIMESTAMP '2024-01-15 00:00:00'
         """,
         "stats_json": """
             SELECT event_type,

@@ -331,6 +331,8 @@ class SnapshotTable:
         bucket_fn: str = "murmur3",
         already_clustered: bool = False,
         key_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict[str, list[str]]:
         """Write df as exactly one sorted parquet file per non-empty bucket
         under a fresh commit directory; return bucket -> [relpath].
@@ -366,7 +368,14 @@ class SnapshotTable:
             clustered = df.withColumn(
                 "_pk", mapping[F.col("_bucket")].cast("long")
             ).repartition(n_buckets, "_pk")
-        wdf = clustered.select(*data_cols).sortWithinPartitions(*kc)
+        # ``sort_cols`` overrides the default key clustering (optimize():
+        # e.g. time-cluster a bucket so per-file min/max stats turn a
+        # time-range scan into a few-file read); content/placement are
+        # unaffected — reads dedup via groupBy, which is order-insensitive.
+        # ``max_records_per_file`` splits a bucket's sorted stream into
+        # several files (parquet writer option), giving the manifest stats
+        # file-level granularity inside a bucket.
+        wdf = clustered.select(*data_cols).sortWithinPartitions(*(sort_cols or kc))
         # AQE partition coalescing MUST NOT fire on this write: if the source
         # plan already carries an ENSURE_REQUIREMENTS exchange hash-
         # partitioned on the key with numPartitions == n_buckets (e.g. an
@@ -385,8 +394,14 @@ class SnapshotTable:
         # session-global toggle run — under a process-wide lock so concurrent
         # writers can't interleave their set/restore, and only for the
         # duration of this rare write.
+        def _writer():
+            w = wdf.write.mode("overwrite")
+            if max_records_per_file:
+                w = w.option("maxRecordsPerFile", int(max_records_per_file))
+            return w
+
         if self._plan_coalesce_safe(wdf):
-            wdf.write.mode("overwrite").parquet(out_abs)
+            _writer().parquet(out_abs)
         else:
             conf = self.spark.conf
             coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
@@ -394,7 +409,7 @@ class SnapshotTable:
                 prev = conf.get(coalesce_key, "true")
                 conf.set(coalesce_key, "false")
                 try:
-                    wdf.write.mode("overwrite").parquet(out_abs)
+                    _writer().parquet(out_abs)
                 finally:
                     conf.set(coalesce_key, prev)
         files: dict[str, list[str]] = {}
@@ -1395,6 +1410,56 @@ class SnapshotTable:
         )
         stats = self._commit_merge(
             m, self.schema(), todo, new_files, None, "compact", 0, delta=False
+        )
+        return stats.version
+
+    def optimize(
+        self,
+        sort_by: list[str],
+        buckets: list[int] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> int | None:
+        """Layout maintenance: rewrite buckets CLUSTERED by ``sort_by``
+        (typically the event time), optionally split into several files per
+        bucket (``max_records_per_file``). Content is bit-identical — only
+        physical order and file granularity change — but the manifest's
+        per-file [min,max] stats become tight and disjoint along
+        ``sort_by``, so :meth:`scan` range reads skip (or read
+        version-columns-only) most files inside every bucket, and parquet
+        row-group pruning tightens inside each file. The Z-order/OPTIMIZE
+        analog of lake formats, as one LWW reduce + sorted rewrite per
+        bucket; deltas are folded in (implies :meth:`compact`). Run it as a
+        background job on cold data; the hot merge path is untouched.
+        Returns the committed version, or None for an empty table."""
+        schema = self.schema()
+        missing = [c for c in sort_by if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"optimize sort_by columns not in schema: {missing}")
+        m = self.manifest()
+        nonempty = {int(b) for b in m.get("files", {})} | {
+            int(b) for b in m.get("delta_files", {})
+        }
+        todo = sorted(nonempty if buckets is None else nonempty & set(buckets))
+        if not todo:
+            return None
+        fn = m.get("bucket_fn", "xxhash64")
+        merged = self.read(buckets=todo)  # deduped base∪deltas, tombstones kept
+        if fn != "murmur3":
+            merged = merged.withColumn(
+                "_bucket", _bucket_expr(m["key_cols"][0], m["n_buckets"], fn)
+            )
+        tag = uuid.uuid4().hex[:12]
+        new_files = self._write_bucket_files(
+            merged,
+            tag,
+            m["n_buckets"],
+            fn,
+            key_cols=m["key_cols"],
+            sort_cols=list(sort_by),
+            max_records_per_file=max_records_per_file,
+        )
+        stats = self._commit_merge(
+            m, schema, todo, new_files, None, "optimize", 0, delta=False
         )
         return stats.version
 

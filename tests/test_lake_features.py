@@ -316,3 +316,52 @@ def test_rebucket_rejects_nothing_special_but_scan_respects_vacuum(
 
     with pytest.raises(VersionVacuumedError):
         table.scan("ts", lo=pd.Timestamp("2024-01-01"), version=0)
+
+
+def test_optimize_time_clusters_buckets(spark, tmp_path):
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for e in range(3):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+    table.compact()  # fold: one file per bucket spanning all three days
+    before = _sorted_rows(table.read())
+    st0 = table.scan_file_stats(
+        "ts", lo=pd.Timestamp("2024-01-03"), hi=pd.Timestamp("2024-01-03 23:59:59")
+    )
+    assert st0["full"] == st0["total"]  # every wide file spans day 3
+
+    v = table.optimize(sort_by=["ts"], max_records_per_file=8)
+    assert v == table.current_version()
+    m = table.manifest()
+    assert m["summary"]["policy"] == "optimize"
+    assert not any(m.get("delta_files", {}).values())
+    assert any(len(rels) > 1 for rels in m["files"].values())  # split files
+
+    # content bit-identical, including tombstones guarding late events
+    assert _sorted_rows(table.read()) == before
+    assert _sorted_rows(table.read(dedup=False)) == before  # base holds winners only
+
+    # the same day-3 window now reads only the day-3 slices of each bucket
+    st1 = table.scan_file_stats(
+        "ts", lo=pd.Timestamp("2024-01-03"), hi=pd.Timestamp("2024-01-03 23:59:59")
+    )
+    assert st1["total"] > st0["total"]
+    assert st1["full"] < st1["total"]
+    assert st1["version_only"] + st1["skipped"] > 0
+    got = table.scan(
+        "ts", lo=pd.Timestamp("2024-01-03"), hi=pd.Timestamp("2024-01-03 23:59:59")
+    )
+    exp = table.read().filter("ts >= '2024-01-03' AND ts <= '2024-01-03 23:59:59'")
+    assert _sorted_rows(got) == _sorted_rows(exp)
+
+    # merges after optimize keep working (placement unchanged)
+    ev = spark.createDataFrame(_epoch_events(3), schema=CHANGE_EVENTS_SCHEMA)
+    apply_changes(table, ev, epoch=3)
+    assert table.read().count() > len(before) - 1
+
+
+def test_optimize_validates_columns_and_empty(spark, tmp_path):
+    table = create_transcripts_table(spark, str(tmp_path / "e"), n_buckets=2)
+    with pytest.raises(ValueError, match="not in schema"):
+        table.optimize(sort_by=["nope"])
+    assert table.optimize(sort_by=["ts"]) is None  # empty table: no-op
