@@ -1340,10 +1340,78 @@ def q_optimize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.merge(ev, op_col="op", policy="versioned_upsert", commit_keys=[(0, 0)])
     n = ev.count()
     table.optimize(sort_by=["ts"], max_records_per_file=max(n // 64, 16))
-    lo = datetime.datetime(2024, 1, 10)
-    hi = datetime.datetime(2024, 1, 15)
+    # window at the tail of the month: LWW winners are the latest events
+    # (op_seq tracks ts in this feed), so an early window would be empty
+    lo = datetime.datetime(2024, 1, 25)
+    hi = datetime.datetime(2024, 2, 1)
     return (
         table.scan("ts", lo=lo, hi=hi)
+        .filter(F.col("op") != "delete")
+        .select(
+            "conv_id", "turn_idx", "op_seq", F.round("value", 4).alias("value"), "ts"
+        )
+    )
+
+
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (ts, turn_idx) followed by a rectangle scan: the
+    Morton-interleaved rewrite clusters each bucket's files into small
+    (time x turn) hyper-rectangles, so ``scan_ranges`` prunes on BOTH
+    dimensions (``lake/zorder.py``; a single-column sort would prune on ts
+    only). Result must stay bit-identical to the windowed LWW filter."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="zord-") + "/t",
+        schema,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=8,
+        props={"stats_cols": ["ts", "turn_idx"]},
+    )
+    table.merge(ev, op_col="op", policy="versioned_upsert", commit_keys=[(0, 0)])
+    n = ev.count()
+    table.optimize(
+        zorder_by=["ts", "turn_idx"], max_records_per_file=max(n // 64, 16)
+    )
+    return (
+        table.scan_ranges(
+            {
+                # tail-of-month window — see q_optimize_scan on why
+                "ts": (
+                    datetime.datetime(2024, 1, 22),
+                    datetime.datetime(2024, 2, 1),
+                ),
+                "turn_idx": (0, 1),
+            }
+        )
         .filter(F.col("op") != "delete")
         .select(
             "conv_id", "turn_idx", "op_seq", F.round("value", 4).alias("value"), "ts"
@@ -1595,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deadletter": q_deadletter,
         "stats_scan": q_stats_scan,
         "optimize_scan": q_optimize_scan,
+        "zorder_scan": q_zorder_scan,
         "stats_json": q_stats_json,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
@@ -2518,8 +2587,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, op_seq, round(value, 4) AS value, ts
             FROM w
             WHERE rn = 1 AND op <> 'delete'
-              AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
-                         AND TIMESTAMP '2024-01-15 00:00:00'
+              AND ts BETWEEN TIMESTAMP '2024-01-25 00:00:00'
+                         AND TIMESTAMP '2024-02-01 00:00:00'
+        """,
+        "zorder_scan": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 5 AS INT) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq, event_id AS "offset", value, ts
+              FROM events
+            ), w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY op_seq DESC, "offset" DESC) AS rn
+              FROM ev
+            )
+            SELECT conv_id, turn_idx, op_seq, round(value, 4) AS value, ts
+            FROM w
+            WHERE rn = 1 AND op <> 'delete'
+              AND ts BETWEEN TIMESTAMP '2024-01-22 00:00:00'
+                         AND TIMESTAMP '2024-02-01 00:00:00'
+              AND turn_idx BETWEEN 0 AND 1
         """,
         "stats_json": """
             SELECT event_type,

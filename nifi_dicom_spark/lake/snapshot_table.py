@@ -72,6 +72,7 @@ from nifi_dicom_spark.lake.commit import (  # noqa: F401  (CommitConflict re-exp
     CommitConflict,
     PosixCommitBackend,
 )
+from nifi_dicom_spark.lake.zorder import ZORDER_COL, zvalue_column
 from nifi_dicom_spark.operators.reconcile import conform_to_schema, evolve_schema
 
 
@@ -350,7 +351,9 @@ class SnapshotTable:
         parallelism at any cluster size."""
         out_rel = f"c-{commit_tag}"
         out_abs = os.path.join(self.data_dir, out_rel)
-        data_cols = [c for c in df.columns if c not in ("_bucket", "_pk")]
+        data_cols = [
+            c for c in df.columns if c not in ("_bucket", "_pk", ZORDER_COL)
+        ]
         # callers on the hot per-epoch path pass key_cols from the manifest
         # they already hold — re-deriving it here is a version LIST + GET
         # per use on an object-store backend
@@ -374,8 +377,10 @@ class SnapshotTable:
         # unaffected — reads dedup via groupBy, which is order-insensitive.
         # ``max_records_per_file`` splits a bucket's sorted stream into
         # several files (parquet writer option), giving the manifest stats
-        # file-level granularity inside a bucket.
-        wdf = clustered.select(*data_cols).sortWithinPartitions(*(sort_cols or kc))
+        # file-level granularity inside a bucket. Sort BEFORE the projection
+        # so auxiliary sort keys (the z-order interleave) can order the file
+        # without being written to it.
+        wdf = clustered.sortWithinPartitions(*(sort_cols or kc)).select(*data_cols)
         # AQE partition coalescing MUST NOT fire on this write: if the source
         # plan already carries an ENSURE_REQUIREMENTS exchange hash-
         # partitioned on the key with numPartitions == n_buckets (e.g. an
@@ -525,27 +530,32 @@ class SnapshotTable:
         return out
 
     def _split_scan_files(
-        self, m: dict, predicate_col: str, elo, ehi
+        self, m: dict, preds: list[tuple[str, Any, Any]]
     ) -> tuple[list[str], list[str]]:
-        """Partition the snapshot's data files for a range scan into
-        (full-read, version-only-read) relpaths using the manifest stats.
+        """Partition the snapshot's data files for a (multi-column) range
+        scan into (full-read, version-only-read) relpaths using the
+        manifest stats. ``preds``: (column, encoded_lo, encoded_hi) per
+        dimension — a file is OUT-of-range when ANY dimension's [min, max]
+        cannot intersect its [lo, hi] (the predicates are ANDed).
 
-        A file is OUT-of-range when its [min, max] for the predicate column
-        cannot intersect [lo, hi]; files with no recorded stats count as
-        in-range (must read). Per-key supersession only happens WITHIN a
+        Files with no recorded stats for a column count as in-range on that
+        column (must read). Per-key supersession only happens WITHIN a
         bucket (a key lives in exactly one bucket), so a bucket whose files
         are ALL out-of-range is dropped outright — none of its keys can
         produce an in-range winner."""
         stats = m.get("file_stats", {})
 
         def in_range(rel: str) -> bool:
-            s = stats.get(rel, {}).get(predicate_col)
-            if s is None:
-                return True
-            return not (
-                (ehi is not None and s[0] > ehi)
-                or (elo is not None and s[1] < elo)
-            )
+            fs = stats.get(rel, {})
+            for col, elo, ehi in preds:
+                s = fs.get(col)
+                if s is None:
+                    continue
+                if (ehi is not None and s[0] > ehi) or (
+                    elo is not None and s[1] < elo
+                ):
+                    return False
+            return True
 
         full: list[str] = []
         slim: list[str] = []
@@ -593,30 +603,56 @@ class SnapshotTable:
         merge-on-read, each epoch's delta files span only that epoch's
         event times, so a narrow time window reads the payload bytes of a
         few epochs and only the version columns of the rest."""
+        return self.scan_ranges({predicate_col: (lo, hi)}, version=version)
+
+    def scan_ranges(
+        self,
+        predicates: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Multi-column rectangle scan: rows satisfying EVERY ``col: (lo,
+        hi)`` range (open ends ``None``); always equals
+        ``read(version).filter(AND of ranges)`` exactly — same two pruning
+        layers as :meth:`scan`, but a file is skipped when ANY dimension's
+        stats miss its range. This is where :meth:`optimize`'s
+        ``zorder_by`` layout pays off: after a Z-order rewrite each file
+        covers a small hyper-rectangle of the listed dimensions, so a
+        rectangle query prunes on all of them at once instead of only the
+        single sort dimension."""
+        if not predicates:
+            raise ValueError("scan_ranges needs at least one column range")
         if version is not None and version < self.min_retained_version():
             raise VersionVacuumedError(
                 f"version {version} was vacuumed; cannot scan"
             )
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        ptype = next(
-            (f.dataType for f in schema.fields if f.name == predicate_col), None
-        )
-        if ptype is None:
-            raise ValueError(f"unknown scan column {predicate_col!r}")
-        elo = self._enc_bound(lo, ptype) if lo is not None else None
-        ehi = self._enc_bound(hi, ptype) if hi is not None else None
-        full_rels, slim_rels = self._split_scan_files(m, predicate_col, elo, ehi)
+        preds: list[tuple[str, Any, Any]] = []
+        for col, (lo, hi) in predicates.items():
+            ptype = next(
+                (f.dataType for f in schema.fields if f.name == col), None
+            )
+            if ptype is None:
+                raise ValueError(f"unknown scan column {col!r}")
+            preds.append(
+                (
+                    col,
+                    self._enc_bound(lo, ptype) if lo is not None else None,
+                    self._enc_bound(hi, ptype) if hi is not None else None,
+                )
+            )
+        full_rels, slim_rels = self._split_scan_files(m, preds)
         names = set(schema.fieldNames())
         key_cols = m["key_cols"]
         versioned = {"op_seq", "offset"} <= names
 
         def rng(df: DataFrame) -> DataFrame:
-            c = F.col(predicate_col)
-            if lo is not None:
-                df = df.filter(c >= F.lit(lo))
-            if hi is not None:
-                df = df.filter(c <= F.lit(hi))
+            for col, (lo, hi) in predicates.items():
+                c = F.col(col)
+                if lo is not None:
+                    df = df.filter(c >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(c <= F.lit(hi))
             return df
 
         if not full_rels:
@@ -664,21 +700,40 @@ class SnapshotTable:
     ) -> dict:
         """Pruning-effectiveness probe: how many data files a
         :meth:`scan` would read fully, version-columns-only, or skip."""
+        return self.scan_ranges_file_stats(
+            {predicate_col: (lo, hi)}, version=version
+        )
+
+    def scan_ranges_file_stats(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> dict:
+        """Pruning-effectiveness probe for :meth:`scan_ranges`."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        ptype = next(
-            (f.dataType for f in schema.fields if f.name == predicate_col), None
-        )
-        if ptype is None:
-            raise ValueError(f"unknown scan column {predicate_col!r}")
-        elo = self._enc_bound(lo, ptype) if lo is not None else None
-        ehi = self._enc_bound(hi, ptype) if hi is not None else None
-        full, slim = self._split_scan_files(m, predicate_col, elo, ehi)
+        preds: list[tuple[str, Any, Any]] = []
+        for col, (lo, hi) in predicates.items():
+            ptype = next(
+                (f.dataType for f in schema.fields if f.name == col), None
+            )
+            if ptype is None:
+                raise ValueError(f"unknown scan column {col!r}")
+            preds.append(
+                (
+                    col,
+                    self._enc_bound(lo, ptype) if lo is not None else None,
+                    self._enc_bound(hi, ptype) if hi is not None else None,
+                )
+            )
+        full, slim = self._split_scan_files(m, preds)
         total = sum(
             len(rels)
             for which in ("files", "delta_files")
             for rels in m.get(which, {}).values()
         )
+        # un-versioned tables have no supersession: a stats miss skips the
+        # file outright instead of demoting it to a version-columns read
+        if not {"op_seq", "offset"} <= set(schema.fieldNames()):
+            full, slim = full, []
         return {
             "full": len(full),
             "version_only": len(slim),
@@ -1415,26 +1470,37 @@ class SnapshotTable:
 
     def optimize(
         self,
-        sort_by: list[str],
+        sort_by: list[str] | None = None,
         buckets: list[int] | None = None,
         max_records_per_file: int | None = None,
+        *,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int | None = None,
     ) -> int | None:
         """Layout maintenance: rewrite buckets CLUSTERED by ``sort_by``
-        (typically the event time), optionally split into several files per
-        bucket (``max_records_per_file``). Content is bit-identical — only
-        physical order and file granularity change — but the manifest's
-        per-file [min,max] stats become tight and disjoint along
-        ``sort_by``, so :meth:`scan` range reads skip (or read
-        version-columns-only) most files inside every bucket, and parquet
-        row-group pruning tightens inside each file. The Z-order/OPTIMIZE
-        analog of lake formats, as one LWW reduce + sorted rewrite per
-        bucket; deltas are folded in (implies :meth:`compact`). Run it as a
-        background job on cold data; the hot merge path is untouched.
-        Returns the committed version, or None for an empty table."""
+        (typically the event time) OR Z-ORDERED by ``zorder_by`` (2..6
+        columns interleaved on a Morton curve — see
+        :mod:`nifi_dicom_spark.lake.zorder`), optionally split into several
+        files per bucket (``max_records_per_file``). Content is
+        bit-identical — only physical order and file granularity change —
+        but the manifest's per-file [min,max] stats become tight along the
+        clustering columns (disjoint for ``sort_by``; small
+        hyper-rectangles for ``zorder_by``), so :meth:`scan` /
+        :meth:`scan_ranges` reads skip (or read version-columns-only) most
+        files inside every bucket, and parquet row-group pruning tightens
+        inside each file. The OPTIMIZE [ZORDER BY] analog of lake formats,
+        as one LWW reduce + sorted rewrite per bucket; deltas are folded in
+        (implies :meth:`compact`); ``zorder_by`` adds one min/max aggregate
+        pass to normalize the dimensions. Run it as a background job on
+        cold data; the hot merge path is untouched. Returns the committed
+        version, or None for an empty table."""
+        if (sort_by is None) == (zorder_by is None):
+            raise ValueError("optimize needs exactly one of sort_by / zorder_by")
+        cluster_cols = list(sort_by or zorder_by)
         schema = self.schema()
-        missing = [c for c in sort_by if c not in schema.fieldNames()]
+        missing = [c for c in cluster_cols if c not in schema.fieldNames()]
         if missing:
-            raise ValueError(f"optimize sort_by columns not in schema: {missing}")
+            raise ValueError(f"optimize clustering columns not in schema: {missing}")
         m = self.manifest()
         nonempty = {int(b) for b in m.get("files", {})} | {
             int(b) for b in m.get("delta_files", {})
@@ -1444,6 +1510,11 @@ class SnapshotTable:
             return None
         fn = m.get("bucket_fn", "xxhash64")
         merged = self.read(buckets=todo)  # deduped base∪deltas, tombstones kept
+        if zorder_by is not None:
+            merged = zvalue_column(merged, list(zorder_by), zorder_bits)
+            sort_cols = [ZORDER_COL]
+        else:
+            sort_cols = list(sort_by)
         if fn != "murmur3":
             merged = merged.withColumn(
                 "_bucket", _bucket_expr(m["key_cols"][0], m["n_buckets"], fn)
@@ -1455,7 +1526,7 @@ class SnapshotTable:
             m["n_buckets"],
             fn,
             key_cols=m["key_cols"],
-            sort_cols=list(sort_by),
+            sort_cols=sort_cols,
             max_records_per_file=max_records_per_file,
         )
         stats = self._commit_merge(

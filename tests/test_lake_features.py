@@ -364,4 +364,148 @@ def test_optimize_validates_columns_and_empty(spark, tmp_path):
     table = create_transcripts_table(spark, str(tmp_path / "e"), n_buckets=2)
     with pytest.raises(ValueError, match="not in schema"):
         table.optimize(sort_by=["nope"])
+    with pytest.raises(ValueError, match="exactly one"):
+        table.optimize(sort_by=["ts"], zorder_by=["ts", "turn_idx"])
+    with pytest.raises(ValueError, match="exactly one"):
+        table.optimize()
     assert table.optimize(sort_by=["ts"]) is None  # empty table: no-op
+
+
+def test_zvalue_is_morton_interleave(spark):
+    """Bit-exact check of the z-value against a Python Morton reference on
+    a 4x4 grid (bits=2 → bins == raw values)."""
+    from nifi_dicom_spark.lake.zorder import zvalue_column
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["_zorder"]
+        for r in zvalue_column(df, ["x", "y"], bits=2).collect()
+    }
+
+    def morton(x, y, bits=2):
+        z = 0
+        for b in range(bits - 1, -1, -1):
+            z = (z << 1) | ((x >> b) & 1)
+            z = (z << 1) | ((y >> b) & 1)
+        return z
+
+    assert got == {
+        (x, y): morton(x, y) for x in range(4) for y in range(4)
+    }
+
+
+def test_zvalue_rejects_bad_inputs(spark):
+    from nifi_dicom_spark.lake.zorder import zvalue_column
+
+    df = spark.createDataFrame([(1, "a")], "x long, s string")
+    with pytest.raises(ValueError, match="2..6"):
+        zvalue_column(df, ["x"])
+    with pytest.raises(ValueError, match="unsupported type"):
+        zvalue_column(df, ["x", "s"])
+    with pytest.raises(ValueError, match="distinct"):
+        zvalue_column(df, ["x", "x"])
+
+
+def _grid_table(spark, path, order):
+    """1024-row 32x32 (x, y) grid in an unversioned table, clustered by
+    ``order`` ('x' = single-column sort, 'xy' = z-order)."""
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("x", T.LongType(), True),
+            T.StructField("y", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, path, schema, key_cols=["k"], n_buckets=4,
+        props={"stats_cols": ["x", "y"]},
+    )
+    rows = [(f"k{i:04d}", i % 32, i // 32) for i in range(1024)]
+    t.overwrite(spark.createDataFrame(rows, schema=schema))
+    if order == "x":
+        t.optimize(sort_by=["x"], max_records_per_file=32)
+    else:
+        t.optimize(zorder_by=["x", "y"], max_records_per_file=32)
+    return t
+
+
+def test_optimize_zorder_rectangle_pruning(spark, tmp_path):
+    """The z-order payoff: after OPTIMIZE ZORDER BY (x, y) a rectangle
+    query prunes files on BOTH dimensions, where the single-column sorted
+    layout prunes only its sort dimension."""
+    tz = _grid_table(spark, str(tmp_path / "z"), "xy")
+    tx = _grid_table(spark, str(tmp_path / "x"), "x")
+
+    # identical logical content either way
+    assert _sorted_rows(tz.read()) == _sorted_rows(tx.read())
+
+    rect = {"x": (0, 7), "y": (0, 7)}
+    exp = tz.read().filter("x between 0 and 7 and y between 0 and 7")
+    got = tz.scan_ranges(rect)
+    assert _sorted_rows(got) == _sorted_rows(exp)
+    assert got.count() == 64
+
+    # both layouts split each bucket into several stat-carrying files
+    stz, stx = tz.scan_ranges_file_stats(rect), tx.scan_ranges_file_stats(rect)
+    assert stz["total"] > 4 and stx["total"] > 4
+
+    # a y-only range: the x-sorted layout barely prunes (files span most of
+    # y, minus tie-order luck), the z-ordered one skips a large fraction
+    # (measured: 16/34 skipped vs 2/34 on this grid)
+    y_only = {"y": (0, 3)}
+    sk_z = tz.scan_ranges_file_stats(y_only)["skipped"]
+    sk_x = tx.scan_ranges_file_stats(y_only)["skipped"]
+    assert sk_z > sk_x
+    assert sk_z >= stz["total"] // 4
+    assert _sorted_rows(tz.scan_ranges(y_only)) == _sorted_rows(
+        tz.read().filter("y between 0 and 3")
+    )
+
+    # on the rectangle, z-order skips most files outright
+    assert stz["skipped"] > stz["total"] // 2
+    assert stz["full"] < stz["total"]
+
+    # single-column scan still exact on the z table
+    assert _sorted_rows(tz.scan("x", lo=30)) == _sorted_rows(
+        tz.read().filter("x >= 30")
+    )
+
+
+def test_optimize_zorder_versioned_lww(spark, tmp_path):
+    """Z-order over the versioned transcripts table: the multi-dimension
+    pruning must keep the LWW slim-file machinery exact (superseded rows
+    outside the rectangle still shadow in-range older versions)."""
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for e in range(3):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+    before = _sorted_rows(table.read())
+
+    v = table.optimize(zorder_by=["ts", "turn_idx"], max_records_per_file=16)
+    assert v == table.current_version()
+    assert _sorted_rows(table.read()) == before
+
+    rect = {
+        "ts": (pd.Timestamp("2024-01-02"), pd.Timestamp("2024-01-02 23:59:59")),
+        "turn_idx": (0, 0),
+    }
+    got = table.scan_ranges(rect)
+    exp = table.read().filter(
+        "ts >= '2024-01-02' AND ts <= '2024-01-02 23:59:59' AND turn_idx = 0"
+    )
+    assert _sorted_rows(got) == _sorted_rows(exp)
+    assert got.count() > 0
+    st = table.scan_ranges_file_stats(rect)
+    assert st["full"] < st["total"]
+
+    # unknown column in a rectangle is rejected
+    with pytest.raises(ValueError, match="unknown scan column"):
+        table.scan_ranges({"nope": (0, 1)})
+    with pytest.raises(ValueError, match="at least one"):
+        table.scan_ranges({})
