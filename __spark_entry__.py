@@ -1419,6 +1419,70 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-form change feed (Delta-CDF shape, ``operators/diff.py
+    change_feed``): two CDC epochs land as two commits, then the feed
+    re-derives per-image rows — insert / delete / update_preimage /
+    update_postimage — from the committed snapshots. The oracle rebuilds
+    both LWW states in SQL and diffs them with a full-outer join."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from nifi_dicom_spark.operators.diff import change_feed
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 3).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="cdf-") + "/t",
+        schema,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=8,
+    )
+    table.merge(
+        ev.filter(F.col("op_seq") % 2 == 0),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(0, 0)],
+    )
+    v1 = table.current_version()
+    table.merge(
+        ev.filter(F.col("op_seq") % 2 == 1),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(1, 0)],
+    )
+    return change_feed(table, from_version=v1).select(
+        "conv_id",
+        "turn_idx",
+        "_change_type",
+        F.round("value", 4).alias("value"),
+        "ts",
+    )
+
+
 def q_stats_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: metrics serialized as JSON rows (``LogCacheStatistics.java:50-60``
     → ``F.to_json(F.struct(...))``)."""
@@ -1664,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_scan": q_stats_scan,
         "optimize_scan": q_optimize_scan,
         "zorder_scan": q_zorder_scan,
+        "change_feed": q_change_feed,
         "stats_json": q_stats_json,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
@@ -2610,6 +2675,54 @@ def oracle_sql() -> dict[str, str]:
               AND ts BETWEEN TIMESTAMP '2024-01-22 00:00:00'
                          AND TIMESTAMP '2024-02-01 00:00:00'
               AND turn_idx BETWEEN 0 AND 1
+        """,
+        "change_feed": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 3 AS INT) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq, value, ts
+              FROM events
+            ), s1 AS (
+              SELECT conv_id, turn_idx, value, ts FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY op_seq DESC) AS rn
+                FROM ev WHERE op_seq % 2 = 0
+              ) WHERE rn = 1 AND op <> 'delete'
+            ), s2 AS (
+              SELECT conv_id, turn_idx, value, ts FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY op_seq DESC) AS rn
+                FROM ev
+              ) WHERE rn = 1 AND op <> 'delete'
+            ), j AS (
+              SELECT coalesce(s1.conv_id, s2.conv_id) AS conv_id,
+                     coalesce(s1.turn_idx, s2.turn_idx) AS turn_idx,
+                     s1.value AS v1, s1.ts AS t1,
+                     s2.value AS v2, s2.ts AS t2,
+                     s1.conv_id IS NOT NULL AS in_old,
+                     s2.conv_id IS NOT NULL AS in_new
+              FROM s1 FULL OUTER JOIN s2
+                ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+            ), chg AS (
+              SELECT *,
+                     (v1 IS DISTINCT FROM v2 OR t1 IS DISTINCT FROM t2)
+                       AS differs
+              FROM j
+            )
+            SELECT conv_id, turn_idx, 'insert' AS _change_type,
+                   round(v2, 4) AS value, t2 AS ts
+            FROM chg WHERE NOT in_old AND in_new
+            UNION ALL
+            SELECT conv_id, turn_idx, 'delete', round(v1, 4), t1
+            FROM chg WHERE in_old AND NOT in_new
+            UNION ALL
+            SELECT conv_id, turn_idx, 'update_preimage', round(v1, 4), t1
+            FROM chg WHERE in_old AND in_new AND differs
+            UNION ALL
+            SELECT conv_id, turn_idx, 'update_postimage', round(v2, 4), t2
+            FROM chg WHERE in_old AND in_new AND differs
         """,
         "stats_json": """
             SELECT event_type,

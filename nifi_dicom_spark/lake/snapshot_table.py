@@ -224,6 +224,9 @@ class SnapshotTable:
         return json.loads(self.backend.load_manifest(v).decode())
 
     def _try_commit(self, manifest: dict) -> None:
+        # wall-clock commit time (Delta/Iceberg commit-timestamp analog) —
+        # metadata only, never part of data equality
+        manifest.setdefault("committed_at", time.time())
         payload = json.dumps(manifest).encode()
         if not self.backend.try_commit(int(manifest["version"]), payload):
             raise CommitConflict(
@@ -1552,6 +1555,7 @@ class SnapshotTable:
                 {
                     "version": v,
                     "vacuumed": v < min_retained,
+                    "committed_at": m.get("committed_at"),
                     "parent": m.get("parent"),
                     "operation": m.get("summary", {}).get("operation"),
                     "policy": m.get("summary", {}).get("policy"),

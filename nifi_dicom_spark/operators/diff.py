@@ -145,3 +145,84 @@ def table_changes(
     return snapshot_diff(
         state(from_version), state(to_version), key_cols, compare_cols
     )
+
+
+def change_feed(
+    table,
+    from_version: int,
+    to_version: int | None = None,
+    compare_cols: list[str] | None = None,
+    per_commit: bool = True,
+) -> DataFrame:
+    """Row-form change feed (the Delta CDF / Iceberg changelog shape): one
+    row per change IMAGE with ``_change_type`` ∈ {insert, delete,
+    update_preimage, update_postimage} and ``_commit_version`` /
+    ``_commit_timestamp`` attribution — where :func:`table_changes` emits
+    one WIDE row per changed key (old_*/new_* columns), this emits the
+    per-image rows a downstream CDC consumer replays directly.
+
+    ``per_commit=True`` (default) diffs every adjacent version pair in
+    (from_version, to_version], attributing each change to the commit that
+    made it — intermediate states a collapsed diff would hide (a key
+    updated in v5 and deleted in v7 yields both events, not just the
+    delete). Content-neutral commits (optimize/compact/rebucket) diff
+    empty and contribute nothing. ``per_commit=False`` collapses to one
+    endpoint diff attributed to ``to_version``.
+
+    Scale shape: each pair diff is bucket-pruned (:func:`changed_buckets`)
+    — cost ∝ the touched portion per commit, not table size; the loop is
+    O(#commits in range) driver-side plan construction, the standard cost
+    of reading a change feed over a version range."""
+    to_version = (
+        table.current_version() if to_version is None else to_version
+    )
+    if from_version >= to_version:
+        raise ValueError(
+            f"change_feed needs from_version < to_version, got "
+            f"{from_version} >= {to_version}"
+        )
+    key_cols = table.key_cols()
+    pairs = (
+        [(v, v + 1) for v in range(from_version, to_version)]
+        if per_commit
+        else [(from_version, to_version)]
+    )
+    # committed_at of each attributed version (None for pre-feature commits)
+    ts_by_version = {
+        h["version"]: h.get("committed_at") for h in table.history()
+    }
+
+    out = None
+    for lo, hi in pairs:
+        wide = table_changes(table, lo, hi, compare_cols)
+        cols = [
+            c[len("new_"):]
+            for c in wide.columns
+            if c.startswith("new_")
+        ]
+
+        def image(prefix: str, ct: str):
+            return F.struct(
+                *[F.col(f"{prefix}{c}").alias(c) for c in cols],
+                F.lit(ct).alias("_change_type"),
+            )
+
+        rows = (
+            F.when(F.col("op") == "insert", F.array(image("new_", "insert")))
+            .when(F.col("op") == "delete", F.array(image("old_", "delete")))
+            .otherwise(
+                F.array(
+                    image("old_", "update_preimage"),
+                    image("new_", "update_postimage"),
+                )
+            )
+        )
+        part = wide.select(*key_cols, F.inline(rows)).select(
+            "*",
+            F.lit(hi).alias("_commit_version"),
+            F.lit(ts_by_version.get(hi)).cast("double").alias(
+                "_commit_timestamp"
+            ),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

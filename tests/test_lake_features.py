@@ -509,3 +509,111 @@ def test_optimize_zorder_versioned_lww(spark, tmp_path):
         table.scan_ranges({"nope": (0, 1)})
     with pytest.raises(ValueError, match="at least one"):
         table.scan_ranges({})
+
+
+def test_change_feed_row_form_cdf(spark, tmp_path):
+    """Row-form change feed (Delta-CDF shape): per-image rows with
+    _change_type and per-commit attribution, consistent with the wide
+    table_changes diff it is derived from."""
+    from nifi_dicom_spark.operators.diff import change_feed, table_changes
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    ev0 = spark.createDataFrame(_epoch_events(0), schema=CHANGE_EVENTS_SCHEMA)
+    apply_changes(table, ev0, epoch=0)
+    v0 = table.current_version()
+    ev1 = spark.createDataFrame(_epoch_events(1), schema=CHANGE_EVENTS_SCHEMA)
+    apply_changes(table, ev1, epoch=1)
+    v1 = table.current_version()
+    # epoch 2 deletes one key epoch 1 inserted and re-updates one epoch-0
+    # key (that epoch 1 also updated — the per-commit attribution probe)
+    e2 = pd.DataFrame(
+        [
+            {
+                "offset": 2_000_000 + i,
+                "partition_id": 0,
+                "op": op,
+                "op_seq": 300 + i,
+                "conv_id": conv,
+                "turn_idx": turn,
+                "role": "user",
+                "text": f"e2-{i}",
+                "tool": None,
+                "ts": pd.Timestamp("2024-01-03") + pd.Timedelta(seconds=i),
+                "schema_ver": 2,
+            }
+            for i, (conv, turn, op) in enumerate(
+                [("conv-e1-000", t, "delete") for t in range(3)]
+                + [("conv-e0-001", t, "update") for t in range(3)]
+            )
+        ]
+    )
+    apply_changes(
+        table, spark.createDataFrame(e2, schema=CHANGE_EVENTS_SCHEMA), epoch=2
+    )
+    v2 = table.current_version()
+
+    feed = change_feed(table, from_version=v0)
+    rows = feed.collect()
+    assert set(feed.columns) >= {
+        "conv_id", "turn_idx", "text", "_change_type",
+        "_commit_version", "_commit_timestamp",
+    }
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    # epoch 1: inserts of its own group; updates of half of epoch 0's
+    assert {r["conv_id"] for r in by_type["insert"]} == {
+        f"conv-e1-{c:03d}" for c in range(20)
+    }
+    # every update is a pre/post PAIR for the same key+commit
+    pre = {(r["conv_id"], r["turn_idx"], r["_commit_version"])
+           for r in by_type["update_preimage"]}
+    post = {(r["conv_id"], r["turn_idx"], r["_commit_version"])
+            for r in by_type["update_postimage"]}
+    assert pre == post and len(pre) > 0
+    # pre/post images chain across commits: v1 turns e0-* into e1-*, v2
+    # turns that SAME e1-* image into e2-* (v2's preimage == v1's postimage)
+    k = ("conv-e0-001", 0)
+
+    def img(kind, v):
+        return [
+            r["text"]
+            for r in by_type[kind]
+            if (r["conv_id"], r["turn_idx"]) == k and r["_commit_version"] == v
+        ]
+
+    assert img("update_preimage", v1)[0].startswith("e0-")
+    assert img("update_postimage", v1) == img("update_preimage", v2)
+    assert img("update_postimage", v2)[0].startswith("e2-")
+    # the deleted key surfaces as delete rows attributed to the v2 commit,
+    # carrying the pre-delete image
+    dels = by_type["delete"]
+    assert {r["conv_id"] for r in dels} == {"conv-e1-000"}
+    assert all(r["_commit_version"] == v2 and r["text"] for r in dels)
+    # attribution: epoch-1 changes carry the v1 commit version
+    assert all(r["_commit_version"] == v1 for r in by_type["insert"])
+    # commit timestamps are recorded and monotone non-decreasing
+    ts = {r["_commit_version"]: r["_commit_timestamp"] for r in rows}
+    assert all(t is not None for t in ts.values())
+    assert ts[v1] <= ts[v2]
+
+    # a key updated in v1 AND v2 appears once per commit (collapsed diff
+    # would show only endpoint-to-endpoint)
+    k_counts = {}
+    for r in by_type["update_postimage"]:
+        k_counts[(r["conv_id"], r["turn_idx"])] = k_counts.get(
+            (r["conv_id"], r["turn_idx"]), 0
+        ) + 1
+    assert k_counts[("conv-e0-001", 0)] == 2
+
+    # per_commit=False collapses to the endpoint diff: same keys as the
+    # wide table_changes, one image set
+    flat = change_feed(table, from_version=v0, per_commit=False)
+    wide = table_changes(table, from_version=v0)
+    assert flat.filter("_change_type = 'insert'").count() == (
+        wide.filter("op = 'insert'").count()
+    )
+    assert flat.select("_commit_version").distinct().collect()[0][0] == v2
+
+    with pytest.raises(ValueError, match="from_version < to_version"):
+        change_feed(table, from_version=v2)
