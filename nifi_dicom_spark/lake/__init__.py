@@ -8,12 +8,14 @@ from nifi_dicom_spark.lake.commit import (
     TableNotFoundError,
 )
 from nifi_dicom_spark.lake.snapshot_table import (
+    CheckConstraintViolation,
     LedgerRegression,
     SnapshotTable,
     VersionVacuumedError,
 )
 
 __all__ = [
+    "CheckConstraintViolation",
     "CommitBackend",
     "CommitConflict",
     "ConditionalPutCommitBackend",

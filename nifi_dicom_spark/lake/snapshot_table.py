@@ -86,6 +86,11 @@ class ConcurrentWriteConflict(CommitConflict):
     validation failed, so the caller must re-read and re-merge."""
 
 
+class CheckConstraintViolation(RuntimeError):
+    """A write contained rows failing a table CHECK constraint
+    (``props["constraints"]``); nothing was committed."""
+
+
 class LedgerRegression(RuntimeError):
     """A commit key arrived below its partition's high-watermark while the
     ledger is in strict mode (``on_replayed='error'``)."""
@@ -435,6 +440,109 @@ class SnapshotTable:
         (``props["stats_cols"]``, opt-in per table). Empty = no stats
         overhead anywhere."""
         return list((self.manifest().get("props") or {}).get("stats_cols", []))
+
+    # ------------------------------------------------------ CHECK constraints
+
+    def constraints(self) -> dict[str, str]:
+        """Table CHECK constraints: name → SQL boolean expression
+        (``props["constraints"]``, managed by :meth:`add_constraint` /
+        :meth:`drop_constraint`). Standard SQL CHECK semantics: a row
+        violates only when the expression is strictly FALSE — NULL passes."""
+        return dict(
+            (self.manifest().get("props") or {}).get("constraints", {})
+        )
+
+    def _enforce_constraints(
+        self, df: DataFrame, props: dict | None, op_col: str | None = None
+    ) -> None:
+        """Raise :class:`CheckConstraintViolation` when ``df`` contains a
+        row failing any table CHECK constraint. Zero-cost when the table
+        has none; otherwise ONE action (a limit-5 probe fused with the
+        constraint predicates) over the rows being written. Delete
+        tombstones are exempt — they carry key + version columns only, so
+        payload constraints don't apply to them."""
+        cons = (props or {}).get("constraints") or {}
+        if not cons:
+            return
+        rows = df
+        if op_col and op_col in df.columns:
+            rows = rows.filter(F.col(op_col) != F.lit("delete"))
+        names = sorted(cons)
+        flags = [
+            (~F.coalesce(F.expr(cons[n]), F.lit(True))).alias(f"_viol_{i}")
+            for i, n in enumerate(names)
+        ]
+        any_viol = flags[0]
+        for f in flags[1:]:
+            any_viol = any_viol | f
+        keys = [k for k in self.key_cols() if k in rows.columns]
+        bad = (
+            rows.select(*keys, *flags)
+            .filter(F.coalesce(any_viol, F.lit(False)))
+            .limit(5)
+            .collect()
+        )
+        if bad:
+            broken = sorted(
+                {
+                    names[i]
+                    for r in bad
+                    for i in range(len(names))
+                    if r[f"_viol_{i}"]
+                }
+            )
+            examples = [tuple(r[k] for k in keys) for r in bad]
+            raise CheckConstraintViolation(
+                f"constraint(s) {broken} violated; example keys "
+                f"({', '.join(keys)}): {examples} (first 5 shown); "
+                "nothing was committed"
+            )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Add a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``
+        analog): validates the expression parses and that ALL existing rows
+        satisfy it (one scan — the same contract Delta enforces), then
+        commits the constraint into the table props; every subsequent
+        merge/merge_into/overwrite enforces it before committing."""
+        m = self.manifest()
+        cons = dict((m.get("props") or {}).get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        F.expr(expr)  # parse check
+        probe_props = {"constraints": {name: expr}}
+        self._enforce_constraints(self.read(), probe_props, op_col="op")
+        cons[name] = expr
+        props = dict(m.get("props") or {})
+        props["constraints"] = cons
+        new = {
+            **m,
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "props": props,
+            "summary": {"operation": "add_constraint", "constraint": name},
+        }
+        new.pop("committed_at", None)
+        self._try_commit(new)
+        return new["version"]
+
+    def drop_constraint(self, name: str) -> int:
+        m = self.manifest()
+        cons = dict((m.get("props") or {}).get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no such constraint {name!r}")
+        del cons[name]
+        props = dict(m.get("props") or {})
+        props["constraints"] = cons
+        new = {
+            **m,
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "props": props,
+            "summary": {"operation": "drop_constraint", "constraint": name},
+        }
+        new.pop("committed_at", None)
+        self._try_commit(new)
+        return new["version"]
 
     @staticmethod
     def _iso_fixed(t) -> str:
@@ -823,6 +931,7 @@ class SnapshotTable:
         m = self.manifest()
         schema = evolve_schema(self.schema(), df.schema)
         df = conform_to_schema(df, schema)
+        self._enforce_constraints(df, m.get("props"), op_col="op")
         n_buckets = m["n_buckets"]
         fn = m.get("bucket_fn", "xxhash64")
         tag = uuid.uuid4().hex[:12]
@@ -986,6 +1095,7 @@ class SnapshotTable:
             )
         schema = evolve_schema(self.schema(), src_payload_schema)
 
+        self._enforce_constraints(source, m.get("props"), op_col=op_col)
         bucket = _bucket_expr(key_cols[0], n_buckets, fn)
         src = source.withColumn("_bucket", bucket)
 
@@ -1272,6 +1382,13 @@ class SnapshotTable:
                 val = val.when(F.col("_action") == "U", upd[c].cast(f.dataType))
             out_cols.append(val.otherwise(tcol).alias(c))
         merged = kept.select(*out_cols)
+        # constraints check the rows this merge actually writes anew
+        # (inserted/updated); untouched target rows were validated when
+        # they were written
+        self._enforce_constraints(
+            kept.filter(F.col("_action").isin("I", "U")).select(*out_cols),
+            m.get("props"),
+        )
         if fn != "murmur3":
             merged = merged.withColumn("_bucket", bucket).select(
                 *schema.fieldNames(), "_bucket"

@@ -617,3 +617,98 @@ def test_change_feed_row_form_cdf(spark, tmp_path):
 
     with pytest.raises(ValueError, match="from_version < to_version"):
         change_feed(table, from_version=v2)
+
+
+def test_check_constraints_enforced_on_writes(spark, tmp_path):
+    """Table CHECK constraints (ADD CONSTRAINT analog): enforced on every
+    write path before commit, SQL semantics (NULL passes, FALSE fails),
+    tombstones exempt, and add_constraint validates existing data."""
+    from nifi_dicom_spark.lake import CheckConstraintViolation
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    ev0 = spark.createDataFrame(_epoch_events(0), schema=CHANGE_EVENTS_SCHEMA)
+    apply_changes(table, ev0, epoch=0)
+
+    v = table.add_constraint("text_prefixed", "text LIKE 'e%'")
+    assert table.constraints() == {"text_prefixed": "text LIKE 'e%'"}
+    assert table.current_version() == v
+    assert table.history()[-1]["operation"] == "add_constraint"
+
+    # adding a constraint existing rows violate is rejected
+    with pytest.raises(CheckConstraintViolation, match="too_short"):
+        table.add_constraint("too_short", "length(text) > 100")
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_constraint("text_prefixed", "true")
+
+    # a merge with violating rows is rejected atomically (no commit)
+    bad = _epoch_events(1)
+    bad.loc[bad.index[:3], "text"] = "BAD"
+    v_before = table.current_version()
+    with pytest.raises(CheckConstraintViolation, match="text_prefixed"):
+        apply_changes(
+            table,
+            spark.createDataFrame(bad, schema=CHANGE_EVENTS_SCHEMA),
+            epoch=1,
+        )
+    assert table.current_version() == v_before
+    # the clean epoch then applies
+    ok = _epoch_events(1)
+    apply_changes(
+        table, spark.createDataFrame(ok, schema=CHANGE_EVENTS_SCHEMA), epoch=1
+    )
+
+    # tombstones are exempt: delete events carry no payload to validate
+    tomb = _epoch_events(2).head(3).copy()
+    tomb["op"] = "delete"
+    tomb["text"] = None
+    apply_changes(
+        table, spark.createDataFrame(tomb, schema=CHANGE_EVENTS_SCHEMA), epoch=2
+    )
+
+    # NULL passes (SQL CHECK three-valued logic): a null text row commits
+    nullrow = _epoch_events(3).head(1).copy()
+    nullrow["text"] = None
+    apply_changes(
+        table,
+        spark.createDataFrame(nullrow, schema=CHANGE_EVENTS_SCHEMA),
+        epoch=3,
+    )
+
+    # merge_into enforces on the rows it writes
+    from pyspark.sql import functions as F
+
+    src = table.read().filter("op != 'delete'").limit(2).select(
+        "conv_id", "turn_idx", F.lit("VIOLATES").alias("text")
+    )
+    with pytest.raises(CheckConstraintViolation, match="text_prefixed"):
+        table.merge_into(src, when_matched_update={"text": "s.text"})
+
+    # drop, then the same write goes through
+    table.drop_constraint("text_prefixed")
+    assert table.constraints() == {}
+    stats = table.merge_into(src, when_matched_update={"text": "s.text"})
+    assert stats.applied
+    with pytest.raises(ValueError, match="no such constraint"):
+        table.drop_constraint("text_prefixed")
+
+
+def test_check_constraints_on_overwrite(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake import CheckConstraintViolation
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "u"), schema, key_cols=["k"], n_buckets=2,
+        props={"constraints": {"v_pos": "v >= 0"}},
+    )
+    with pytest.raises(CheckConstraintViolation, match="v_pos"):
+        t.overwrite(spark.createDataFrame([("a", -1)], schema=schema))
+    t.overwrite(spark.createDataFrame([("a", 1), ("b", None)], schema=schema))
+    assert t.read().count() == 2
