@@ -453,14 +453,21 @@ class SnapshotTable:
         )
 
     def _enforce_constraints(
-        self, df: DataFrame, props: dict | None, op_col: str | None = None
+        self,
+        df: DataFrame,
+        props: dict | None,
+        op_col: str | None = None,
+        key_cols: list[str] | None = None,
     ) -> None:
         """Raise :class:`CheckConstraintViolation` when ``df`` contains a
         row failing any table CHECK constraint. Zero-cost when the table
         has none; otherwise ONE action (a limit-5 probe fused with the
         constraint predicates) over the rows being written. Delete
         tombstones are exempt — they carry key + version columns only, so
-        payload constraints don't apply to them."""
+        payload constraints don't apply to them. ``key_cols``: pass from
+        the caller's manifest (avoids a live manifest re-read per write on
+        an object-store backend, and keys the report to the snapshot the
+        caller validated against)."""
         cons = (props or {}).get("constraints") or {}
         if not cons:
             return
@@ -475,7 +482,11 @@ class SnapshotTable:
         any_viol = flags[0]
         for f in flags[1:]:
             any_viol = any_viol | f
-        keys = [k for k in self.key_cols() if k in rows.columns]
+        keys = [
+            k
+            for k in (key_cols if key_cols is not None else self.key_cols())
+            if k in rows.columns
+        ]
         bad = (
             rows.select(*keys, *flags)
             .filter(F.coalesce(any_viol, F.lit(False)))
@@ -510,7 +521,9 @@ class SnapshotTable:
             raise ValueError(f"constraint {name!r} already exists")
         F.expr(expr)  # parse check
         probe_props = {"constraints": {name: expr}}
-        self._enforce_constraints(self.read(), probe_props, op_col="op")
+        self._enforce_constraints(
+            self.read(), probe_props, op_col="op", key_cols=m["key_cols"]
+        )
         cons[name] = expr
         props = dict(m.get("props") or {})
         props["constraints"] = cons
@@ -738,20 +751,7 @@ class SnapshotTable:
             )
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        preds: list[tuple[str, Any, Any]] = []
-        for col, (lo, hi) in predicates.items():
-            ptype = next(
-                (f.dataType for f in schema.fields if f.name == col), None
-            )
-            if ptype is None:
-                raise ValueError(f"unknown scan column {col!r}")
-            preds.append(
-                (
-                    col,
-                    self._enc_bound(lo, ptype) if lo is not None else None,
-                    self._enc_bound(hi, ptype) if hi is not None else None,
-                )
-            )
+        preds = self._encode_predicates(schema, predicates)
         full_rels, slim_rels = self._split_scan_files(m, preds)
         names = set(schema.fieldNames())
         key_cols = m["key_cols"]
@@ -815,12 +815,11 @@ class SnapshotTable:
             {predicate_col: (lo, hi)}, version=version
         )
 
-    def scan_ranges_file_stats(
-        self, predicates: dict[str, tuple], version: int | None = None
-    ) -> dict:
-        """Pruning-effectiveness probe for :meth:`scan_ranges`."""
-        m = self.manifest(version)
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
+    def _encode_predicates(
+        self, schema: T.StructType, predicates: dict[str, tuple]
+    ) -> list[tuple[str, Any, Any]]:
+        """(col, encoded_lo, encoded_hi) triples for :meth:`_split_scan_files`,
+        validating every column against the snapshot schema."""
         preds: list[tuple[str, Any, Any]] = []
         for col, (lo, hi) in predicates.items():
             ptype = next(
@@ -835,7 +834,17 @@ class SnapshotTable:
                     self._enc_bound(hi, ptype) if hi is not None else None,
                 )
             )
-        full, slim = self._split_scan_files(m, preds)
+        return preds
+
+    def scan_ranges_file_stats(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> dict:
+        """Pruning-effectiveness probe for :meth:`scan_ranges`."""
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        full, slim = self._split_scan_files(
+            m, self._encode_predicates(schema, predicates)
+        )
         total = sum(
             len(rels)
             for which in ("files", "delta_files")
@@ -931,7 +940,9 @@ class SnapshotTable:
         m = self.manifest()
         schema = evolve_schema(self.schema(), df.schema)
         df = conform_to_schema(df, schema)
-        self._enforce_constraints(df, m.get("props"), op_col="op")
+        self._enforce_constraints(
+            df, m.get("props"), op_col="op", key_cols=m["key_cols"]
+        )
         n_buckets = m["n_buckets"]
         fn = m.get("bucket_fn", "xxhash64")
         tag = uuid.uuid4().hex[:12]
@@ -1095,7 +1106,20 @@ class SnapshotTable:
             )
         schema = evolve_schema(self.schema(), src_payload_schema)
 
-        self._enforce_constraints(source, m.get("props"), op_col=op_col)
+        # constraints check the CONFORMED view of the batch (the rows as
+        # they will be written): a mixed-vintage source missing a
+        # constrained column gets typed nulls, which pass CHECK — the same
+        # schema-evolution contract the write itself applies. Tombstones
+        # are exempted BEFORE conforming (the upsert policy drops op_col
+        # from the stored schema).
+        if (m.get("props") or {}).get("constraints"):
+            chk = source
+            if op_col and op_col in source.columns:
+                chk = chk.filter(F.col(op_col) != F.lit("delete"))
+            self._enforce_constraints(
+                conform_to_schema(chk, schema), m.get("props"),
+                key_cols=key_cols,
+            )
         bucket = _bucket_expr(key_cols[0], n_buckets, fn)
         src = source.withColumn("_bucket", bucket)
 
@@ -1270,6 +1294,16 @@ class SnapshotTable:
         the count check); an unconditional delete clause together with an
         update clause is rejected as ambiguous.
 
+        On versioned (LWW) tables MERGE operates on the LOGICAL state:
+        tombstoned keys count as NOT MATCHED (re-insert supersedes the
+        tombstone with ``op_seq = tombstone + 1``), WHEN MATCHED DELETE
+        writes a new tombstone (``op_seq = old + 1``) instead of physically
+        removing the row — a late CDC event below that seq stays dead —
+        and updates bump ``op_seq`` by 1 so the manual edit wins over
+        replays of the event it superseded. Explicit assignments to
+        ``op``/``op_seq``/``offset`` in ``when_matched_update`` override
+        the synthesis.
+
         Scale shape: bucket discovery prunes the target read to touched
         buckets; the join shuffles |source| + |touched target| rows once
         (Catalyst broadcasts a small source); only touched buckets are
@@ -1293,6 +1327,16 @@ class SnapshotTable:
             raise ValueError(
                 "unconditional WHEN MATCHED DELETE together with an update "
                 "clause is ambiguous — give delete_condition"
+            )
+        if update_condition is not None and when_matched_update is None:
+            raise ValueError(
+                "update_condition given without when_matched_update — the "
+                "condition would be silently ignored"
+            )
+        if insert_condition is not None and not when_not_matched_insert:
+            raise ValueError(
+                "insert_condition given with when_not_matched_insert=False — "
+                "the condition would be silently ignored"
             )
 
         def _cond(c, default: bool) -> Column:
@@ -1325,8 +1369,32 @@ class SnapshotTable:
         if not touched:
             return MergeStats(m["version"], 0, skipped, applied=False, mode="cow")
 
-        t = self.read(buckets=touched).withColumn("_t1", F.lit(True)).alias("t")
-        s = source.withColumn("_s1", F.lit(True)).alias("s")
+        # versioned (LWW) tables: MERGE operates on the LOGICAL state —
+        # tombstoned keys are NOT MATCHED (a re-insert is allowed and
+        # supersedes the tombstone), a WHEN MATCHED DELETE writes a new
+        # tombstone (physically removing the row would let any late CDC
+        # event resurrect it), and updated/deleted rows bump op_seq by 1 so
+        # the manual edit wins over replays of the event it superseded.
+        names = set(schema.fieldNames())
+        versioned = {"op", "op_seq", "offset"} <= names
+        t_all = self.read(buckets=touched)
+        t_live = (
+            t_all.filter(F.col("op") != F.lit("delete")) if versioned else t_all
+        )
+        tombs = (
+            t_all.filter(F.col("op") == F.lit("delete")) if versioned else None
+        )
+        t = t_live.withColumn("_t1", F.lit(True)).alias("t")
+        s = source.withColumn("_s1", F.lit(True))
+        if versioned:
+            # latest tombstone seq per key: a re-insert must supersede it
+            ts_seq = t_all.filter(F.col("op") == F.lit("delete")).select(
+                *key_cols, F.col("op_seq").alias("_tomb_seq")
+            )
+            s = s.join(ts_seq, on=key_cols, how="left")
+        else:
+            s = s.withColumn("_tomb_seq", F.lit(None).cast("long"))
+        s = s.alias("s")
         joined = t.join(
             s, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols], "full_outer"
         )
@@ -1356,8 +1424,9 @@ class SnapshotTable:
             .when(src_only, "X")
             .otherwise("K")  # target-only rows always survive
         )
+        drop = ["X"] if versioned else ["D", "X"]
         kept = joined.withColumn("_action", action).filter(
-            ~F.col("_action").isin("D", "X")
+            ~F.col("_action").isin(*drop)
         )
 
         upd = {
@@ -1368,6 +1437,7 @@ class SnapshotTable:
         if unknown:
             raise ValueError(f"when_matched_update targets unknown columns {unknown}")
         src_names = set(source.columns)
+        act = F.col("_action")
         out_cols = []
         for f in schema.fields:
             c = f.name
@@ -1377,27 +1447,63 @@ class SnapshotTable:
                 if c in src_names
                 else F.lit(None).cast(f.dataType)
             )
-            val = F.when(F.col("_action") == "I", ins)
-            if c in upd:
-                val = val.when(F.col("_action") == "U", upd[c].cast(f.dataType))
+            # version-column synthesis (versioned tables, unless the caller
+            # assigns them explicitly): see the block comment above
+            if versioned and c == "op" and c not in upd:
+                ins = F.coalesce(ins, F.lit("insert"))
+                val = (
+                    F.when(act == "I", ins)
+                    .when(act == "D", F.lit("delete"))
+                    .when(act == "U", F.lit("update"))
+                )
+            elif versioned and c == "op_seq" and c not in upd:
+                ins = F.coalesce(
+                    ins, F.col("s._tomb_seq") + 1, F.lit(0).cast(f.dataType)
+                )
+                val = F.when(act == "I", ins).when(
+                    act.isin("U", "D"), tcol + 1
+                )
+            elif versioned and c == "offset" and c not in upd:
+                ins = F.coalesce(ins, F.lit(0).cast(f.dataType))
+                val = F.when(act == "I", ins)
+            else:
+                val = F.when(act == "I", ins)
+                if c in upd:
+                    val = val.when(act == "U", upd[c].cast(f.dataType))
             out_cols.append(val.otherwise(tcol).alias(c))
-        merged = kept.select(*out_cols)
-        # constraints check the rows this merge actually writes anew
-        # (inserted/updated); untouched target rows were validated when
-        # they were written
-        self._enforce_constraints(
-            kept.filter(F.col("_action").isin("I", "U")).select(*out_cols),
-            m.get("props"),
-        )
-        if fn != "murmur3":
-            merged = merged.withColumn("_bucket", bucket).select(
-                *schema.fieldNames(), "_bucket"
+        has_constraints = bool((m.get("props") or {}).get("constraints"))
+        if has_constraints:
+            # the join (target read + shuffle) feeds both the constraint
+            # probe and the write — persist it so the work runs once
+            kept = kept.persist()
+        try:
+            merged = kept.select(*out_cols)
+            if tombs is not None:
+                # pre-existing tombstones survive the rewrite: a late CDC
+                # event below their seq must stay dead. A re-inserted key's
+                # new row out-sequences its tombstone, so keeping both is
+                # LWW-safe; compaction folds the loser away.
+                merged = merged.unionByName(tombs)
+            # constraints check the rows this merge actually writes anew
+            # (inserted/updated); untouched target rows were validated when
+            # they were written
+            self._enforce_constraints(
+                kept.filter(act.isin("I", "U")).select(*out_cols),
+                m.get("props"),
+                key_cols=key_cols,
             )
+            if fn != "murmur3":
+                merged = merged.withColumn("_bucket", bucket).select(
+                    *schema.fieldNames(), "_bucket"
+                )
 
-        tag = uuid.uuid4().hex[:12]
-        new_files = self._write_bucket_files(
-            merged, tag, n_buckets, fn, key_cols=key_cols
-        )
+            tag = uuid.uuid4().hex[:12]
+            new_files = self._write_bucket_files(
+                merged, tag, n_buckets, fn, key_cols=key_cols
+            )
+        finally:
+            if has_constraints:
+                kept.unpersist()
         return self._commit_merge(
             m, schema, touched, new_files, commit_keys, "merge_into", skipped
         )
@@ -1541,6 +1647,17 @@ class SnapshotTable:
                             f"commit keys {clashed} already applied by a "
                             "concurrent writer"
                         ) from None
+                # validation 4: table properties unchanged — our batch was
+                # validated against m's props (CHECK constraints, replay
+                # policy); rebasing onto different props would commit rows
+                # the new props never saw (e.g. a concurrent add_constraint
+                # validating only existing rows). Metadata conflicts abort,
+                # as in Delta/Iceberg.
+                if (cur.get("props") or {}) != (m.get("props") or {}):
+                    raise ConcurrentWriteConflict(
+                        "table properties changed concurrently (constraints/"
+                        "props); re-validate and re-merge"
+                    ) from None
                 # rebase: rebuild on the winner's manifest; schemas merge
                 # (their evolution ∪ ours — our files read through it with
                 # missing columns as nulls)

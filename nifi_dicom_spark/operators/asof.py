@@ -79,6 +79,16 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+    out_names = list(left.columns) + [f"{prefix}{c}" for c in payload_cols] + [
+        f"{prefix}matched_ts"
+    ]
+    dups = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dups:
+        raise ValueError(
+            f"asof_join output would contain duplicate column(s) {dups}; "
+            "pass a prefix (e.g. prefix='r_') to disambiguate right payload "
+            "columns from left columns"
+        )
     if right_seq is not None and right_seq not in payload_cols:
         raise ValueError(f"right_seq {right_seq!r} not a right payload column")
 

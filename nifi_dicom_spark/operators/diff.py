@@ -142,9 +142,14 @@ def table_changes(
             )
         return df
 
-    return snapshot_diff(
-        state(from_version), state(to_version), key_cols, compare_cols
-    )
+    old, new = state(from_version), state(to_version)
+    # schema evolution between the versions (ADD COLUMN): the old snapshot
+    # reads the added column as typed nulls, so rows differing only there
+    # surface as updates with old_<c> = NULL
+    for f in new.schema.fields:
+        if f.name not in old.columns:
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return snapshot_diff(old, new, key_cols, compare_cols)
 
 
 def change_feed(
@@ -187,10 +192,16 @@ def change_feed(
         if per_commit
         else [(from_version, to_version)]
     )
-    # committed_at of each attributed version (None for pre-feature commits)
-    ts_by_version = {
-        h["version"]: h.get("committed_at") for h in table.history()
-    }
+    # committed_at of each attributed version (None for pre-feature
+    # commits) — read ONLY the manifests in range, not the whole history
+    # (a feed tail on a long-lived table must not pay O(total commits)
+    # metadata reads per poll)
+    ts_by_version: dict[int, float | None] = {}
+    for v in range(from_version + 1, to_version + 1):
+        try:
+            ts_by_version[v] = table.manifest(v).get("committed_at")
+        except FileNotFoundError:
+            ts_by_version[v] = None
 
     out = None
     for lo, hi in pairs:
@@ -224,5 +235,11 @@ def change_feed(
                 "_commit_timestamp"
             ),
         )
-        out = part if out is None else out.unionByName(part)
+        # allowMissingColumns: pairs straddling an ADD COLUMN commit have
+        # different image widths — pre-evolution pairs null-fill the column
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
     return out

@@ -112,3 +112,17 @@ def test_single_exchange_plan(spark, frames):
     ).executedPlan().toString()
     # one shuffle on the key for the window; the union must not add its own
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_rejects_colliding_output_columns(spark):
+    left = spark.createDataFrame([("k", 1, 5)], "k string, ts long, value long")
+    right = spark.createDataFrame([("k", 1, 9)], "k string, ts long, value long")
+    from nifi_dicom_spark.operators.asof import asof_join
+
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate column"):
+        asof_join(left, right, on="k", left_ts="ts")
+    # a prefix disambiguates
+    out = asof_join(left, right, on="k", left_ts="ts", prefix="r_")
+    assert out.collect()[0]["r_value"] == 9

@@ -564,3 +564,48 @@ def test_apply_changes_dead_letter_requires_epoch(spark, tiny_log, tmp_path):
         apply_changes(
             table, _spark_events(spark, tiny_log), epoch=None, dead_letter=dl
         )
+
+
+def test_concurrent_props_change_conflicts(spark, tmp_path):
+    """A racing add_constraint between our validation and our commit must
+    abort the rebase: our batch was validated against the OLD props, and
+    rebasing onto the new ones would commit rows the constraint never saw
+    (constraint bypass). Metadata conflicts abort, as in Delta."""
+    import pytest as _pytest
+
+    from nifi_dicom_spark.lake.snapshot_table import (
+        ConcurrentWriteConflict,
+        SnapshotTable,
+    )
+
+    table, schema = _mini_table(spark, str(tmp_path / "t"))
+    (k_a, k_b), _ = _keys_by_bucket(spark, 8, want=2)
+    table.merge(
+        _rows(spark, schema, [k_b], "ok"), policy="versioned_upsert"
+    )
+    competitor = SnapshotTable(spark, table.path)
+    injected = {"done": False}
+
+    class RacingTable(SnapshotTable):
+        def _try_commit(self, manifest):
+            if not injected["done"] and manifest.get("summary", {}).get(
+                "operation"
+            ) == "merge":
+                injected["done"] = True
+                competitor.add_constraint("v_short", "length(v) < 10")
+            return super()._try_commit(manifest)
+
+    racer = RacingTable(spark, table.path)
+    # 'writer-a-<k>' violates the racing length(v) < 10 constraint — the
+    # rebase must NOT slide it under the new props
+    with _pytest.raises(ConcurrentWriteConflict, match="properties"):
+        racer.merge(
+            _rows(spark, schema, [k_a], "writer-a"), policy="versioned_upsert"
+        )
+    # re-merge against the current props now enforces the constraint
+    from nifi_dicom_spark.lake import CheckConstraintViolation
+
+    with _pytest.raises(CheckConstraintViolation, match="v_short"):
+        table.merge(
+            _rows(spark, schema, [k_a], "writer-a"), policy="versioned_upsert"
+        )

@@ -712,3 +712,44 @@ def test_check_constraints_on_overwrite(spark, tmp_path):
         t.overwrite(spark.createDataFrame([("a", -1)], schema=schema))
     t.overwrite(spark.createDataFrame([("a", 1), ("b", None)], schema=schema))
     assert t.read().count() == 2
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_path):
+    """A feed range straddling an ADD COLUMN commit must not crash: the old
+    snapshot reads the added column as nulls, and per-commit parts with
+    different image widths union with null-fill."""
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from nifi_dicom_spark.operators.diff import change_feed, table_changes
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "s"), schema, key_cols=["k"], n_buckets=2
+    )
+    t.overwrite(spark.createDataFrame([("a", 1), ("b", 2)], schema=schema))
+    v1 = t.current_version()
+    # evolution commit: new column w arrives with the next batch
+    t.merge(
+        spark.createDataFrame([("a", 10, "x"), ("c", 3, "y")],
+                              "k string, v long, w string"),
+        op_col=None,
+        policy="upsert",
+    )
+    v2 = t.current_version()
+
+    wide = table_changes(t, from_version=v1)
+    assert {r["k"]: (r["old_w"], r["new_w"])
+            for r in wide.filter("op='update'").collect()} == {"a": (None, "x")}
+
+    feed = change_feed(t, from_version=v1)
+    rows = {(r["k"], r["_change_type"]): r for r in feed.collect()}
+    assert rows[("a", "update_preimage")]["w"] is None
+    assert rows[("a", "update_postimage")]["w"] == "x"
+    assert rows[("c", "insert")]["w"] == "y"
+    assert all(r["_commit_version"] == v2 for r in rows.values())

@@ -116,3 +116,90 @@ def test_commit_key_replay_is_noop(spark, tmp_path):
     )
     assert not s2.applied and s2.skipped_commit_keys == 1
     assert {r.k: r.v for r in tab.read().collect()}["a"] == 100
+
+
+def test_merge_into_versioned_lww_semantics(spark, tmp_path):
+    """On versioned tables MERGE operates on the LOGICAL state: tombstoned
+    keys are NOT MATCHED (re-insert supersedes the tombstone), WHEN MATCHED
+    DELETE writes a tombstone instead of physically removing the row, and
+    updates bump op_seq so manual edits survive replays."""
+    import pandas as pd
+
+    from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+    from nifi_dicom_spark.operators.apply import (
+        apply_changes,
+        create_transcripts_table,
+        read_final_state,
+    )
+
+    table = create_transcripts_table(spark, str(tmp_path / "v"), n_buckets=4)
+    ev = pd.DataFrame(
+        [
+            {
+                "offset": i, "partition_id": 0, "op": op, "op_seq": 10 + i,
+                "conv_id": conv, "turn_idx": 0, "role": "user",
+                "text": f"t{i}", "tool": None,
+                "ts": pd.Timestamp("2024-01-01"), "schema_ver": 2,
+            }
+            for i, (conv, op) in enumerate(
+                [("A", "insert"), ("B", "insert"), ("C", "insert")]
+            )
+        ]
+    )
+    apply_changes(table, spark.createDataFrame(ev, CHANGE_EVENTS_SCHEMA), epoch=0)
+    # delete C via CDC so a tombstone exists
+    tomb = ev.tail(1).copy()
+    tomb["op"], tomb["op_seq"], tomb["offset"] = "delete", 99, 99
+    apply_changes(table, spark.createDataFrame(tomb, CHANGE_EVENTS_SCHEMA), epoch=1)
+    assert {r["conv_id"] for r in read_final_state(table).collect()} == {"A", "B"}
+    seq_a = table.read().filter("conv_id='A'").collect()[0]["op_seq"]
+
+    # MERGE: update A, delete B, re-insert C (tombstoned => NOT MATCHED)
+    src = spark.createDataFrame(
+        [("A", 0, "edited"), ("B", 0, "del"), ("C", 0, "revived")],
+        "conv_id string, turn_idx int, text string",
+    )
+    stats = table.merge_into(
+        src,
+        when_matched_update={"text": "s.text"},
+        update_condition="s.text = 'edited'",
+        delete_condition="s.text = 'del'",
+    )
+    assert stats.applied
+    state = {r["conv_id"]: r for r in read_final_state(table).collect()}
+    assert set(state) == {"A", "C"}
+    assert state["A"]["text"] == "edited"
+    assert state["C"]["text"] == "revived"
+    raw_state = {r["conv_id"]: r for r in table.read().collect()
+                 if r["op"] != "delete"}
+    assert raw_state["A"]["op_seq"] == seq_a + 1  # edit out-sequences replay
+    assert raw_state["C"]["op"] == "insert"
+    assert raw_state["C"]["op_seq"] == 100  # tombstone seq 99 + 1
+
+    # B's delete left a TOMBSTONE: a late CDC event below its seq stays dead
+    raw = {r["conv_id"]: r for r in table.read().collect()}
+    assert raw["B"]["op"] == "delete"
+    late = ev.head(2).tail(1).copy()  # B insert, op_seq 11 < tombstone seq
+    late["text"] = "resurrected?"
+    apply_changes(table, spark.createDataFrame(late, CHANGE_EVENTS_SCHEMA), epoch=2)
+    assert "B" not in {r["conv_id"] for r in read_final_state(table).collect()}
+
+    # a replay of A's ORIGINAL event (seq_a) loses to the manual edit
+    replay = ev.head(1).copy()
+    replay["text"] = "stale"
+    apply_changes(table, spark.createDataFrame(replay, CHANGE_EVENTS_SCHEMA), epoch=3)
+    assert read_final_state(table).filter("conv_id='A'").collect()[0]["text"] == "edited"
+
+
+def test_merge_into_rejects_orphan_conditions(spark, tmp_path):
+    tab = _table(spark, tmp_path)
+    src = spark.createDataFrame([("a", 9, "n")], SCHEMA)
+    with pytest.raises(ValueError, match="update_condition given"):
+        tab.merge_into(src, update_condition="s.v > t.v")
+    with pytest.raises(ValueError, match="insert_condition given with"):
+        tab.merge_into(
+            src,
+            when_matched_update={"v": "s.v"},
+            when_not_matched_insert=False,
+            insert_condition="s.v > 0",
+        )
