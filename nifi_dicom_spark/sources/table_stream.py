@@ -1,0 +1,315 @@
+"""Streaming change-feed SOURCE for :class:`SnapshotTable` — the Delta
+streaming-source analog, built on the PySpark 4 Python Data Source API.
+
+``spark.readStream.format("snapshot_cdf").option("path", table_path)``
+tails the table's commit log: stream offsets ARE table versions, each
+micro-batch covers the versions committed since the last one, and rows are
+the Delta-CDF row form (``_change_type`` ∈ insert / delete /
+update_preimage / update_postimage, ``_commit_version``) — the same shape
+:func:`nifi_dicom_spark.operators.diff.change_feed` produces in batch.
+
+Execution model (dictated by the Python Data Source API): offset
+management (``initialOffset``/``latestOffset``/``partitions``) runs on the
+driver and talks only to the commit backend — O(1) metadata reads per
+micro-batch. ``read(partition)`` runs in plain Python workers with NO
+SparkSession, so each partition computes its slice with pyarrow + pandas:
+one partition per CHANGED bucket (manifest file-set signature diff, the
+same pruning :func:`~nifi_dicom_spark.operators.diff.changed_buckets`
+does), loading only that bucket's files at the two boundary versions. The
+per-batch volume is the changed portion of the table, parallelized across
+buckets — table size never enters the cost.
+
+The pandas LWW reduce replicates ``lww_dedup`` exactly: winner = max
+(op_seq, offset) per key; tombstone winners are excluded from the visible
+state on both sides, so a delete surfaces as op ``delete``, never as an
+update to a tombstone.
+
+Exactly-once read side: offsets are durable versions in the stream
+checkpoint; manifests are immutable, so re-planning a batch after a crash
+yields byte-identical partitions. Reading past ``vacuum()`` raises rather
+than silently skipping.
+
+Registration (per session)::
+
+    from nifi_dicom_spark.sources.table_stream import SnapshotCDFDataSource
+    spark.dataSource.register(SnapshotCDFDataSource)
+    feed = (spark.readStream.format("snapshot_cdf")
+            .option("path", table_path)
+            .option("startingVersion", 1)   # default: current at start
+            .load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+__all__ = ["SnapshotCDFDataSource", "CDF_META_FIELDS"]
+
+#: appended to the table's visible schema in the stream output
+CDF_META_FIELDS = [
+    T.StructField("_change_type", T.StringType(), False),
+    T.StructField("_commit_version", T.LongType(), False),
+]
+
+_VERSION_COLS = ("op", "op_seq", "offset")
+
+
+def _backend(path: str):
+    from nifi_dicom_spark.lake.commit import PosixCommitBackend
+
+    return PosixCommitBackend(os.path.join(path, "meta"))
+
+
+def _visible_fields(manifest: dict) -> tuple[list[T.StructField], bool]:
+    """(fields of the logical/visible row, versioned?) — versioned tables
+    hide the op/op_seq/offset bookkeeping from the feed, exactly like
+    :func:`table_changes`."""
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    names = set(schema.fieldNames())
+    versioned = {"op", "op_seq", "offset"} <= names
+    fields = [
+        f
+        for f in schema.fields
+        if not (versioned and f.name in _VERSION_COLS)
+    ]
+    return fields, versioned
+
+
+@dataclass
+class _BucketDiffPartition(InputPartition):
+    data_dir: str
+    old_files: list[str] = field(default_factory=list)
+    new_files: list[str] = field(default_factory=list)
+    key_cols: list[str] = field(default_factory=list)
+    columns: list[str] = field(default_factory=list)  # visible row, in order
+    versioned: bool = True
+    commit_version: int = 0
+
+
+class _CDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.start_opt = options.get("startingversion")
+        #: cap versions per micro-batch (best-effort backlog pacing: a
+        #: batch collapses the versions it covers and attributes rows to
+        #: the endpoint version; maxVersionsPerBatch=1 gives exact
+        #: per-commit attribution while draining a backlog)
+        self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
+        self._last_end: int | None = None
+
+    # -- offsets (driver side, metadata only) ---------------------------
+
+    def initialOffset(self) -> dict:
+        v = (
+            int(self.start_opt)
+            if self.start_opt is not None
+            else _backend(self.path).current_version()
+        )
+        self._last_end = v
+        return {"version": v}
+
+    def latestOffset(self) -> dict:
+        cur = _backend(self.path).current_version()
+        if self.max_versions and self._last_end is not None:
+            cur = min(cur, self._last_end + self.max_versions)
+        self._last_end = cur
+        return {"version": cur}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        vs, ve = int(start["version"]), int(end["version"])
+        if vs >= ve:
+            return []
+        be = _backend(self.path)
+        try:
+            m_s = json.loads(be.load_manifest(vs).decode())
+            m_e = json.loads(be.load_manifest(ve).decode())
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"stream offset version missing (vacuumed?): {e}"
+            ) from None
+        fields, versioned = _visible_fields(m_e)
+        data_dir = os.path.join(self.path, "data")
+        key_cols = list(m_e["key_cols"])
+        columns = [f.name for f in fields]
+
+        def rels(m: dict, b: str) -> list[str]:
+            return list(m.get("files", {}).get(b, [])) + list(
+                m.get("delta_files", {}).get(b, [])
+            )
+
+        layout_changed = m_s.get("n_buckets") != m_e.get("n_buckets") or (
+            m_s.get("bucket_fn") != m_e.get("bucket_fn")
+        )
+        buckets = {
+            b
+            for m in (m_s, m_e)
+            for which in ("files", "delta_files")
+            for b in m.get(which, {})
+        }
+        parts = []
+        for b in sorted(buckets, key=int):
+            old, new = rels(m_s, b), rels(m_e, b)
+            if not layout_changed and old == new:
+                continue  # bucket untouched in (vs, ve]
+            if layout_changed:
+                # bucket ids aren't comparable across a rebucket — fall
+                # back to one whole-table diff partition (rare maintenance
+                # event); handled by emitting ALL old/new files in one go
+                parts = [
+                    _BucketDiffPartition(
+                        data_dir=data_dir,
+                        old_files=[
+                            r for bb in m_s.get("files", {}) for r in rels(m_s, bb)
+                        ],
+                        new_files=[
+                            r for bb in m_e.get("files", {}) for r in rels(m_e, bb)
+                        ],
+                        key_cols=key_cols,
+                        columns=columns,
+                        versioned=versioned,
+                        commit_version=ve,
+                    )
+                ]
+                break
+            parts.append(
+                _BucketDiffPartition(
+                    data_dir=data_dir,
+                    old_files=old,
+                    new_files=new,
+                    key_cols=key_cols,
+                    columns=columns,
+                    versioned=versioned,
+                    commit_version=ve,
+                )
+            )
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream checkpoint
+
+    # -- data (executor side, no SparkSession) --------------------------
+
+    def read(self, partition: _BucketDiffPartition):
+        import pandas as pd
+
+        p = partition
+        old_s = _bucket_state(p, p.old_files)
+        new_s = _bucket_state(p, p.new_files)
+        keys = p.key_cols
+        payload = [c for c in p.columns if c not in keys]
+
+        merged = old_s[keys].merge(
+            new_s[keys], on=keys, how="outer", indicator=True
+        )
+        ins_keys = merged[merged["_merge"] == "right_only"][keys]
+        del_keys = merged[merged["_merge"] == "left_only"][keys]
+        both_keys = merged[merged["_merge"] == "both"][keys]
+
+        o = old_s.set_index(keys)
+        n = new_s.set_index(keys)
+        rows: list[tuple] = []
+
+        def emit(frame: "pd.DataFrame", key_frame: "pd.DataFrame", ct: str):
+            if key_frame.empty:
+                return
+            idx = pd.MultiIndex.from_frame(key_frame) if len(keys) > 1 else (
+                pd.Index(key_frame[keys[0]])
+            )
+            sel = frame.loc[idx]
+            for key_vals, r in zip(idx, sel[payload].itertuples(index=False)):
+                kt = key_vals if isinstance(key_vals, tuple) else (key_vals,)
+                rows.append(
+                    tuple(_py(v) for v in kt)
+                    + tuple(_py(v) for v in r)
+                    + (ct, p.commit_version)
+                )
+
+        if not both_keys.empty:
+            idx = pd.MultiIndex.from_frame(both_keys) if len(keys) > 1 else (
+                pd.Index(both_keys[keys[0]])
+            )
+            ob, nb = o.loc[idx, payload], n.loc[idx, payload]
+            diff = pd.Series(False, index=idx)
+            for c in payload:
+                a, b = ob[c], nb[c]
+                diff |= (a != b) & ~(a.isna() & b.isna())
+            changed = both_keys[diff.to_numpy()]
+            emit(o, changed, "update_preimage")
+            emit(n, changed, "update_postimage")
+        emit(n, ins_keys, "insert")
+        emit(o, del_keys, "delete")
+        return iter(rows)
+
+
+def _bucket_state(p: _BucketDiffPartition, files: list[str]):
+    """Visible LWW state of one bucket at one version, as pandas: concat
+    the bucket's files (schema-evolution-tolerant), winner = max (op_seq,
+    offset) per key, tombstones dropped. Mirrors lww_dedup + the
+    table_changes state filter exactly."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not files:
+        return pd.DataFrame(columns=p.columns)
+    tables = [
+        pq.read_table(os.path.join(p.data_dir, rel)) for rel in files
+    ]
+    df = pa.concat_tables(tables, promote_options="permissive").to_pandas()
+    if p.versioned:
+        df = (
+            df.sort_values(["op_seq", "offset"], kind="stable")
+            .groupby(p.key_cols, as_index=False, dropna=False)
+            .last()
+        )
+        df = df[df["op"] != "delete"]
+    # conform to the visible column set (old files may predate ADD COLUMN)
+    for c in p.columns:
+        if c not in df.columns:
+            df[c] = None
+    return df[p.columns].reset_index(drop=True)
+
+
+def _py(v):
+    """pandas cell → plain Python value for Row conversion."""
+    import pandas as pd
+
+    if v is pd.NaT or v is None:
+        return None
+    if isinstance(v, float) and pd.isna(v):
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    return v
+
+
+class SnapshotCDFDataSource(DataSource):
+    """``format("snapshot_cdf")`` — streaming change feed of a
+    :class:`SnapshotTable` (see module docstring)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_cdf"
+
+    def schema(self) -> T.StructType:
+        m = json.loads(
+            _backend(self.options["path"])
+            .load_manifest(_backend(self.options["path"]).current_version())
+            .decode()
+        )
+        fields, _ = _visible_fields(m)
+        return T.StructType(fields + CDF_META_FIELDS)
+
+    def streamReader(self, schema: T.StructType) -> _CDFStreamReader:
+        return _CDFStreamReader(dict(self.options))

@@ -1,0 +1,174 @@
+"""Streaming change-feed source (`format("snapshot_cdf")`, PySpark Python
+Data Source API): offsets are table versions, partitions are changed
+buckets, rows are the Delta-CDF image form. Exactly-once on the read side:
+offsets live in the stream checkpoint and manifests are immutable, so a
+restarted query resumes exactly after the last committed batch."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+
+from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+from nifi_dicom_spark.operators.apply import (
+    apply_changes,
+    create_transcripts_table,
+)
+from nifi_dicom_spark.sources.table_stream import SnapshotCDFDataSource
+
+
+def _ev(spark, op="insert", conv="A", seq=10, text="x"):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "offset": seq,
+                    "partition_id": 0,
+                    "op": op,
+                    "op_seq": seq,
+                    "conv_id": conv,
+                    "turn_idx": 0,
+                    "role": "user",
+                    "text": text,
+                    "tool": None,
+                    "ts": pd.Timestamp("2024-01-01"),
+                    "schema_ver": 2,
+                }
+            ]
+        ),
+        CHANGE_EVENTS_SCHEMA,
+    )
+
+
+def _drain(spark, view, want, timeout=90):
+    deadline = time.time() + timeout
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql(f"select * from {view}").collect()
+        if len(rows) >= want:
+            break
+        time.sleep(0.5)
+    return rows
+
+
+def test_snapshot_cdf_stream_tail_and_restart(spark, tmp_path):
+    spark.dataSource.register(SnapshotCDFDataSource)
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _ev(spark, conv="A", seq=10, text="a1"), epoch=0)
+    v0 = table.current_version()
+
+    feed = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table.path)
+        .option("startingVersion", v0)
+        .option("maxVersionsPerBatch", 1)  # exact per-commit attribution
+        .load()
+    )
+    assert feed.isStreaming
+    assert feed.schema.fieldNames()[-2:] == ["_change_type", "_commit_version"]
+    # version bookkeeping columns are hidden from the feed
+    assert "op_seq" not in feed.schema.fieldNames()
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", table.path)
+            .option("startingVersion", v0)
+            .option("maxVersionsPerBatch", 1)  # exact per-commit attribution
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def sink_rows(want, timeout=90):
+        deadline = time.time() + timeout
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(out).collect()
+            except Exception:
+                rows = []
+            if len(rows) >= want:
+                break
+            time.sleep(0.5)
+        return rows
+
+    q = start()
+    try:
+        apply_changes(table, _ev(spark, conv="B", seq=20, text="b1"), epoch=1)
+        apply_changes(table, _ev(spark, conv="A", seq=30, text="a2"), epoch=2)
+        apply_changes(table, _ev(spark, op="delete", conv="B", seq=40), epoch=3)
+        rows = sink_rows(4)
+    finally:
+        q.stop()
+
+    got = {(r["conv_id"], r["_change_type"]): r for r in rows}
+    assert len(rows) == 4, rows
+    assert got[("B", "insert")]["text"] == "b1"
+    assert got[("A", "update_preimage")]["text"] == "a1"
+    assert got[("A", "update_postimage")]["text"] == "a2"
+    assert got[("B", "delete")]["text"] == "b1"  # pre-delete image
+    # per-commit attribution under maxVersionsPerBatch=1: the delete's
+    # commit is strictly after the insert's
+    assert (
+        got[("B", "delete")]["_commit_version"]
+        > got[("B", "insert")]["_commit_version"]
+    )
+
+    # ---- crash/restart: new commits while the stream is DOWN ----------
+    apply_changes(table, _ev(spark, conv="C", seq=50, text="c1"), epoch=4)
+    q2 = start()  # same checkpoint: resumes after the last committed batch
+    try:
+        rows2 = sink_rows(5)
+    finally:
+        q2.stop()
+    # exactly one NEW row (no replay of committed batches), appended to
+    # the previous four — the exactly-once read side
+    assert len(rows2) == 5, rows2
+    kinds = {(r["conv_id"], r["_change_type"]) for r in rows2}
+    assert ("C", "insert") in kinds
+
+
+def test_snapshot_cdf_batch_parity(spark, tmp_path):
+    """The streamed feed over (v0, current] equals the batch change_feed
+    collapsed over the same range (same images, same types)."""
+    from nifi_dicom_spark.operators.diff import change_feed
+
+    spark.dataSource.register(SnapshotCDFDataSource)
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _ev(spark, conv="A", seq=10, text="a1"), epoch=0)
+    v0 = table.current_version()
+    apply_changes(table, _ev(spark, conv="B", seq=20, text="b1"), epoch=1)
+    apply_changes(table, _ev(spark, conv="A", seq=30, text="a2"), epoch=2)
+
+    feed = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table.path)
+        .option("startingVersion", v0)
+        .load()
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("cdf_parity")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        rows = _drain(spark, "cdf_parity", 3)
+    finally:
+        q.stop()
+
+    batch = change_feed(table, from_version=v0, per_commit=False)
+    cols = ["conv_id", "turn_idx", "text", "_change_type"]
+    streamed = sorted(tuple(r[c] for c in cols) for r in rows)
+    expected = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert streamed == expected
