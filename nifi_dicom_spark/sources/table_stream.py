@@ -164,15 +164,20 @@ class _CDFStreamReader(DataSourceStreamReader):
                 # bucket ids aren't comparable across a rebucket — fall
                 # back to one whole-table diff partition (rare maintenance
                 # event); handled by emitting ALL old/new files in one go
+
+                def all_rels(m: dict) -> list[str]:
+                    bb = {
+                        b
+                        for which in ("files", "delta_files")
+                        for b in m.get(which, {})
+                    }
+                    return [r for b in sorted(bb, key=int) for r in rels(m, b)]
+
                 parts = [
                     _BucketDiffPartition(
                         data_dir=data_dir,
-                        old_files=[
-                            r for bb in m_s.get("files", {}) for r in rels(m_s, bb)
-                        ],
-                        new_files=[
-                            r for bb in m_e.get("files", {}) for r in rels(m_e, bb)
-                        ],
+                        old_files=all_rels(m_s),
+                        new_files=all_rels(m_e),
                         key_cols=key_cols,
                         columns=columns,
                         versioned=versioned,
@@ -204,6 +209,13 @@ class _CDFStreamReader(DataSourceStreamReader):
         p = partition
         old_s = _bucket_state(p, p.old_files)
         new_s = _bucket_state(p, p.new_files)
+        # an empty side (bucket born/emptied between the versions) loads as
+        # object dtypes — give it the other side's dtypes so the key merge
+        # never mixes object with numeric columns
+        if old_s.empty and not new_s.empty:
+            old_s = new_s.iloc[0:0].copy()
+        elif new_s.empty and not old_s.empty:
+            new_s = old_s.iloc[0:0].copy()
         keys = p.key_cols
         payload = [c for c in p.columns if c not in keys]
 

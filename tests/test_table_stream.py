@@ -172,3 +172,36 @@ def test_snapshot_cdf_batch_parity(spark, tmp_path):
     streamed = sorted(tuple(r[c] for c in cols) for r in rows)
     expected = sorted(tuple(r[c] for c in cols) for r in batch.collect())
     assert streamed == expected
+
+
+def test_snapshot_cdf_stream_across_rebucket(spark, tmp_path):
+    """A rebucket commit (layout change) falls back to one whole-table diff
+    partition: content-neutral, so it contributes ZERO change rows, and the
+    stream keeps tailing correctly in the NEW layout afterwards."""
+    spark.dataSource.register(SnapshotCDFDataSource)
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _ev(spark, conv="A", seq=10, text="a1"), epoch=0)
+    v0 = table.current_version()
+
+    feed = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table.path)
+        .option("startingVersion", v0)
+        .load()
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("cdf_rb")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        table.rebucket(8)  # content-neutral layout change
+        apply_changes(table, _ev(spark, conv="D", seq=60, text="d1"), epoch=1)
+        rows = _drain(spark, "cdf_rb", 1)
+    finally:
+        q.stop()
+    assert {(r["conv_id"], r["_change_type"], r["text"]) for r in rows} == {
+        ("D", "insert", "d1")
+    }
