@@ -1387,13 +1387,15 @@ class SnapshotTable:
         t = t_live.withColumn("_t1", F.lit(True)).alias("t")
         s = source.withColumn("_s1", F.lit(True))
         if versioned:
-            # latest tombstone seq per key: a re-insert must supersede it
-            ts_seq = t_all.filter(F.col("op") == F.lit("delete")).select(
-                *key_cols, F.col("op_seq").alias("_tomb_seq")
+            # latest tombstone seq per key (aggregated — a legacy bucket
+            # holding several tombstones for one key must not fan the
+            # source row out): a re-insert must supersede it
+            ts_seq = (
+                t_all.filter(F.col("op") == F.lit("delete"))
+                .groupBy(*key_cols)
+                .agg(F.max("op_seq").alias("_tomb_seq"))
             )
             s = s.join(ts_seq, on=key_cols, how="left")
-        else:
-            s = s.withColumn("_tomb_seq", F.lit(None).cast("long"))
         s = s.alias("s")
         joined = t.join(
             s, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols], "full_outer"
@@ -1457,7 +1459,10 @@ class SnapshotTable:
                     .when(act == "U", F.lit("update"))
                 )
             elif versioned and c == "op_seq" and c not in upd:
-                ins = F.coalesce(
+                # greatest(source seq, tombstone+1): a re-insert ALWAYS
+                # supersedes the tombstone, even when the source carries an
+                # older seq (greatest skips nulls; 0 when neither exists)
+                ins = F.greatest(
                     ins, F.col("s._tomb_seq") + 1, F.lit(0).cast(f.dataType)
                 )
                 val = F.when(act == "I", ins).when(
@@ -1481,9 +1486,15 @@ class SnapshotTable:
             if tombs is not None:
                 # pre-existing tombstones survive the rewrite: a late CDC
                 # event below their seq must stay dead. A re-inserted key's
-                # new row out-sequences its tombstone, so keeping both is
-                # LWW-safe; compaction folds the loser away.
-                merged = merged.unionByName(tombs)
+                # new row out-sequences its tombstone; the LWW reduce below
+                # keeps exactly the winner, so CoW base files never
+                # accumulate several rows per key (read() does not dedup
+                # delta-free buckets — the base must hold the invariant).
+                from nifi_dicom_spark.operators.dedup import lww_dedup
+
+                merged = lww_dedup(
+                    merged.unionByName(tombs), key_cols
+                ).select(*schema.fieldNames())
             # constraints check the rows this merge actually writes anew
             # (inserted/updated); untouched target rows were validated when
             # they were written

@@ -192,16 +192,15 @@ def change_feed(
         if per_commit
         else [(from_version, to_version)]
     )
-    # committed_at of each attributed version (None for pre-feature
-    # commits) — read ONLY the manifests in range, not the whole history
-    # (a feed tail on a long-lived table must not pay O(total commits)
-    # metadata reads per poll)
+    # committed_at of each ATTRIBUTED version only (pair endpoints; one
+    # manifest read for per_commit=False) — never the whole history, so a
+    # feed tail on a long-lived table pays metadata reads ∝ its range
     ts_by_version: dict[int, float | None] = {}
-    for v in range(from_version + 1, to_version + 1):
+    for _lo, hi in pairs:
         try:
-            ts_by_version[v] = table.manifest(v).get("committed_at")
+            ts_by_version[hi] = table.manifest(hi).get("committed_at")
         except FileNotFoundError:
-            ts_by_version[v] = None
+            ts_by_version[hi] = None
 
     out = None
     for lo, hi in pairs:

@@ -96,9 +96,14 @@ class _BucketDiffPartition(InputPartition):
 
 
 class _CDFStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: T.StructType):
         self.path = options["path"]
         self.start_opt = options.get("startingversion")
+        #: the stream's DECLARED row shape, fixed at query start — a
+        #: mid-stream ADD COLUMN commit must not widen emitted tuples (the
+        #: new column appears after a stream restart re-plans the schema)
+        meta = {f.name for f in CDF_META_FIELDS}
+        self.columns = [f.name for f in schema.fields if f.name not in meta]
         #: cap versions per micro-batch (best-effort backlog pacing: a
         #: batch collapses the versions it covers and attributes rows to
         #: the endpoint version; maxVersionsPerBatch=1 gives exact
@@ -124,8 +129,19 @@ class _CDFStreamReader(DataSourceStreamReader):
         self._last_end = cur
         return {"version": cur}
 
+    def _note_offset(self, v: int) -> None:
+        # pacing is best-effort in-process state: the API gives latestOffset
+        # no view of the checkpointed start, so a re-created reader (restart
+        # or driver-side respawn) collapses its first batch. Seed the
+        # tracker from every callback that DOES see an offset to shrink
+        # that hole; the collapse is always correct (rows attribute to the
+        # batch endpoint, as documented), just coarser.
+        if self._last_end is None or v > self._last_end:
+            self._last_end = v
+
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         vs, ve = int(start["version"]), int(end["version"])
+        self._note_offset(ve)
         if vs >= ve:
             return []
         be = _backend(self.path)
@@ -136,10 +152,10 @@ class _CDFStreamReader(DataSourceStreamReader):
             raise RuntimeError(
                 f"stream offset version missing (vacuumed?): {e}"
             ) from None
-        fields, versioned = _visible_fields(m_e)
+        _fields, versioned = _visible_fields(m_e)
         data_dir = os.path.join(self.path, "data")
         key_cols = list(m_e["key_cols"])
-        columns = [f.name for f in fields]
+        columns = list(self.columns)
 
         def rels(m: dict, b: str) -> list[str]:
             return list(m.get("files", {}).get(b, [])) + list(
@@ -199,7 +215,8 @@ class _CDFStreamReader(DataSourceStreamReader):
         return parts
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the stream checkpoint
+        # offsets are durable in the stream checkpoint; just seed pacing
+        self._note_offset(int(end["version"]))
 
     # -- data (executor side, no SparkSession) --------------------------
 
@@ -231,18 +248,17 @@ class _CDFStreamReader(DataSourceStreamReader):
         rows: list[tuple] = []
 
         def emit(frame: "pd.DataFrame", key_frame: "pd.DataFrame", ct: str):
+            # values in p.columns order — the declared schema's field order,
+            # NOT keys-first (key columns need not be a schema prefix)
             if key_frame.empty:
                 return
             idx = pd.MultiIndex.from_frame(key_frame) if len(keys) > 1 else (
                 pd.Index(key_frame[keys[0]])
             )
-            sel = frame.loc[idx]
-            for key_vals, r in zip(idx, sel[payload].itertuples(index=False)):
-                kt = key_vals if isinstance(key_vals, tuple) else (key_vals,)
+            sel = frame.loc[idx].reset_index()
+            for r in sel[p.columns].itertuples(index=False):
                 rows.append(
-                    tuple(_py(v) for v in kt)
-                    + tuple(_py(v) for v in r)
-                    + (ct, p.commit_version)
+                    tuple(_py(v) for v in r) + (ct, p.commit_version)
                 )
 
         if not both_keys.empty:
@@ -278,10 +294,11 @@ def _bucket_state(p: _BucketDiffPartition, files: list[str]):
     ]
     df = pa.concat_tables(tables, promote_options="permissive").to_pandas()
     if p.versioned:
-        df = (
-            df.sort_values(["op_seq", "offset"], kind="stable")
-            .groupby(p.key_cols, as_index=False, dropna=False)
-            .last()
+        # last ROW per key after the stable (op_seq, offset) sort — NOT
+        # groupby().last(), which takes the last non-null value PER COLUMN
+        # and would stitch superseded values into the winner
+        df = df.sort_values(["op_seq", "offset"], kind="stable").drop_duplicates(
+            subset=p.key_cols, keep="last"
         )
         df = df[df["op"] != "delete"]
     # conform to the visible column set (old files may predate ADD COLUMN)
@@ -315,13 +332,10 @@ class SnapshotCDFDataSource(DataSource):
         return "snapshot_cdf"
 
     def schema(self) -> T.StructType:
-        m = json.loads(
-            _backend(self.options["path"])
-            .load_manifest(_backend(self.options["path"]).current_version())
-            .decode()
-        )
+        be = _backend(self.options["path"])
+        m = json.loads(be.load_manifest(be.current_version()).decode())
         fields, _ = _visible_fields(m)
         return T.StructType(fields + CDF_META_FIELDS)
 
     def streamReader(self, schema: T.StructType) -> _CDFStreamReader:
-        return _CDFStreamReader(dict(self.options))
+        return _CDFStreamReader(dict(self.options), schema)

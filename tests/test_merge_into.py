@@ -203,3 +203,55 @@ def test_merge_into_rejects_orphan_conditions(spark, tmp_path):
             when_not_matched_insert=False,
             insert_condition="s.v > 0",
         )
+
+
+def test_merge_into_versioned_delete_insert_cycles_keep_one_row_per_key(
+    spark, tmp_path
+):
+    """Repeated MERGE delete/insert cycles must never accumulate several
+    physical rows per key in the CoW base files (read() does not dedup
+    delta-free buckets), and a re-insert whose SOURCE carries an op_seq
+    below the tombstone still supersedes it."""
+    import pandas as pd
+
+    from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
+    from nifi_dicom_spark.operators.apply import (
+        apply_changes,
+        create_transcripts_table,
+        read_final_state,
+    )
+
+    table = create_transcripts_table(spark, str(tmp_path / "c"), n_buckets=2)
+    ev = pd.DataFrame(
+        [
+            {
+                "offset": 1, "partition_id": 0, "op": "insert", "op_seq": 10,
+                "conv_id": "K", "turn_idx": 0, "role": "user", "text": "t0",
+                "tool": None, "ts": pd.Timestamp("2024-01-01"), "schema_ver": 2,
+            }
+        ]
+    )
+    apply_changes(table, spark.createDataFrame(ev, CHANGE_EVENTS_SCHEMA), epoch=0)
+
+    def src(text, with_seq=None):
+        if with_seq is None:
+            return spark.createDataFrame(
+                [("K", 0, text)], "conv_id string, turn_idx int, text string"
+            )
+        return spark.createDataFrame(
+            [("K", 0, text, with_seq)],
+            "conv_id string, turn_idx int, text string, op_seq long",
+        )
+
+    for cycle in range(3):
+        table.merge_into(
+            src("kill"), when_matched_delete=True, when_not_matched_insert=False
+        )
+        assert read_final_state(table).count() == 0
+        # re-insert with a LOW source op_seq: must still supersede
+        table.merge_into(src(f"rev{cycle}", with_seq=1))
+        state = read_final_state(table).collect()
+        assert [r["text"] for r in state] == [f"rev{cycle}"]
+        # base invariant: exactly ONE physical row for K (+ no dup keys)
+        raw = table.read().filter("conv_id = 'K'").collect()
+        assert len(raw) == 1 and raw[0]["op"] == "insert"

@@ -19,7 +19,7 @@ from nifi_dicom_spark.operators.apply import (
 from nifi_dicom_spark.sources.table_stream import SnapshotCDFDataSource
 
 
-def _ev(spark, op="insert", conv="A", seq=10, text="x"):
+def _ev(spark, op="insert", conv="A", seq=10, text="x", tool=None):
     return spark.createDataFrame(
         pd.DataFrame(
             [
@@ -32,7 +32,7 @@ def _ev(spark, op="insert", conv="A", seq=10, text="x"):
                     "turn_idx": 0,
                     "role": "user",
                     "text": text,
-                    "tool": None,
+                    "tool": tool,
                     "ts": pd.Timestamp("2024-01-01"),
                     "schema_ver": 2,
                 }
@@ -56,7 +56,9 @@ def _drain(spark, view, want, timeout=90):
 def test_snapshot_cdf_stream_tail_and_restart(spark, tmp_path):
     spark.dataSource.register(SnapshotCDFDataSource)
     table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
-    apply_changes(table, _ev(spark, conv="A", seq=10, text="a1"), epoch=0)
+    apply_changes(
+        table, _ev(spark, conv="A", seq=10, text="a1", tool="calc"), epoch=0
+    )
     v0 = table.current_version()
 
     feed = (
@@ -115,12 +117,17 @@ def test_snapshot_cdf_stream_tail_and_restart(spark, tmp_path):
     assert got[("B", "insert")]["text"] == "b1"
     assert got[("A", "update_preimage")]["text"] == "a1"
     assert got[("A", "update_postimage")]["text"] == "a2"
+    # whole-ROW image semantics: the winner cleared tool to NULL — the
+    # postimage must NOT stitch the superseded non-null value back in
+    assert got[("A", "update_preimage")]["tool"] == "calc"
+    assert got[("A", "update_postimage")]["tool"] is None
     assert got[("B", "delete")]["text"] == "b1"  # pre-delete image
-    # per-commit attribution under maxVersionsPerBatch=1: the delete's
-    # commit is strictly after the insert's
+    # attribution is monotone: the delete's commit is never before the
+    # insert's (strict ordering holds when maxVersionsPerBatch=1 pacing is
+    # in effect, which is best-effort in-process state — see _note_offset)
     assert (
         got[("B", "delete")]["_commit_version"]
-        > got[("B", "insert")]["_commit_version"]
+        >= got[("B", "insert")]["_commit_version"]
     )
 
     # ---- crash/restart: new commits while the stream is DOWN ----------
