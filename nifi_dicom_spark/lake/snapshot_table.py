@@ -1825,6 +1825,37 @@ class SnapshotTable:
         blob = self.backend.get_blob("VACUUM.json")
         return int(json.loads(blob.decode())["min_retained_version"]) if blob else 0
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit (the Delta
+        ``RESTORE`` analog): the restored manifest's file lists, schema,
+        props AND commit-ledger watermarks are re-published as
+        ``current+1``, so history is append-only (nothing is deleted, the
+        undone versions stay time-travelable) and the exactly-once contract
+        stays coherent — restoring the ledger alongside the data means a
+        resumed stream re-applies exactly the epochs whose effects were
+        rolled back, instead of skipping them as "already applied" and
+        silently losing them. Fails on vacuumed versions (their data files
+        are gone)."""
+        cur = self.current_version()
+        if version >= cur:
+            raise ValueError(
+                f"restore target {version} is not before current {cur}"
+            )
+        if version < self.min_retained_version():
+            raise VersionVacuumedError(
+                f"version {version} was vacuumed; cannot restore"
+            )
+        old = self.manifest(version)
+        new = {
+            **old,
+            "version": cur + 1,
+            "parent": cur,
+            "summary": {"operation": "restore", "restored_version": version},
+        }
+        new.pop("committed_at", None)
+        self._try_commit(new)
+        return new["version"]
+
     def vacuum(
         self, keep_versions: int = 2, min_file_age_s: float = 3600.0
     ) -> int:

@@ -1,0 +1,113 @@
+"""Table→table CDC replication: tail one :class:`SnapshotTable`'s change
+feed (the ``snapshot_cdf`` streaming source) and apply it to another with
+exactly-once semantics — the engine eating its own dog food end-to-end:
+
+    source table ──snapshot_cdf──▶ micro-batch of CDF images
+                 ──map to change events──▶ versioned LWW merge into replica
+
+Wiring that makes it exactly-once at BOTH ends:
+
+* read side — stream offsets are source-table versions in the stream
+  checkpoint; a restarted query resumes after the last committed batch;
+* write side — each micro-batch merges under ``commit_keys=[(batch_id,
+  0)]``, so a batch replayed after a crash between sink-write and
+  checkpoint-commit is a no-op against the replica's ledger (the same
+  idempotency contract the primary ingest path uses).
+
+Ordering: a micro-batch's diff is collapsed per key (one image pair per
+key per batch), and ``op_seq = _commit_version`` makes LWW across batches
+follow source-commit order, so replica state converges to source state
+regardless of micro-batch boundaries. ``update_preimage`` rows are
+dropped — the merge applies post-states.
+
+At scale this is the change-data-capture fan-out pattern (primary →
+read replicas / downstream marts) with cost ∝ changed buckets per commit
+on the read side and ∝ change set per batch on the write side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+from nifi_dicom_spark.sources.table_stream import SnapshotCDFDataSource
+
+__all__ = ["create_replica_table", "replicate_stream"]
+
+_VERSION_COLS = ("op", "op_seq", "offset")
+
+
+def create_replica_table(
+    spark: SparkSession, path: str, source: SnapshotTable, n_buckets: int | None = None
+) -> SnapshotTable:
+    """An empty versioned replica with the source's visible schema (its
+    own op/op_seq/offset bookkeeping appended if absent) and key columns."""
+    from pyspark.sql import types as T
+
+    schema = source.schema()
+    fields = [f for f in schema.fields]
+    names = {f.name for f in fields}
+    if not set(_VERSION_COLS) <= names:
+        fields += [
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+        ]
+    return SnapshotTable.create(
+        spark,
+        path,
+        T.StructType(fields),
+        key_cols=source.key_cols(),
+        n_buckets=n_buckets or source.n_buckets(),
+    )
+
+
+def replicate_stream(
+    spark: SparkSession,
+    source_path: str,
+    replica: SnapshotTable,
+    checkpoint: str,
+    starting_version: int | None = None,
+    trigger_interval: str = "1 second",
+):
+    """Start (and return) the streaming query replicating ``source_path``
+    into ``replica``. Stop it via ``query.stop()``; restarting with the
+    same ``checkpoint`` resumes exactly-once."""
+    spark.dataSource.register(SnapshotCDFDataSource)
+    reader = spark.readStream.format("snapshot_cdf").option("path", source_path)
+    if starting_version is not None:
+        reader = reader.option("startingVersion", starting_version)
+    feed = reader.load()
+
+    payload = [
+        c
+        for c in feed.columns
+        if c not in ("_change_type", "_commit_version", *_VERSION_COLS)
+    ]
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        ev = batch_df.filter(
+            F.col("_change_type") != F.lit("update_preimage")
+        ).select(
+            *payload,
+            F.when(F.col("_change_type") == "insert", "insert")
+            .when(F.col("_change_type") == "update_postimage", "update")
+            .otherwise("delete")
+            .alias("op"),
+            F.col("_commit_version").alias("op_seq"),
+            F.col("_commit_version").alias("offset"),
+        )
+        replica.merge(
+            ev,
+            op_col="op",
+            policy="versioned_upsert",
+            commit_keys=[(int(batch_id), 0)],
+        )
+
+    return (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )

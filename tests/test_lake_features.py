@@ -753,3 +753,41 @@ def test_change_feed_across_schema_evolution(spark, tmp_path):
     assert rows[("a", "update_postimage")]["w"] == "x"
     assert rows[("c", "insert")]["w"] == "y"
     assert all(r["_commit_version"] == v2 for r in rows.values())
+
+
+def test_restore_rolls_back_data_and_ledger(spark, tmp_path):
+    """RESTORE re-publishes an old version as a new commit: data, schema
+    AND ledger watermarks roll back together, so a resumed stream
+    re-applies the undone epochs instead of skipping them."""
+    from nifi_dicom_spark.lake import VersionVacuumedError
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    ev0 = spark.createDataFrame(_epoch_events(0), schema=CHANGE_EVENTS_SCHEMA)
+    apply_changes(table, ev0, epoch=0)
+    v1 = table.current_version()
+    state1 = _sorted_rows(read_final_state(table))
+    hw1 = table.applied_watermarks()
+
+    ev1 = spark.createDataFrame(_epoch_events(1), schema=CHANGE_EVENTS_SCHEMA)
+    apply_changes(table, ev1, epoch=1)
+    state2 = _sorted_rows(read_final_state(table))
+    assert state2 != state1
+
+    v_restored = table.restore(v1)
+    assert v_restored == table.current_version()
+    assert table.history()[-1]["operation"] == "restore"
+    # data AND ledger are back at v1; the undone version stays readable
+    assert _sorted_rows(read_final_state(table)) == state1
+    assert table.applied_watermarks() == hw1
+    assert table.read(version=v_restored - 1).count() > 0  # v2 time travel
+
+    # the rolled-back epoch REPLAYS (it is no longer "already applied")
+    r = apply_changes(table, ev1, epoch=1)
+    assert r.merge.applied
+    assert _sorted_rows(read_final_state(table)) == state2
+
+    with pytest.raises(ValueError, match="not before current"):
+        table.restore(table.current_version())
+    table.vacuum(keep_versions=1, min_file_age_s=0)
+    with pytest.raises(VersionVacuumedError):
+        table.restore(0)

@@ -212,3 +212,58 @@ def test_snapshot_cdf_stream_across_rebucket(spark, tmp_path):
     assert {(r["conv_id"], r["_change_type"], r["text"]) for r in rows} == {
         ("D", "insert", "d1")
     }
+
+
+def test_replication_pipeline_exactly_once(spark, tmp_path):
+    """Table→table CDC replication through the snapshot_cdf source: the
+    replica's visible state converges to the source's across inserts,
+    updates and deletes, survives a stop/restart without replaying
+    committed batches, and a crash-replayed batch is a ledger no-op."""
+    from nifi_dicom_spark.operators.apply import read_final_state
+    from nifi_dicom_spark.streaming.replicate import (
+        create_replica_table,
+        replicate_stream,
+    )
+
+    src = create_transcripts_table(spark, str(tmp_path / "src"), n_buckets=4)
+    apply_changes(src, _ev(spark, conv="A", seq=10, text="a1"), epoch=0)
+    v0 = src.current_version()
+    replica = create_replica_table(spark, str(tmp_path / "dst"), src)
+    ckpt = str(tmp_path / "ck")
+
+    def converged(want_rows, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            got = {
+                (r["conv_id"], r["turn_idx"], r["text"])
+                for r in read_final_state(replica).collect()
+            }
+            if got == want_rows:
+                return got
+            time.sleep(0.5)
+        return got
+
+    q = replicate_stream(spark, src.path, replica, ckpt, starting_version=v0)
+    try:
+        apply_changes(src, _ev(spark, conv="B", seq=20, text="b1"), epoch=1)
+        apply_changes(src, _ev(spark, conv="A", seq=30, text="a2"), epoch=2)
+        want = {("A", 0, "a2"), ("B", 0, "b1")}
+        assert converged(want) == want
+    finally:
+        q.stop()
+
+    # commits while the replication is DOWN, including a delete
+    apply_changes(src, _ev(spark, op="delete", conv="B", seq=40), epoch=3)
+    apply_changes(src, _ev(spark, conv="C", seq=50, text="c1"), epoch=4)
+    q2 = replicate_stream(spark, src.path, replica, ckpt)
+    try:
+        want = {("A", 0, "a2"), ("C", 0, "c1")}
+        assert converged(want) == want
+    finally:
+        q2.stop()
+
+    # note: only rows the feed produced were merged (no duplicate keys)
+    raw = replica.read().filter("op != 'delete'").groupBy(
+        "conv_id", "turn_idx"
+    ).count().filter("count > 1").count()
+    assert raw == 0
