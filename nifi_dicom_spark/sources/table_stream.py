@@ -1,6 +1,13 @@
 """Streaming change-feed SOURCE for :class:`SnapshotTable` — the Delta
 streaming-source analog, built on the PySpark 4 Python Data Source API.
 
+Reference analog: the reference is consumed as a continuous NiFi flow —
+``ListenDICOM`` emits every received instance as a flow file that
+downstream processors tail (``ListenDICOM.java``, the flow-file queue IS
+the change stream). A lake-table engine needs the equivalent pull-based
+surface over committed state; this source provides it with replayable
+version offsets instead of an ephemeral queue.
+
 ``spark.readStream.format("snapshot_cdf").option("path", table_path)``
 tails the table's commit log: stream offsets ARE table versions, each
 micro-batch covers the versions committed since the last one, and rows are
@@ -93,6 +100,9 @@ class _BucketDiffPartition(InputPartition):
     columns: list[str] = field(default_factory=list)  # visible row, in order
     versioned: bool = True
     commit_version: int = 0
+    #: "cdf" = state diff with pre/post images; "upserts" = raw rows of the
+    #: delta files this commit appended (new_files only, no old state read)
+    mode: str = "cdf"
 
 
 class _CDFStreamReader(DataSourceStreamReader):
@@ -104,6 +114,15 @@ class _CDFStreamReader(DataSourceStreamReader):
         #: new column appears after a stream restart re-plans the schema)
         meta = {f.name for f in CDF_META_FIELDS}
         self.columns = [f.name for f in schema.fields if f.name not in meta]
+        #: "cdf" (default): state diff per changed bucket — full pre/post
+        #: images, cost ∝ the changed buckets' STATE. "upserts": read only
+        #: the delta files each commit appended — cost ∝ the CHANGE SET
+        #: exactly (the Iceberg incremental-read analog), no pre-images
+        #: (updates arrive as their post rows, deletes as tombstone rows
+        #: with null payload); requires merge-on-read writes.
+        self.mode = str(options.get("mode", "cdf")).lower()
+        if self.mode not in ("cdf", "upserts"):
+            raise ValueError(f"mode must be cdf|upserts, got {self.mode!r}")
         #: cap versions per micro-batch (best-effort backlog pacing: a
         #: batch collapses the versions it covers and attributes rows to
         #: the endpoint version; maxVersionsPerBatch=1 gives exact
@@ -144,6 +163,8 @@ class _CDFStreamReader(DataSourceStreamReader):
         self._note_offset(ve)
         if vs >= ve:
             return []
+        if self.mode == "upserts":
+            return self._upsert_partitions(vs, ve)
         be = _backend(self.path)
         try:
             m_s = json.loads(be.load_manifest(vs).decode())
@@ -214,6 +235,71 @@ class _CDFStreamReader(DataSourceStreamReader):
             )
         return parts
 
+    def _upsert_partitions(self, vs: int, ve: int) -> list[InputPartition]:
+        """One partition per (commit, bucket) holding ONLY the delta files
+        that commit appended — the change set itself, no state read. Walks
+        the manifests in (vs, ve] (metadata reads ∝ commits in the batch);
+        content-neutral maintenance commits contribute nothing; commits
+        whose change set is not recoverable from deltas (copy-on-write
+        merges, restore) raise instead of silently dropping changes."""
+        be = _backend(self.path)
+        data_dir = os.path.join(self.path, "data")
+        try:
+            prev = json.loads(be.load_manifest(vs).decode())
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"stream offset version missing (vacuumed?): {e}"
+            ) from None
+        parts: list[InputPartition] = []
+        for v in range(vs + 1, ve + 1):
+            m = json.loads(be.load_manifest(v).decode())
+            summary = m.get("summary") or {}
+            op = summary.get("operation")
+            policy = summary.get("policy")
+            # content-neutral commits: layout/metadata maintenance (compact
+            # and optimize are merge-operation commits distinguished by
+            # their policy) — they rewrite or annotate, never change state
+            if op in ("create", "rebucket", "add_constraint",
+                      "drop_constraint") or (
+                op == "merge" and policy in ("compact", "optimize")
+            ):
+                prev = m
+                continue
+            _fields, versioned = _visible_fields(m)
+            if not versioned:
+                raise RuntimeError(
+                    "mode=upserts requires a versioned (LWW) table"
+                )
+            if op != "merge" or summary.get("mode") != "mor":
+                raise RuntimeError(
+                    f"mode=upserts requires merge-on-read data commits; "
+                    f"version {v} is {op!r}/policy={policy!r}/"
+                    f"mode={summary.get('mode')!r} — its change set is not "
+                    "recoverable from delta files; use mode=cdf"
+                )
+            key_cols = list(m["key_cols"])
+            prev_deltas = {
+                b: set(rels)
+                for b, rels in (prev.get("delta_files") or {}).items()
+            }
+            for b, rels in (m.get("delta_files") or {}).items():
+                new = [r for r in rels if r not in prev_deltas.get(b, set())]
+                if new:
+                    parts.append(
+                        _BucketDiffPartition(
+                            data_dir=data_dir,
+                            old_files=[],
+                            new_files=new,
+                            key_cols=key_cols,
+                            columns=list(self.columns),
+                            versioned=True,
+                            commit_version=v,
+                            mode="upserts",
+                        )
+                    )
+            prev = m
+        return parts
+
     def commit(self, end: dict) -> None:
         # offsets are durable in the stream checkpoint; just seed pacing
         self._note_offset(int(end["version"]))
@@ -224,6 +310,8 @@ class _CDFStreamReader(DataSourceStreamReader):
         import pandas as pd
 
         p = partition
+        if p.mode == "upserts":
+            return _read_upserts(p)
         old_s = _bucket_state(p, p.old_files)
         new_s = _bucket_state(p, p.new_files)
         # an empty side (bucket born/emptied between the versions) loads as
@@ -276,6 +364,28 @@ class _CDFStreamReader(DataSourceStreamReader):
         emit(n, ins_keys, "insert")
         emit(o, del_keys, "delete")
         return iter(rows)
+
+
+def _read_upserts(p: _BucketDiffPartition):
+    """Raw rows of one commit's appended delta files: ``_change_type`` is
+    the stored op (insert/update/delete — updates are post-rows only,
+    deletes are tombstones with null payload)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tables = [
+        pq.read_table(os.path.join(p.data_dir, rel)) for rel in p.new_files
+    ]
+    df = pa.concat_tables(tables, promote_options="permissive").to_pandas()
+    for c in p.columns:
+        if c not in df.columns:
+            df[c] = None
+    ops = df["op"].astype(str)
+    rows = [
+        tuple(_py(v) for v in r) + (ct, p.commit_version)
+        for r, ct in zip(df[p.columns].itertuples(index=False), ops)
+    ]
+    return iter(rows)
 
 
 def _bucket_state(p: _BucketDiffPartition, files: list[str]):

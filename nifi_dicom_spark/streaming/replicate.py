@@ -23,6 +23,13 @@ dropped — the merge applies post-states.
 At scale this is the change-data-capture fan-out pattern (primary →
 read replicas / downstream marts) with cost ∝ changed buckets per commit
 on the read side and ∝ change set per batch on the write side.
+
+Reference analog: nifi-dicom's core deployment is exactly this pipeline —
+``ListenDICOM → DeidentifyDICOM → PutDICOM`` relays studies from one PACS
+to another as a continuous flow (``ListenDICOM.java`` receive side,
+``PutDICOM.java`` send side, flow files in between). ``replicate_stream``
+is that flow Spark-first: source-table commits in, exactly-once keyed
+merge out.
 """
 
 from __future__ import annotations

@@ -267,3 +267,71 @@ def test_replication_pipeline_exactly_once(spark, tmp_path):
         "conv_id", "turn_idx"
     ).count().filter("count > 1").count()
     assert raw == 0
+
+
+def test_snapshot_cdf_upserts_mode(spark, tmp_path):
+    """mode=upserts streams each commit's appended delta files directly —
+    cost ∝ the change set, no state read, no pre-images; commits whose
+    change set is not recoverable from deltas raise instead of silently
+    dropping changes."""
+    import pytest
+
+    from nifi_dicom_spark.sources.table_stream import _CDFStreamReader
+
+    spark.dataSource.register(SnapshotCDFDataSource)
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(
+        table, _ev(spark, conv="A", seq=10, text="a1", tool="calc"), epoch=0
+    )
+    v0 = table.current_version()
+
+    feed = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table.path)
+        .option("startingVersion", v0)
+        .option("mode", "upserts")
+        .load()
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("ups")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        apply_changes(table, _ev(spark, conv="B", seq=20, text="b1"), epoch=1)
+        apply_changes(
+            table, _ev(spark, conv="A", seq=30, text="a2", op="update"), epoch=2
+        )
+        apply_changes(
+            table, _ev(spark, op="delete", conv="B", seq=40, text=None), epoch=3
+        )
+        table.compact()  # content-neutral: contributes nothing
+        rows = _drain(spark, "ups", 3)
+    finally:
+        q.stop()
+    got = {(r["conv_id"], r["_change_type"], r["text"]) for r in rows}
+    # raw change events: update is the post row only, delete a tombstone
+    assert got == {
+        ("B", "insert", "b1"),
+        ("A", "update", "a2"),
+        ("B", "delete", None),
+    }
+    # per-commit attribution is EXACT in upserts mode (one partition set
+    # per commit, regardless of batch collapse)
+    vers = {(r["conv_id"], r["_change_type"]): r["_commit_version"] for r in rows}
+    assert len(set(vers.values())) == 3
+
+    # a CoW commit (merge_into) in range must raise, not drop changes
+    src = spark.createDataFrame(
+        [("A", 0, "edited")], "conv_id string, turn_idx int, text string"
+    )
+    table.merge_into(src, when_matched_update={"text": "s.text"})
+    rdr = _CDFStreamReader(
+        {"path": table.path, "mode": "upserts"}, feed.schema
+    )
+    with pytest.raises(RuntimeError, match="merge-on-read"):
+        rdr.partitions(
+            {"version": v0}, {"version": table.current_version()}
+        )
