@@ -371,11 +371,8 @@ def _read_upserts(p: _BucketDiffPartition):
     the stored op (insert/update/delete — updates are post-rows only,
     deletes are tombstones with null payload)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    tables = [
-        pq.read_table(os.path.join(p.data_dir, rel)) for rel in p.new_files
-    ]
+    tables = [_read_parquet(p.data_dir, rel) for rel in p.new_files]
     df = pa.concat_tables(tables, promote_options="permissive").to_pandas()
     for c in p.columns:
         if c not in df.columns:
@@ -395,13 +392,10 @@ def _bucket_state(p: _BucketDiffPartition, files: list[str]):
     table_changes state filter exactly."""
     import pandas as pd
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     if not files:
         return pd.DataFrame(columns=p.columns)
-    tables = [
-        pq.read_table(os.path.join(p.data_dir, rel)) for rel in files
-    ]
+    tables = [_read_parquet(p.data_dir, rel) for rel in files]
     df = pa.concat_tables(tables, promote_options="permissive").to_pandas()
     if p.versioned:
         # last ROW per key after the stable (op_seq, offset) sort — NOT
@@ -416,6 +410,19 @@ def _bucket_state(p: _BucketDiffPartition, files: list[str]):
         if c not in df.columns:
             df[c] = None
     return df[p.columns].reset_index(drop=True)
+
+
+def _read_parquet(data_dir: str, rel: str):
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_table(os.path.join(data_dir, rel))
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"data file {rel!r} referenced by the stream's offset range is "
+            "gone — the table was likely vacuum()ed past the stream's "
+            "position; restart the query from a retained startingVersion"
+        ) from e
 
 
 def _py(v):
