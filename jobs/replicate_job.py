@@ -44,28 +44,34 @@ def main() -> None:
     )
 
     src = SnapshotTable.load(spark, args.source)
+    starting = args.starting_version
     if os.path.isdir(os.path.join(args.replica, "meta")):
         replica = SnapshotTable.load(spark, args.replica)
     else:
         replica = create_replica_table(spark, args.replica, src)
+        if starting is None:
+            # a FRESH replica must start from the beginning — the source
+            # default (current version) would silently omit every row
+            # committed before this job started
+            starting = 0
 
     q = replicate_stream(
         spark,
         args.source,
         replica,
         args.checkpoint,
-        starting_version=args.starting_version,
+        starting_version=starting,
         trigger_interval=args.trigger,
     )
     if args.timeout_s > 0:
         q.awaitTermination(args.timeout_s)
         q.stop()
+        from nifi_dicom_spark.operators.apply import read_final_state
+
         print(
             json.dumps(
                 {
-                    "replica_rows": replica.read()
-                    .filter("op != 'delete'")
-                    .count(),
+                    "replica_rows": read_final_state(replica).count(),
                     "replica_version": replica.current_version(),
                     "source_version": src.current_version(),
                 }

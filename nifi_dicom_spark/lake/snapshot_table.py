@@ -1389,13 +1389,28 @@ class SnapshotTable:
         if versioned:
             # latest tombstone seq per key (aggregated — a legacy bucket
             # holding several tombstones for one key must not fan the
-            # source row out): a re-insert must supersede it
+            # source row out): a re-insert must supersede it. NULL-SAFE
+            # join, matching the main target join — a null-keyed
+            # tombstone must still hand its seq to a null-keyed re-insert
+            # (else the retained tombstone out-sequences the new row and
+            # the LWW reduce silently drops the insert).
             ts_seq = (
                 t_all.filter(F.col("op") == F.lit("delete"))
                 .groupBy(*key_cols)
                 .agg(F.max("op_seq").alias("_tomb_seq"))
             )
-            s = s.join(ts_seq, on=key_cols, how="left")
+            s = (
+                s.alias("_src")
+                .join(
+                    ts_seq.alias("_ts"),
+                    [
+                        F.col(f"_src.{k}").eqNullSafe(F.col(f"_ts.{k}"))
+                        for k in key_cols
+                    ],
+                    "left",
+                )
+                .select("_src.*", F.col("_ts._tomb_seq").alias("_tomb_seq"))
+            )
         s = s.alias("s")
         joined = t.join(
             s, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols], "full_outer"

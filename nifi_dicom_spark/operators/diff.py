@@ -77,26 +77,18 @@ def snapshot_diff(
     return out
 
 
-def changed_buckets(table, from_version: int, to_version: int | None = None) -> list[int]:
-    """Buckets whose physical file set differs between two versions —
-    the only buckets that can contribute changelog rows (a key lives in
-    exactly one bucket, and identical file lists ⇒ identical rows).
-    Returns None-equivalent full set when the bucket LAYOUT itself changed
-    between the versions (rebucket) — bucket ids are not comparable then."""
-    m_from = table.manifest(from_version)
-    m_to = table.manifest(to_version)
+def manifest_changed_buckets(m_from: dict, m_to: dict) -> list[int] | None:
+    """Buckets whose physical file set differs between two MANIFESTS, or
+    ``None`` when the bucket LAYOUT itself changed (rebucket — bucket ids
+    are not comparable across layouts). The single source of truth for
+    "which buckets can contribute changelog rows"; the batch changelog
+    (:func:`changed_buckets`) and the streaming feed's partition planner
+    both use it, so they can never disagree."""
     if (
         m_from.get("n_buckets") != m_to.get("n_buckets")
         or m_from.get("bucket_fn") != m_to.get("bucket_fn")
     ):
-        return sorted(
-            {
-                int(b)
-                for m in (m_from, m_to)
-                for which in ("files", "delta_files")
-                for b in m.get(which, {})
-            }
-        )
+        return None
 
     def sig(m, b):
         return (
@@ -111,6 +103,27 @@ def changed_buckets(table, from_version: int, to_version: int | None = None) -> 
         for b in m.get(which, {})
     }
     return sorted(int(b) for b in buckets if sig(m_from, b) != sig(m_to, b))
+
+
+def changed_buckets(table, from_version: int, to_version: int | None = None) -> list[int]:
+    """Buckets whose physical file set differs between two versions —
+    the only buckets that can contribute changelog rows (a key lives in
+    exactly one bucket, and identical file lists ⇒ identical rows).
+    Returns the full bucket set when the bucket LAYOUT itself changed
+    between the versions (rebucket) — bucket ids are not comparable then."""
+    m_from = table.manifest(from_version)
+    m_to = table.manifest(to_version)
+    changed = manifest_changed_buckets(m_from, m_to)
+    if changed is None:
+        return sorted(
+            {
+                int(b)
+                for m in (m_from, m_to)
+                for which in ("files", "delta_files")
+                for b in m.get(which, {})
+            }
+        )
+    return changed
 
 
 def table_changes(

@@ -128,6 +128,17 @@ class _CDFStreamReader(DataSourceStreamReader):
         #: the endpoint version; maxVersionsPerBatch=1 gives exact
         #: per-commit attribution while draining a backlog)
         self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
+        if self.max_versions is not None and self.max_versions < 0:
+            raise ValueError(
+                f"maxVersionsPerBatch must be positive, got {self.max_versions}"
+            )
+        #: rebucket fallback cap — a layout change collapses the batch into
+        #: one whole-table pandas diff in a single worker; refuse beyond
+        #: this many bytes of referenced files and direct users to restart
+        #: from the post-rebucket version instead of OOMing an executor
+        self.max_fallback_bytes = int(
+            options.get("maxrebucketfallbackbytes", 1 << 30)
+        )
         self._last_end: int | None = None
 
     # -- offsets (driver side, metadata only) ---------------------------
@@ -178,62 +189,68 @@ class _CDFStreamReader(DataSourceStreamReader):
         key_cols = list(m_e["key_cols"])
         columns = list(self.columns)
 
+        from nifi_dicom_spark.operators.diff import manifest_changed_buckets
+
         def rels(m: dict, b: str) -> list[str]:
             return list(m.get("files", {}).get(b, [])) + list(
                 m.get("delta_files", {}).get(b, [])
             )
 
-        layout_changed = m_s.get("n_buckets") != m_e.get("n_buckets") or (
-            m_s.get("bucket_fn") != m_e.get("bucket_fn")
-        )
-        buckets = {
-            b
-            for m in (m_s, m_e)
-            for which in ("files", "delta_files")
-            for b in m.get(which, {})
-        }
-        parts = []
-        for b in sorted(buckets, key=int):
-            old, new = rels(m_s, b), rels(m_e, b)
-            if not layout_changed and old == new:
-                continue  # bucket untouched in (vs, ve]
-            if layout_changed:
-                # bucket ids aren't comparable across a rebucket — fall
-                # back to one whole-table diff partition (rare maintenance
-                # event); handled by emitting ALL old/new files in one go
+        changed = manifest_changed_buckets(m_s, m_e)
+        if changed is None:
+            # bucket ids aren't comparable across a rebucket — fall back to
+            # one whole-table diff partition (rare maintenance event). That
+            # partition materializes BOTH versions' state in one worker's
+            # pandas memory, so refuse beyond the size cap instead of
+            # OOMing an executor: restart the stream from the post-rebucket
+            # version (batch change_feed handles the gap distributed).
+            def all_rels(m: dict) -> list[str]:
+                bb = {
+                    b
+                    for which in ("files", "delta_files")
+                    for b in m.get(which, {})
+                }
+                return [r for b in sorted(bb, key=int) for r in rels(m, b)]
 
-                def all_rels(m: dict) -> list[str]:
-                    bb = {
-                        b
-                        for which in ("files", "delta_files")
-                        for b in m.get(which, {})
-                    }
-                    return [r for b in sorted(bb, key=int) for r in rels(m, b)]
-
-                parts = [
-                    _BucketDiffPartition(
-                        data_dir=data_dir,
-                        old_files=all_rels(m_s),
-                        new_files=all_rels(m_e),
-                        key_cols=key_cols,
-                        columns=columns,
-                        versioned=versioned,
-                        commit_version=ve,
-                    )
-                ]
-                break
-            parts.append(
+            old_all, new_all = all_rels(m_s), all_rels(m_e)
+            total = 0
+            for rel in (*old_all, *new_all):
+                try:
+                    total += os.path.getsize(os.path.join(data_dir, rel))
+                except OSError:
+                    pass
+            if total > self.max_fallback_bytes:
+                raise RuntimeError(
+                    f"a rebucket commit in ({vs}, {ve}] requires a whole-"
+                    f"table diff ({total >> 20} MiB referenced > cap "
+                    f"{self.max_fallback_bytes >> 20} MiB). Restart the "
+                    f"stream from startingVersion={ve} and backfill the "
+                    "gap with the batch change_feed, or raise "
+                    "maxRebucketFallbackBytes."
+                )
+            return [
                 _BucketDiffPartition(
                     data_dir=data_dir,
-                    old_files=old,
-                    new_files=new,
+                    old_files=old_all,
+                    new_files=new_all,
                     key_cols=key_cols,
                     columns=columns,
                     versioned=versioned,
                     commit_version=ve,
                 )
+            ]
+        return [
+            _BucketDiffPartition(
+                data_dir=data_dir,
+                old_files=rels(m_s, str(b)),
+                new_files=rels(m_e, str(b)),
+                key_cols=key_cols,
+                columns=columns,
+                versioned=versioned,
+                commit_version=ve,
             )
-        return parts
+            for b in changed
+        ]
 
     def _upsert_partitions(self, vs: int, ve: int) -> list[InputPartition]:
         """One partition per (commit, bucket) holding ONLY the delta files

@@ -55,7 +55,16 @@ def create_replica_table(
     schema = source.schema()
     fields = [f for f in schema.fields]
     names = {f.name for f in fields}
-    if not set(_VERSION_COLS) <= names:
+    present = names & set(_VERSION_COLS)
+    if present and present != set(_VERSION_COLS):
+        # a partial overlap is ambiguous: the source column would collide
+        # with (or masquerade as) the replica's version bookkeeping
+        raise ValueError(
+            f"source columns {sorted(present)} collide with the replica's "
+            f"version bookkeeping {_VERSION_COLS}; rename them or provide "
+            "all three (a fully versioned source)"
+        )
+    if not present:
         fields += [
             T.StructField("op", T.StringType(), True),
             T.StructField("op_seq", T.LongType(), False),
@@ -94,6 +103,20 @@ def replicate_stream(
     ]
 
     def apply_batch(batch_df, batch_id: int) -> None:
+        known = ("insert", "update_preimage", "update_postimage", "delete")
+        bad = (
+            batch_df.filter(~F.col("_change_type").isin(*known))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            # never map an unknown change type onto a destructive op — the
+            # upserts-mode types ('update'), or any future type, must be
+            # wired explicitly, not swallowed as deletes
+            raise ValueError(
+                f"unexpected _change_type {bad[0]['_change_type']!r} in "
+                "replication feed (replicate_stream expects mode=cdf)"
+            )
         ev = batch_df.filter(
             F.col("_change_type") != F.lit("update_preimage")
         ).select(

@@ -335,3 +335,46 @@ def test_snapshot_cdf_upserts_mode(spark, tmp_path):
         rdr.partitions(
             {"version": v0}, {"version": table.current_version()}
         )
+
+
+def test_stream_option_validation(spark, tmp_path):
+    import pytest
+
+    from nifi_dicom_spark.sources.table_stream import _CDFStreamReader
+    from nifi_dicom_spark.streaming.replicate import create_replica_table
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _ev(spark), epoch=0)
+    spark.dataSource.register(SnapshotCDFDataSource)
+    schema = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table.path)
+        .load()
+        .schema
+    )
+    with pytest.raises(ValueError, match="maxVersionsPerBatch"):
+        _CDFStreamReader(
+            {"path": table.path, "maxversionsperbatch": "-5"}, schema
+        )
+    with pytest.raises(ValueError, match="cdf|upserts"):
+        _CDFStreamReader({"path": table.path, "mode": "nope"}, schema)
+
+    # a replica source with a PARTIAL version-column overlap is rejected
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    clash = SnapshotTable.create(
+        spark,
+        str(tmp_path / "clash"),
+        T.StructType(
+            [
+                T.StructField("k", T.StringType(), False),
+                T.StructField("op", T.StringType(), True),
+            ]
+        ),
+        key_cols=["k"],
+        n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="collide"):
+        create_replica_table(spark, str(tmp_path / "r"), clash)
