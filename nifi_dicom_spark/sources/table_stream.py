@@ -103,6 +103,12 @@ class _BucketDiffPartition(InputPartition):
     #: "cdf" = state diff with pre/post images; "upserts" = raw rows of the
     #: delta files this commit appended (new_files only, no old state read)
     mode: str = "cdf"
+    #: (i, n) key-hash split: this partition handles only keys whose
+    #: deterministic hash ≡ i (mod n). Both boundary states of a split
+    #: load the same files, so per-key LWW still sees every row; the
+    #: filter subdivides a big bucket's diff across n workers (and makes
+    #: the whole-table rebucket fallback distributed instead of capped).
+    split: tuple[int, int] = (0, 1)
 
 
 class _CDFStreamReader(DataSourceStreamReader):
@@ -132,13 +138,16 @@ class _CDFStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"maxVersionsPerBatch must be positive, got {self.max_versions}"
             )
-        #: rebucket fallback cap — a layout change collapses the batch into
-        #: one whole-table pandas diff in a single worker; refuse beyond
-        #: this many bytes of referenced files and direct users to restart
-        #: from the post-rebucket version instead of OOMing an executor
-        self.max_fallback_bytes = int(
-            options.get("maxrebucketfallbackbytes", 1 << 30)
+        #: split threshold: a cdf diff whose referenced files exceed this
+        #: many bytes is subdivided into key-hash splits so no single
+        #: worker's pandas diff outgrows memory and a hot bucket stops
+        #: being the batch's longest pole (also makes the whole-table
+        #: rebucket fallback distributed)
+        self.max_diff_bytes = int(
+            options.get("maxpartitiondiffbytes", 128 << 20)
         )
+        if self.max_diff_bytes <= 0:
+            raise ValueError("maxPartitionDiffBytes must be positive")
         self._last_end: int | None = None
 
     # -- offsets (driver side, metadata only) ---------------------------
@@ -196,14 +205,38 @@ class _CDFStreamReader(DataSourceStreamReader):
                 m.get("delta_files", {}).get(b, [])
             )
 
+        def splits_for(old: list[str], new: list[str]) -> int:
+            total = 0
+            for rel in (*old, *new):
+                try:
+                    total += os.path.getsize(os.path.join(data_dir, rel))
+                except OSError:
+                    pass
+            # clamped: every split re-reads the same files, so past ~64
+            # the read amplification outweighs the extra parallelism
+            return min(64, max(1, -(-total // self.max_diff_bytes)))
+
+        def emit(old: list[str], new: list[str]) -> list[InputPartition]:
+            n = splits_for(old, new)
+            return [
+                _BucketDiffPartition(
+                    data_dir=data_dir,
+                    old_files=old,
+                    new_files=new,
+                    key_cols=key_cols,
+                    columns=columns,
+                    versioned=versioned,
+                    commit_version=ve,
+                    split=(i, n),
+                )
+                for i in range(n)
+            ]
+
         changed = manifest_changed_buckets(m_s, m_e)
         if changed is None:
             # bucket ids aren't comparable across a rebucket — fall back to
-            # one whole-table diff partition (rare maintenance event). That
-            # partition materializes BOTH versions' state in one worker's
-            # pandas memory, so refuse beyond the size cap instead of
-            # OOMing an executor: restart the stream from the post-rebucket
-            # version (batch change_feed handles the gap distributed).
+            # a whole-table diff (rare maintenance event), key-hash-split
+            # so it stays distributed instead of one worker's pandas OOM
             def all_rels(m: dict) -> list[str]:
                 bb = {
                     b
@@ -212,45 +245,11 @@ class _CDFStreamReader(DataSourceStreamReader):
                 }
                 return [r for b in sorted(bb, key=int) for r in rels(m, b)]
 
-            old_all, new_all = all_rels(m_s), all_rels(m_e)
-            total = 0
-            for rel in (*old_all, *new_all):
-                try:
-                    total += os.path.getsize(os.path.join(data_dir, rel))
-                except OSError:
-                    pass
-            if total > self.max_fallback_bytes:
-                raise RuntimeError(
-                    f"a rebucket commit in ({vs}, {ve}] requires a whole-"
-                    f"table diff ({total >> 20} MiB referenced > cap "
-                    f"{self.max_fallback_bytes >> 20} MiB). Restart the "
-                    f"stream from startingVersion={ve} and backfill the "
-                    "gap with the batch change_feed, or raise "
-                    "maxRebucketFallbackBytes."
-                )
-            return [
-                _BucketDiffPartition(
-                    data_dir=data_dir,
-                    old_files=old_all,
-                    new_files=new_all,
-                    key_cols=key_cols,
-                    columns=columns,
-                    versioned=versioned,
-                    commit_version=ve,
-                )
-            ]
-        return [
-            _BucketDiffPartition(
-                data_dir=data_dir,
-                old_files=rels(m_s, str(b)),
-                new_files=rels(m_e, str(b)),
-                key_cols=key_cols,
-                columns=columns,
-                versioned=versioned,
-                commit_version=ve,
-            )
-            for b in changed
-        ]
+            return emit(all_rels(m_s), all_rels(m_e))
+        parts: list[InputPartition] = []
+        for b in changed:
+            parts.extend(emit(rels(m_s, str(b)), rels(m_e, str(b))))
+        return parts
 
     def _upsert_partitions(self, vs: int, ve: int) -> list[InputPartition]:
         """One partition per (commit, bucket) holding ONLY the delta files
@@ -300,13 +299,16 @@ class _CDFStreamReader(DataSourceStreamReader):
                 for b, rels in (prev.get("delta_files") or {}).items()
             }
             for b, rels in (m.get("delta_files") or {}).items():
-                new = [r for r in rels if r not in prev_deltas.get(b, set())]
-                if new:
+                # one partition PER FILE — delta files are independent row
+                # sets, so this is free read parallelism
+                for rel in rels:
+                    if rel in prev_deltas.get(b, set()):
+                        continue
                     parts.append(
                         _BucketDiffPartition(
                             data_dir=data_dir,
                             old_files=[],
-                            new_files=new,
+                            new_files=[rel],
                             key_cols=key_cols,
                             columns=list(self.columns),
                             versioned=True,
@@ -422,11 +424,27 @@ def _bucket_state(p: _BucketDiffPartition, files: list[str]):
             subset=p.key_cols, keep="last"
         )
         df = df[df["op"] != "delete"]
+    df = _apply_split(df, p)
     # conform to the visible column set (old files may predate ADD COLUMN)
     for c in p.columns:
         if c not in df.columns:
             df[c] = None
     return df[p.columns].reset_index(drop=True)
+
+
+def _apply_split(df, p: _BucketDiffPartition):
+    """Key-hash split filter: keep keys with hash ≡ i (mod n). Runs AFTER
+    the LWW dedup (every row of a key is in the loaded files regardless of
+    split, so the reduce is unaffected); uses pandas' content-deterministic
+    hash so sibling splits in other workers partition identically."""
+    import pandas as pd
+
+    i, n = p.split
+    if n <= 1 or df.empty:
+        return df
+    keys = df[p.key_cols].astype(str).agg("|".join, axis=1)
+    h = pd.util.hash_pandas_object(keys, index=False, categorize=False)
+    return df[(h % n) == i]
 
 
 def _read_parquet(data_dir: str, rel: str):

@@ -378,3 +378,47 @@ def test_stream_option_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="collide"):
         create_replica_table(spark, str(tmp_path / "r"), clash)
+
+
+def test_cdf_key_hash_splits_preserve_content(spark, tmp_path):
+    """Forcing tiny maxPartitionDiffBytes subdivides every bucket diff into
+    key-hash splits; the streamed content must be identical to the unsplit
+    feed (no dropped or double-emitted keys across sibling splits)."""
+    spark.dataSource.register(SnapshotCDFDataSource)
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_changes(table, _ev(spark, conv="A", seq=10, text="a1"), epoch=0)
+    v0 = table.current_version()
+    for i, conv in enumerate(["B", "C", "D", "E", "F", "G"]):
+        apply_changes(
+            table, _ev(spark, conv=conv, seq=20 + i, text=f"t{conv}"), epoch=1 + i
+        )
+    apply_changes(table, _ev(spark, conv="A", seq=90, text="a2", op="update"), epoch=9)
+
+    def drain(name, **opts):
+        reader = (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", table.path)
+            .option("startingVersion", v0)
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            rows = _drain(spark, name, 8)
+        finally:
+            q.stop()
+        return sorted(
+            (r["conv_id"], r["_change_type"], r["text"]) for r in rows
+        )
+
+    plain = drain("split_plain")
+    split = drain("split_forced", maxPartitionDiffBytes=2000)  # forces multi-split
+    assert split == plain
+    assert len(plain) == 8  # 6 inserts + pre/post pair for A
