@@ -331,3 +331,58 @@ def test_mp3_frame_table_roundtrip_property(
     for i, fr in enumerate(table):
         assert fr.offset == start + i * expect_len and fr.size == expect_len
     assert m["duration_s"] == sum(f.duration_s for f in table)
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    bits=st.integers(2, 10),
+    n_cols=st.integers(2, 3),
+)
+def test_zvalue_matches_python_morton_reference(spark, seed, bits, n_cols):
+    """The built-in-expression Morton interleave is bit-exact against a
+    Python reference over random values spanning negatives, zeros and a
+    wide magnitude range (one Spark job per example, 200 rows each)."""
+    from nifi_dicom_spark.lake.zorder import zvalue_column
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    cols = [f"c{i}" for i in range(n_cols)]
+    data = {c: rng.integers(-(2**40), 2**40, size=n) for c in cols}
+    pdf = pd.DataFrame(data)
+    df = spark.createDataFrame(pdf)
+    got = (
+        zvalue_column(df, cols, bits=bits)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+    # reference: equi-width bins over [lo, hi] then MSB-first interleave
+    nbins = 1 << bits
+    bins = {}
+    for c in cols:
+        lo, hi = float(pdf[c].min()), float(pdf[c].max())
+        if lo == hi:
+            bins[c] = np.zeros(n, dtype=np.int64)
+            continue
+        # width_bucket(v, lo, hi, nbins): 1..nbins inside, nbins+1 at max
+        wb = np.floor((pdf[c].to_numpy(float) - lo) / (hi - lo) * nbins) + 1
+        bins[c] = np.clip(wb - 1, 0, nbins - 1).astype(np.int64)
+
+    def morton(row_idx):
+        z = 0
+        for b in range(bits - 1, -1, -1):
+            for c in cols:
+                z = (z << 1) | ((int(bins[c][row_idx]) >> b) & 1)
+        return z
+
+    ref = pdf.copy()
+    ref["_zorder"] = [morton(i) for i in range(n)]
+    ref = ref.sort_values(cols).reset_index(drop=True)
+    mismatch = (got["_zorder"] != ref["_zorder"]).sum()
+    # float rounding at exact bin edges may flip a bin by one — allow a
+    # tiny tolerance on edge collisions, none elsewhere
+    assert mismatch <= n // 50, f"{mismatch} z-value mismatches"
