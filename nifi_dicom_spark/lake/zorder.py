@@ -61,9 +61,21 @@ def _numeric_expr(df: DataFrame, col: str):
         return F.unix_date(c).cast("double")
     if isinstance(dt, T.NumericType) or isinstance(dt, T.BooleanType):
         return c.cast("double")
+    if isinstance(dt, T.StringType):
+        # order-preserving numeric view of the first 8 BYTES: hex the
+        # UTF-8 prefix, right-pad with zeros (missing bytes sort below any
+        # byte, matching string order), parse base-16. The double cast
+        # keeps ~6.6 bytes of exact prefix — ample for equi-width binning,
+        # and bin boundaries only affect pruning EFFECTIVENESS, never
+        # correctness. Still pure built-in expressions / codegen.
+        return F.conv(
+            F.rpad(F.hex(F.substring(F.encode(c, "UTF-8"), 1, 8)), 16, "0"),
+            16,
+            10,
+        ).cast("double")
     raise ValueError(
         f"zorder_by column {col!r} has unsupported type {dt.simpleString()}; "
-        "numeric, boolean, date and timestamp columns are z-orderable"
+        "numeric, boolean, string, date and timestamp columns are z-orderable"
     )
 
 

@@ -399,11 +399,11 @@ def test_zvalue_is_morton_interleave(spark):
 def test_zvalue_rejects_bad_inputs(spark):
     from nifi_dicom_spark.lake.zorder import zvalue_column
 
-    df = spark.createDataFrame([(1, "a")], "x long, s string")
+    df = spark.createDataFrame([(1, bytearray(b"a"))], "x long, b binary")
     with pytest.raises(ValueError, match="2..6"):
         zvalue_column(df, ["x"])
     with pytest.raises(ValueError, match="unsupported type"):
-        zvalue_column(df, ["x", "s"])
+        zvalue_column(df, ["x", "b"])
     with pytest.raises(ValueError, match="distinct"):
         zvalue_column(df, ["x", "x"])
 
@@ -791,3 +791,41 @@ def test_restore_rolls_back_data_and_ledger(spark, tmp_path):
     table.vacuum(keep_versions=1, min_file_age_s=0)
     with pytest.raises(VersionVacuumedError):
         table.restore(0)
+
+
+def test_optimize_zorder_string_dimension(spark, tmp_path):
+    """Z-order over a STRING dimension (first-8-byte prefix binning): a
+    rectangle over (string key range, numeric range) prunes on both."""
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("u", T.StringType(), True),
+            T.StructField("y", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "s"), schema, key_cols=["k"], n_buckets=4,
+        props={"stats_cols": ["u", "y"]},
+    )
+    rows = [
+        (f"k{i:04d}", f"user{i % 32:03d}", i // 32) for i in range(1024)
+    ]
+    t.overwrite(spark.createDataFrame(rows, schema=schema))
+    t.optimize(zorder_by=["u", "y"], max_records_per_file=32)
+
+    rect = {"u": ("user000", "user007"), "y": (0, 7)}
+    got = t.scan_ranges(rect)
+    exp = t.read().filter(
+        "u between 'user000' and 'user007' and y between 0 and 7"
+    )
+    assert _sorted_rows(got) == _sorted_rows(exp)
+    assert got.count() > 0
+    st = t.scan_ranges_file_stats(rect)
+    assert st["skipped"] > st["total"] // 2
+    # a string-only range also prunes (the x-sorted analog could not)
+    st_u = t.scan_ranges_file_stats({"u": ("user000", "user003")})
+    assert st_u["skipped"] > 0
