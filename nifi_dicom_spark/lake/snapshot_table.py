@@ -1696,6 +1696,56 @@ class SnapshotTable:
             f"lost {max_commit_retries} consecutive commit races; giving up"
         )
 
+    def set_clustering(
+        self,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int | None = None,
+        max_records_per_file: int | None = None,
+    ) -> int:
+        """Declare the table's target physical layout (the
+        liquid-clustering analog): recorded in
+        ``props["clustering"]``, applied by a bare :meth:`optimize` call
+        and — at zero extra write cost — by every :meth:`compact`, whose
+        rewrite then keeps the folded base files clustered instead of
+        decaying back to key order. Pass neither column list to CLEAR the
+        declaration. Validates columns against the schema."""
+        if sort_by is not None and zorder_by is not None:
+            raise ValueError("declare sort_by or zorder_by, not both")
+        m = self.manifest()
+        props = dict(m.get("props") or {})
+        if sort_by is None and zorder_by is None:
+            props.pop("clustering", None)
+        else:
+            cols = list(sort_by or zorder_by)
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            missing = [c for c in cols if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"clustering columns not in schema: {missing}")
+            decl: dict[str, Any] = (
+                {"sort_by": cols} if sort_by else {"zorder_by": cols}
+            )
+            if zorder_bits is not None:
+                decl["zorder_bits"] = int(zorder_bits)
+            if max_records_per_file is not None:
+                decl["max_records_per_file"] = int(max_records_per_file)
+            props["clustering"] = decl
+        new = {
+            **m,
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "props": props,
+            "summary": {"operation": "set_clustering"},
+        }
+        new.pop("committed_at", None)
+        self._try_commit(new)
+        return new["version"]
+
+    def clustering(self) -> dict | None:
+        """The declared layout (``props["clustering"]``), or None."""
+        c = (self.manifest().get("props") or {}).get("clustering")
+        return dict(c) if c else None
+
     def compact(
         self, buckets: list[int] | None = None, min_deltas: int = 1
     ) -> int | None:
@@ -1705,7 +1755,9 @@ class SnapshotTable:
         the deltas cleared. Returns the new version, or None if nothing to
         compact. At scale this is the background maintenance job that bounds
         read amplification — the hot path (merge) never pays table-sized
-        rewrites."""
+        rewrites. A declared :meth:`set_clustering` layout is applied to
+        the rewrite (the sort happens inside the write either way — only a
+        zorder declaration adds its one min/max normalization agg)."""
         m = self.manifest()
         deltas = m.get("delta_files", {})
         todo = sorted(
@@ -1718,13 +1770,29 @@ class SnapshotTable:
             return None
         fn = m.get("bucket_fn", "xxhash64")
         merged = self.read(buckets=todo)  # deduped base∪deltas
+        decl = (m.get("props") or {}).get("clustering") or {}
+        sort_cols = None
+        max_rpf = decl.get("max_records_per_file")
+        if decl.get("zorder_by"):
+            merged = zvalue_column(
+                merged, list(decl["zorder_by"]), decl.get("zorder_bits")
+            )
+            sort_cols = [ZORDER_COL]
+        elif decl.get("sort_by"):
+            sort_cols = list(decl["sort_by"])
         if fn != "murmur3":
             merged = merged.withColumn(
                 "_bucket", _bucket_expr(m["key_cols"][0], m["n_buckets"], fn)
             )
         tag = uuid.uuid4().hex[:12]
         new_files = self._write_bucket_files(
-            merged, tag, m["n_buckets"], fn, key_cols=m["key_cols"]
+            merged,
+            tag,
+            m["n_buckets"],
+            fn,
+            key_cols=m["key_cols"],
+            sort_cols=sort_cols,
+            max_records_per_file=max_rpf,
         )
         stats = self._commit_merge(
             m, self.schema(), todo, new_files, None, "compact", 0, delta=False
@@ -1757,8 +1825,22 @@ class SnapshotTable:
         pass to normalize the dimensions. Run it as a background job on
         cold data; the hot merge path is untouched. Returns the committed
         version, or None for an empty table."""
-        if (sort_by is None) == (zorder_by is None):
-            raise ValueError("optimize needs exactly one of sort_by / zorder_by")
+        if sort_by is None and zorder_by is None:
+            # bare optimize(): apply the table's DECLARED layout
+            decl = self.clustering()
+            if not decl:
+                raise ValueError(
+                    "optimize needs sort_by or zorder_by (or a layout "
+                    "declared via set_clustering)"
+                )
+            sort_by = decl.get("sort_by")
+            zorder_by = decl.get("zorder_by")
+            zorder_bits = zorder_bits or decl.get("zorder_bits")
+            max_records_per_file = (
+                max_records_per_file or decl.get("max_records_per_file")
+            )
+        elif sort_by is not None and zorder_by is not None:
+            raise ValueError("optimize takes sort_by or zorder_by, not both")
         cluster_cols = list(sort_by or zorder_by)
         schema = self.schema()
         missing = [c for c in cluster_cols if c not in schema.fieldNames()]

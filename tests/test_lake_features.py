@@ -364,10 +364,10 @@ def test_optimize_validates_columns_and_empty(spark, tmp_path):
     table = create_transcripts_table(spark, str(tmp_path / "e"), n_buckets=2)
     with pytest.raises(ValueError, match="not in schema"):
         table.optimize(sort_by=["nope"])
-    with pytest.raises(ValueError, match="exactly one"):
+    with pytest.raises(ValueError, match="not both"):
         table.optimize(sort_by=["ts"], zorder_by=["ts", "turn_idx"])
-    with pytest.raises(ValueError, match="exactly one"):
-        table.optimize()
+    with pytest.raises(ValueError, match="set_clustering"):
+        table.optimize()  # nothing declared
     assert table.optimize(sort_by=["ts"]) is None  # empty table: no-op
 
 
@@ -829,3 +829,48 @@ def test_optimize_zorder_string_dimension(spark, tmp_path):
     # a string-only range also prunes (the x-sorted analog could not)
     st_u = t.scan_ranges_file_stats({"u": ("user000", "user003")})
     assert st_u["skipped"] > 0
+
+
+def test_declared_clustering_applied_by_optimize_and_compact(spark, tmp_path):
+    """set_clustering records the target layout; a bare optimize() applies
+    it, and every compact() maintains it — folded base files stay
+    time-clustered instead of decaying back to key order."""
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for e in range(2):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+    before = _sorted_rows(table.read())
+
+    v = table.set_clustering(sort_by=["ts"], max_records_per_file=16)
+    assert table.clustering() == {"sort_by": ["ts"], "max_records_per_file": 16}
+    assert table.history()[-1]["operation"] == "set_clustering"
+    assert v == table.current_version()
+
+    table.optimize()  # bare call applies the declaration
+    assert _sorted_rows(table.read()) == before
+    m = table.manifest()
+    assert any(len(rels) > 1 for rels in m["files"].values())
+    # a day-1 window: the ts-clustered tail files (day-2 only) prune away
+    hi1 = pd.Timestamp("2024-01-01 23:59:59")
+    st = table.scan_file_stats("ts", hi=hi1)
+    assert st["full"] < st["total"]
+
+    # new epoch then COMPACT: the fold itself re-applies the clustering
+    ev2 = spark.createDataFrame(_epoch_events(2), schema=CHANGE_EVENTS_SCHEMA)
+    apply_changes(table, ev2, epoch=2)
+    table.compact()
+    m2 = table.manifest()
+    assert not any(m2.get("delta_files", {}).values())
+    st2 = table.scan_file_stats("ts", hi=hi1)
+    assert st2["full"] < st2["total"]  # still clustered after the fold
+    got = table.scan("ts", hi=hi1)
+    exp = table.read().filter(f"ts <= '{hi1}'")
+    assert _sorted_rows(got) == _sorted_rows(exp)
+
+    # clearing the declaration restores the bare-call error
+    table.set_clustering()
+    assert table.clustering() is None
+    with pytest.raises(ValueError, match="set_clustering"):
+        table.optimize()
+    with pytest.raises(ValueError, match="not in schema"):
+        table.set_clustering(zorder_by=["nope", "ts"])
