@@ -1730,6 +1730,11 @@ class SnapshotTable:
             if max_records_per_file is not None:
                 decl["max_records_per_file"] = int(max_records_per_file)
             props["clustering"] = decl
+            # clustering without per-file stats on the same columns would
+            # organize bytes nobody can prune by — extend stats_cols so
+            # future rewrites record [min,max] for every clustering column
+            stats = list(props.get("stats_cols", []))
+            props["stats_cols"] = stats + [c for c in cols if c not in stats]
         new = {
             **m,
             "version": m["version"] + 1,

@@ -843,6 +843,7 @@ def test_declared_clustering_applied_by_optimize_and_compact(spark, tmp_path):
 
     v = table.set_clustering(sort_by=["ts"], max_records_per_file=16)
     assert table.clustering() == {"sort_by": ["ts"], "max_records_per_file": 16}
+    assert "ts" in table.stats_cols()  # pruning stats follow the declaration
     assert table.history()[-1]["operation"] == "set_clustering"
     assert v == table.current_version()
 
