@@ -946,12 +946,19 @@ class SnapshotTable:
         n_buckets = m["n_buckets"]
         fn = m.get("bucket_fn", "xxhash64")
         tag = uuid.uuid4().hex[:12]
+        df, sort_cols, max_rpf = self._clustering_write_args(m, df)
         if fn != "murmur3":
             df = df.withColumn(
                 "_bucket", _bucket_expr(self.key_cols()[0], n_buckets, fn)
             )
         files = self._write_bucket_files(
-            df, tag, n_buckets, fn, key_cols=m["key_cols"]
+            df,
+            tag,
+            n_buckets,
+            fn,
+            key_cols=m["key_cols"],
+            sort_cols=sort_cols,
+            max_records_per_file=max_rpf,
         )
         new = {
             "version": m["version"] + 1,
@@ -1195,10 +1202,14 @@ class SnapshotTable:
                         # explicit compact() retries.
                         try:
                             self.compact(buckets=over)
-                        except ConcurrentWriteConflict as ex:
+                        except Exception as ex:  # noqa: BLE001
+                            # same contract for ANY compaction failure — a
+                            # broken clustering declaration or a failed
+                            # normalization job must not surface as a
+                            # merge failure either
                             warnings.warn(
-                                f"auto-compaction skipped (lost a commit "
-                                f"race; deltas remain readable): {ex}",
+                                f"auto-compaction skipped (deltas remain "
+                                f"readable): {type(ex).__name__}: {ex}",
                                 stacklevel=2,
                             )
             return stats
@@ -1518,14 +1529,24 @@ class SnapshotTable:
                 m.get("props"),
                 key_cols=key_cols,
             )
+            # a CoW bucket rewrite must not decay the declared layout
+            merged, sort_cols, max_rpf = self._clustering_write_args(m, merged)
             if fn != "murmur3":
                 merged = merged.withColumn("_bucket", bucket).select(
-                    *schema.fieldNames(), "_bucket"
+                    *schema.fieldNames(),
+                    *([ZORDER_COL] if sort_cols == [ZORDER_COL] else []),
+                    "_bucket",
                 )
 
             tag = uuid.uuid4().hex[:12]
             new_files = self._write_bucket_files(
-                merged, tag, n_buckets, fn, key_cols=key_cols
+                merged,
+                tag,
+                n_buckets,
+                fn,
+                key_cols=key_cols,
+                sort_cols=sort_cols,
+                max_records_per_file=max_rpf,
             )
         finally:
             if has_constraints:
@@ -1722,6 +1743,13 @@ class SnapshotTable:
             missing = [c for c in cols if c not in schema.fieldNames()]
             if missing:
                 raise ValueError(f"clustering columns not in schema: {missing}")
+            if zorder_by is not None:
+                # fail at DECLARATION time, not at the next compact():
+                # enforce the same arity/distinctness/type constraints the
+                # z-value builder will
+                from nifi_dicom_spark.lake.zorder import zvalue_column as _zv
+
+                _zv(self.spark.createDataFrame([], schema), cols, zorder_bits)
             decl: dict[str, Any] = (
                 {"sort_by": cols} if sort_by else {"zorder_by": cols}
             )
@@ -1751,6 +1779,25 @@ class SnapshotTable:
         c = (self.manifest().get("props") or {}).get("clustering")
         return dict(c) if c else None
 
+    def _clustering_write_args(
+        self, m: dict, df: DataFrame
+    ) -> tuple[DataFrame, list[str] | None, int | None]:
+        """Apply the declared layout to a base-file rewrite: every path
+        that rewrites base files (compact, merge_into's CoW, overwrite)
+        routes through this so the declaration survives ALL rewrites, not
+        just explicit optimize(). Returns (df', sort_cols,
+        max_records_per_file); a z-order declaration appends the interleave
+        column (one min/max agg), plain declarations are free."""
+        decl = (m.get("props") or {}).get("clustering") or {}
+        if decl.get("zorder_by"):
+            df = zvalue_column(
+                df, list(decl["zorder_by"]), decl.get("zorder_bits")
+            )
+            return df, [ZORDER_COL], decl.get("max_records_per_file")
+        if decl.get("sort_by"):
+            return df, list(decl["sort_by"]), decl.get("max_records_per_file")
+        return df, None, None
+
     def compact(
         self, buckets: list[int] | None = None, min_deltas: int = 1
     ) -> int | None:
@@ -1775,16 +1822,7 @@ class SnapshotTable:
             return None
         fn = m.get("bucket_fn", "xxhash64")
         merged = self.read(buckets=todo)  # deduped base∪deltas
-        decl = (m.get("props") or {}).get("clustering") or {}
-        sort_cols = None
-        max_rpf = decl.get("max_records_per_file")
-        if decl.get("zorder_by"):
-            merged = zvalue_column(
-                merged, list(decl["zorder_by"]), decl.get("zorder_bits")
-            )
-            sort_cols = [ZORDER_COL]
-        elif decl.get("sort_by"):
-            sort_cols = list(decl["sort_by"])
+        merged, sort_cols, max_rpf = self._clustering_write_args(m, merged)
         if fn != "murmur3":
             merged = merged.withColumn(
                 "_bucket", _bucket_expr(m["key_cols"][0], m["n_buckets"], fn)

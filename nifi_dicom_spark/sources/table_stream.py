@@ -144,7 +144,13 @@ class _CDFStreamReader(DataSourceStreamReader):
         #: being the batch's longest pole (also makes the whole-table
         #: rebucket fallback distributed)
         self.max_diff_bytes = int(
-            options.get("maxpartitiondiffbytes", 128 << 20)
+            options.get(
+                "maxpartitiondiffbytes",
+                # accept the pre-split option name so existing readers
+                # keep their configured threshold instead of silently
+                # reverting to the default
+                options.get("maxrebucketfallbackbytes", 128 << 20),
+            )
         )
         if self.max_diff_bytes <= 0:
             raise ValueError("maxPartitionDiffBytes must be positive")
@@ -207,7 +213,7 @@ class _CDFStreamReader(DataSourceStreamReader):
 
         def splits_for(old: list[str], new: list[str]) -> int:
             total = 0
-            for rel in (*old, *new):
+            for rel in {*old, *new}:  # a file on both sides counts once
                 try:
                     total += os.path.getsize(os.path.join(data_dir, rel))
                 except OSError:
@@ -276,7 +282,7 @@ class _CDFStreamReader(DataSourceStreamReader):
             # and optimize are merge-operation commits distinguished by
             # their policy) — they rewrite or annotate, never change state
             if op in ("create", "rebucket", "add_constraint",
-                      "drop_constraint") or (
+                      "drop_constraint", "set_clustering") or (
                 op == "merge" and policy in ("compact", "optimize")
             ):
                 prev = m
@@ -410,12 +416,18 @@ def _bucket_state(p: _BucketDiffPartition, files: list[str]):
     offset) per key, tombstones dropped. Mirrors lww_dedup + the
     table_changes state filter exactly."""
     import pandas as pd
-    import pyarrow as pa
 
     if not files:
         return pd.DataFrame(columns=p.columns)
-    tables = [_read_parquet(p.data_dir, rel) for rel in files]
-    df = pa.concat_tables(tables, promote_options="permissive").to_pandas()
+    # split filter PER FILE, before any concat — this is what bounds one
+    # worker's pandas memory to ~one file plus its own key-share (all rows
+    # of a key hash identically, so per-file filtering commutes with the
+    # per-key LWW dedup below)
+    frames = [
+        _apply_split(_read_parquet(p.data_dir, rel).to_pandas(), p)
+        for rel in files
+    ]
+    df = pd.concat(frames, ignore_index=True, sort=False)
     if p.versioned:
         # last ROW per key after the stable (op_seq, offset) sort — NOT
         # groupby().last(), which takes the last non-null value PER COLUMN
@@ -424,8 +436,8 @@ def _bucket_state(p: _BucketDiffPartition, files: list[str]):
             subset=p.key_cols, keep="last"
         )
         df = df[df["op"] != "delete"]
-    df = _apply_split(df, p)
-    # conform to the visible column set (old files may predate ADD COLUMN)
+    # conform to the visible column set (old files may predate ADD COLUMN;
+    # pd.concat already null-fills mixed-vintage frames)
     for c in p.columns:
         if c not in df.columns:
             df[c] = None
@@ -433,17 +445,19 @@ def _bucket_state(p: _BucketDiffPartition, files: list[str]):
 
 
 def _apply_split(df, p: _BucketDiffPartition):
-    """Key-hash split filter: keep keys with hash ≡ i (mod n). Runs AFTER
-    the LWW dedup (every row of a key is in the loaded files regardless of
-    split, so the reduce is unaffected); uses pandas' content-deterministic
-    hash so sibling splits in other workers partition identically."""
+    """Key-hash split filter: keep keys with hash ≡ i (mod n); pandas'
+    content-deterministic hash over the STRING form of the key columns —
+    string-normalized because per-file filtering must hash a key
+    identically across file vintages whose physical dtypes differ
+    (schema widening stores int32 in old files, int64 in new ones)."""
     import pandas as pd
 
     i, n = p.split
     if n <= 1 or df.empty:
         return df
-    keys = df[p.key_cols].astype(str).agg("|".join, axis=1)
-    h = pd.util.hash_pandas_object(keys, index=False, categorize=False)
+    h = pd.util.hash_pandas_object(
+        df[p.key_cols].astype(str), index=False, categorize=False
+    )
     return df[(h % n) == i]
 
 

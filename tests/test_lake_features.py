@@ -868,6 +868,18 @@ def test_declared_clustering_applied_by_optimize_and_compact(spark, tmp_path):
     exp = table.read().filter(f"ts <= '{hi1}'")
     assert _sorted_rows(got) == _sorted_rows(exp)
 
+    # a merge_into CoW rewrite must ALSO keep the declared layout
+    from pyspark.sql import functions as F
+
+    src = table.read().filter("op != 'delete'").limit(3).select(
+        "conv_id", "turn_idx", F.lit("edited").alias("text")
+    )
+    table.merge_into(src, when_matched_update={"text": "s.text"})
+    m3 = table.manifest()
+    assert any(len(rels) > 1 for rels in m3["files"].values())
+    st3 = table.scan_file_stats("ts", hi=hi1)
+    assert st3["full"] < st3["total"]  # layout survived the CoW rewrite
+
     # clearing the declaration restores the bare-call error
     table.set_clustering()
     assert table.clustering() is None
@@ -875,3 +887,13 @@ def test_declared_clustering_applied_by_optimize_and_compact(spark, tmp_path):
         table.optimize()
     with pytest.raises(ValueError, match="not in schema"):
         table.set_clustering(zorder_by=["nope", "ts"])
+
+
+def test_set_clustering_validates_zorder_arity(spark, tmp_path):
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=2)
+    with pytest.raises(ValueError, match="2..6"):
+        table.set_clustering(zorder_by=["ts"])
+    with pytest.raises(ValueError, match="distinct"):
+        table.set_clustering(zorder_by=["ts", "ts"])
+    with pytest.raises(ValueError, match="not both"):
+        table.set_clustering(sort_by=["ts"], zorder_by=["ts", "turn_idx"])
