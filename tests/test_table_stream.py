@@ -42,7 +42,7 @@ def _ev(spark, op="insert", conv="A", seq=10, text="x", tool=None):
     )
 
 
-def _drain(spark, view, want, timeout=90):
+def _drain(spark, view, want, timeout=150):
     deadline = time.time() + timeout
     rows = []
     while time.time() < deadline:
@@ -90,10 +90,12 @@ def test_snapshot_cdf_stream_tail_and_restart(spark, tmp_path):
             .start()
         )
 
-    def sink_rows(want, timeout=90):
+    def sink_rows(q, want, timeout=180):
         deadline = time.time() + timeout
         rows = []
         while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(f"stream died: {q.exception()}")
             try:
                 rows = spark.read.parquet(out).collect()
             except Exception:
@@ -108,7 +110,7 @@ def test_snapshot_cdf_stream_tail_and_restart(spark, tmp_path):
         apply_changes(table, _ev(spark, conv="B", seq=20, text="b1"), epoch=1)
         apply_changes(table, _ev(spark, conv="A", seq=30, text="a2"), epoch=2)
         apply_changes(table, _ev(spark, op="delete", conv="B", seq=40), epoch=3)
-        rows = sink_rows(4)
+        rows = sink_rows(q, 4)
     finally:
         q.stop()
 
@@ -134,7 +136,7 @@ def test_snapshot_cdf_stream_tail_and_restart(spark, tmp_path):
     apply_changes(table, _ev(spark, conv="C", seq=50, text="c1"), epoch=4)
     q2 = start()  # same checkpoint: resumes after the last committed batch
     try:
-        rows2 = sink_rows(5)
+        rows2 = sink_rows(q2, 5)
     finally:
         q2.stop()
     # exactly one NEW row (no replay of committed batches), appended to
