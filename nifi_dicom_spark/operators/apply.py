@@ -12,6 +12,7 @@ shuffle with map-side combine (see tests/test_plans.py for plan assertions).
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -109,6 +110,24 @@ def apply_changes(
             raise ValueError(
                 f"NIFI_SPARK_CACHE_BATCH={raw!r} is not a boolean "
                 "(use 1/true/yes/on or 0/false/no/off)"
+            )
+    if "tool" not in events.columns and "schema_ver" in events.columns:
+        # a batch WITHOUT the tool column but WITH rows claiming
+        # schema_ver >= 2 is almost certainly a mis-read, not a v1 feed:
+        # raw spark.read.parquet on a mixed-vintage directory samples ONE
+        # file's schema and silently drops the late-added column for the
+        # whole batch (use sources.read_change_log, which pins the wire
+        # schema). Conforming would null 'tool' for every v2 row — warn
+        # before that happens silently.
+        probe = events.filter(F.col("schema_ver") >= 2).limit(1).collect()
+        if probe:
+            warnings.warn(
+                "batch carries schema_ver>=2 rows but no 'tool' column — "
+                "likely a raw parquet read of a mixed-vintage directory "
+                "(one file's schema sampled); read with "
+                "sources.read_change_log to pin the wire schema, or "
+                "'tool' will be nulled for the whole batch",
+                stacklevel=2,
             )
     events = conform_to_schema(events, CHANGE_EVENTS_SCHEMA)
     if cache_batch:

@@ -507,3 +507,53 @@ def test_crashed_commit_litter_recovery(spark, small_log, tmp_path):
     # loading the table sweeps the aged litter (backend repair at load)
     SnapshotTable.load(spark, table.path)
     assert not os.path.exists(litter)
+
+
+def test_apply_warns_on_v2_batch_missing_tool_column(spark, tmp_path):
+    """A batch claiming schema_ver >= 2 but lacking the tool column is the
+    signature of a raw parquet read over a mixed-vintage directory (one
+    file's schema sampled) — warn before nulling tool for every row. A
+    genuine v1 batch (schema_ver 1, no tool) stays silent."""
+    import warnings as _w
+
+    import pandas as pd
+
+    from nifi_dicom_spark.operators.apply import (
+        apply_changes,
+        create_transcripts_table,
+    )
+
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=2)
+
+    def batch(ver):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "offset": 1, "partition_id": 0, "op": "insert",
+                        "op_seq": 10, "conv_id": "A", "turn_idx": 0,
+                        "role": "user", "text": "x",
+                        "ts": pd.Timestamp("2024-01-01"), "schema_ver": ver,
+                    }
+                ]
+            )
+        ).select(  # note: NO tool column; int widths as on the wire
+            "offset",
+            F.col("partition_id").cast("int").alias("partition_id"),
+            "op", "op_seq", "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role", "text", "ts",
+            F.col("schema_ver").cast("int").alias("schema_ver"),
+        )
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        apply_changes(table, batch(2), epoch=0)
+    assert any("read_change_log" in str(r.message) for r in rec), rec
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        apply_changes(table, batch(1), epoch=1)
+    assert not any("read_change_log" in str(r.message) for r in rec)
