@@ -109,6 +109,10 @@ class _BucketDiffPartition(InputPartition):
     #: filter subdivides a big bucket's diff across n workers (and makes
     #: the whole-table rebucket fallback distributed instead of capped).
     split: tuple[int, int] = (0, 1)
+    #: the stream's declared output StructType as JSON — rows return to
+    #: Spark as pyarrow RecordBatches built against this schema
+    #: (vectorized Arrow transfer instead of per-row pickling)
+    schema_json: str = ""
 
 
 class _CDFStreamReader(DataSourceStreamReader):
@@ -120,6 +124,7 @@ class _CDFStreamReader(DataSourceStreamReader):
         #: new column appears after a stream restart re-plans the schema)
         meta = {f.name for f in CDF_META_FIELDS}
         self.columns = [f.name for f in schema.fields if f.name not in meta]
+        self.schema_json = schema.json()
         #: "cdf" (default): state diff per changed bucket — full pre/post
         #: images, cost ∝ the changed buckets' STATE. "upserts": read only
         #: the delta files each commit appended — cost ∝ the CHANGE SET
@@ -234,6 +239,7 @@ class _CDFStreamReader(DataSourceStreamReader):
                     versioned=versioned,
                     commit_version=ve,
                     split=(i, n),
+                    schema_json=self.schema_json,
                 )
                 for i in range(n)
             ]
@@ -320,6 +326,7 @@ class _CDFStreamReader(DataSourceStreamReader):
                             versioned=True,
                             commit_version=v,
                             mode="upserts",
+                            schema_json=self.schema_json,
                         )
                     )
             prev = m
@@ -358,7 +365,7 @@ class _CDFStreamReader(DataSourceStreamReader):
 
         o = old_s.set_index(keys)
         n = new_s.set_index(keys)
-        rows: list[tuple] = []
+        frames: list["pd.DataFrame"] = []
 
         def emit(frame: "pd.DataFrame", key_frame: "pd.DataFrame", ct: str):
             # values in p.columns order — the declared schema's field order,
@@ -368,11 +375,9 @@ class _CDFStreamReader(DataSourceStreamReader):
             idx = pd.MultiIndex.from_frame(key_frame) if len(keys) > 1 else (
                 pd.Index(key_frame[keys[0]])
             )
-            sel = frame.loc[idx].reset_index()
-            for r in sel[p.columns].itertuples(index=False):
-                rows.append(
-                    tuple(_py(v) for v in r) + (ct, p.commit_version)
-                )
+            sel = frame.loc[idx].reset_index()[p.columns].copy()
+            sel["_change_type"] = ct
+            frames.append(sel)
 
         if not both_keys.empty:
             idx = pd.MultiIndex.from_frame(both_keys) if len(keys) > 1 else (
@@ -388,7 +393,11 @@ class _CDFStreamReader(DataSourceStreamReader):
             emit(n, changed, "update_postimage")
         emit(n, ins_keys, "insert")
         emit(o, del_keys, "delete")
-        return iter(rows)
+        if not frames:
+            return iter(())
+        out = pd.concat(frames, ignore_index=True)
+        out["_commit_version"] = p.commit_version
+        return _emit_rows(out, p)
 
 
 def _read_upserts(p: _BucketDiffPartition):
@@ -402,12 +411,46 @@ def _read_upserts(p: _BucketDiffPartition):
     for c in p.columns:
         if c not in df.columns:
             df[c] = None
-    ops = df["op"].astype(str)
-    rows = [
-        tuple(_py(v) for v in r) + (ct, p.commit_version)
-        for r, ct in zip(df[p.columns].itertuples(index=False), ops)
-    ]
-    return iter(rows)
+    out = df[p.columns].copy()
+    out["_change_type"] = df["op"].astype(str)
+    out["_commit_version"] = p.commit_version
+    return _emit_rows(out, p)
+
+
+def _emit_rows(out, p: _BucketDiffPartition):
+    """Hand a result frame back to Spark: pyarrow RecordBatches against
+    the declared schema (vectorized Arrow transfer — the Python Data
+    Source API accepts them in place of tuples, avoiding per-row
+    pickling), falling back to tuples when no schema was shipped."""
+    import json as _json
+
+    import pandas as pd
+    import pyarrow as pa
+
+    if not p.schema_json:
+        return iter(
+            tuple(_py(v) for v in r) for r in out.itertuples(index=False)
+        )
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(T.StructType.fromJson(_json.loads(p.schema_json)))
+    out = out[list(target.names)]
+    for name, typ in zip(target.names, target.types):
+        col = out[name]
+        if pa.types.is_integer(typ) and col.dtype.kind == "f":
+            # outer-join nulls promoted an int column to float NaN —
+            # arrow refuses float→int with NaN; nullable Int carries it
+            out[name] = col.astype("Int64")
+        elif (
+            pa.types.is_timestamp(typ)
+            and typ.tz is not None
+            and col.dtype.kind == "M"
+            and getattr(col.dtype, "tz", None) is None
+        ):
+            out[name] = col.dt.tz_localize("UTC")
+    tbl = pa.Table.from_pandas(out, schema=target, preserve_index=False)
+    return iter(tbl.to_batches(max_chunksize=1 << 16))
 
 
 def _bucket_state(p: _BucketDiffPartition, files: list[str]):
