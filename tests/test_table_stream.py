@@ -424,3 +424,55 @@ def test_cdf_key_hash_splits_preserve_content(spark, tmp_path):
     split = drain("split_forced", maxPartitionDiffBytes=2000)  # forces multi-split
     assert split == plain
     assert len(plain) == 8  # 6 inserts + pre/post pair for A
+
+
+def test_stream_across_added_int_column_arrow_nulls(spark, tmp_path):
+    """An ADD COLUMN of an INT type makes old-side images null-fill; the
+    Arrow emission must carry those as proper nulls (nullable-Int path),
+    not crash on float-NaN → int casts. Stream starts AFTER the evolution
+    so the declared schema includes the new column."""
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["k"], n_buckets=2
+    )
+    t.overwrite(spark.createDataFrame([("a", 1), ("b", 2)], schema=schema))
+    # evolution: int column 'score' arrives; 'a' gets a value, 'b' keeps null
+    t.merge(
+        spark.createDataFrame([("a", 10, 7)], "k string, v long, score int"),
+        op_col=None,
+        policy="upsert",
+    )
+    v_mid = t.current_version()
+
+    spark.dataSource.register(SnapshotCDFDataSource)
+    feed = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", t.path)
+        .option("startingVersion", v_mid - 1)
+        .load()
+    )
+    assert "score" in feed.schema.fieldNames()
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("ev_int")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        rows = _drain(spark, "ev_int", 2)
+    finally:
+        q.stop()
+    got = {(r["k"], r["_change_type"]): r["score"] for r in rows}
+    # pre-image predates the column -> null; post-image carries the int
+    assert got[("a", "update_preimage")] is None
+    assert got[("a", "update_postimage")] == 7
