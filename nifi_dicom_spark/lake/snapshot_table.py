@@ -1779,6 +1779,49 @@ class SnapshotTable:
         c = (self.manifest().get("props") or {}).get("clustering")
         return dict(c) if c else None
 
+    def detail(self) -> dict:
+        """One-call table overview (the ``DESCRIBE DETAIL`` analog):
+        current version, layout, file/byte counts (base vs merge-on-read
+        deltas), declared clustering/constraints/stats, ledger watermarks
+        and retention. Metadata only — one manifest read plus driver-side
+        ``stat`` of the referenced files, no Spark job."""
+        m = self.manifest()
+
+        def tally(which: str) -> tuple[int, int]:
+            n = b = 0
+            for rels in m.get(which, {}).values():
+                for rel in rels:
+                    n += 1
+                    try:
+                        b += os.path.getsize(os.path.join(self.data_dir, rel))
+                    except OSError:
+                        pass
+            return n, b
+
+        nf, bf = tally("files")
+        nd, bd = tally("delta_files")
+        props = m.get("props") or {}
+        return {
+            "path": self.path,
+            "version": m["version"],
+            "committed_at": m.get("committed_at"),
+            "key_cols": list(m["key_cols"]),
+            "n_buckets": m["n_buckets"],
+            "bucket_fn": m.get("bucket_fn"),
+            "schema": T.StructType.fromJson(
+                json.loads(m["schema"])
+            ).simpleString(),
+            "num_base_files": nf,
+            "base_bytes": bf,
+            "num_delta_files": nd,
+            "delta_bytes": bd,
+            "clustering": props.get("clustering"),
+            "constraints": dict(props.get("constraints", {})),
+            "stats_cols": list(props.get("stats_cols", [])),
+            "applied_watermarks": self._hw(m),
+            "min_retained_version": self.min_retained_version(),
+        }
+
     def _clustering_write_args(
         self, m: dict, df: DataFrame
     ) -> tuple[DataFrame, list[str] | None, int | None]:

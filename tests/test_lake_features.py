@@ -897,3 +897,24 @@ def test_set_clustering_validates_zorder_arity(spark, tmp_path):
         table.set_clustering(zorder_by=["ts", "ts"])
     with pytest.raises(ValueError, match="not both"):
         table.set_clustering(sort_by=["ts"], zorder_by=["ts", "turn_idx"])
+
+
+def test_detail_overview(spark, tmp_path):
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for e in range(2):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+    table.set_clustering(sort_by=["ts"])
+    table.add_constraint("text_like", "text LIKE 'e%'")
+    d = table.detail()
+    assert d["version"] == table.current_version()
+    assert d["key_cols"] == ["conv_id", "turn_idx"]
+    assert d["n_buckets"] == 4 and d["bucket_fn"] == "murmur3"
+    assert d["num_delta_files"] > 0 and d["delta_bytes"] > 0
+    assert d["clustering"] == {"sort_by": ["ts"]}
+    assert d["constraints"] == {"text_like": "text LIKE 'e%'"}
+    assert "ts" in d["stats_cols"]
+    assert d["applied_watermarks"] == {"0": 1, "1": 1}
+    assert d["min_retained_version"] == 0
+    assert "conv_id:string" in d["schema"]
+    assert d["committed_at"] is not None
