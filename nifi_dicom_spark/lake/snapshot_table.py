@@ -2040,13 +2040,21 @@ class SnapshotTable:
         return new["version"]
 
     def vacuum(
-        self, keep_versions: int = 2, min_file_age_s: float = 3600.0
+        self,
+        keep_versions: int = 2,
+        min_file_age_s: float = 3600.0,
+        dry_run: bool = False,
     ) -> int:
         """Delete data files unreferenced by the newest ``keep_versions``
         manifests; records the new ``min_retained_version`` atomically-enough
         (blob written BEFORE any file deletion, so a crash mid-vacuum can
         only over-claim — reads of a half-vacuumed version raise rather than
         crash). Returns number of files removed.
+
+        ``dry_run`` (the VACUUM DRY RUN analog): report the count of files
+        that WOULD be removed under the same retention/age rules without
+        deleting anything or advancing the retention watermark — time
+        travel below ``min_retained_version`` stays exactly as it was.
 
         ``min_file_age_s``: files younger than this are kept even when
         unreferenced — an OCC writer mid-merge (or rebasing after a lost
@@ -2062,10 +2070,11 @@ class SnapshotTable:
             )
         cur = self.current_version()
         min_retained = max(self.min_retained_version(), cur - keep_versions + 1, 0)
-        self.backend.put_blob(
-            "VACUUM.json",
-            json.dumps({"min_retained_version": min_retained}).encode(),
-        )
+        if not dry_run:
+            self.backend.put_blob(
+                "VACUUM.json",
+                json.dumps({"min_retained_version": min_retained}).encode(),
+            )
         keep = range(min_retained, cur + 1)
         referenced: set[str] = set()
         for v in keep:
@@ -2085,8 +2094,11 @@ class SnapshotTable:
                             continue  # possibly a live writer's pre-commit file
                     except OSError:
                         continue
-                    os.unlink(abspath)
+                    if not dry_run:
+                        os.unlink(abspath)
                     removed += 1
+        if dry_run:
+            return removed
         # prune commit dirs that are empty and old enough that no live
         # writer can still be about to populate them
         for entry in os.listdir(self.data_dir):

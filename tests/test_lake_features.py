@@ -918,3 +918,20 @@ def test_detail_overview(spark, tmp_path):
     assert d["min_retained_version"] == 0
     assert "conv_id:string" in d["schema"]
     assert d["committed_at"] is not None
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for e in range(3):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+    table.compact()  # old versions' deltas become unreferenced by HEAD
+
+    would = table.vacuum(keep_versions=1, min_file_age_s=0, dry_run=True)
+    assert would > 0
+    # nothing deleted, retention watermark untouched: time travel intact
+    assert table.min_retained_version() == 0
+    assert table.read(version=1).count() > 0
+    # the real vacuum then removes exactly what the dry run reported
+    assert table.vacuum(keep_versions=1, min_file_age_s=0) == would
+    assert table.min_retained_version() > 0
