@@ -33,6 +33,7 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--starting-version", type=int, default=None)
     ap.add_argument("--trigger", default="1 second")
+    ap.add_argument("--mode", default="cdf", choices=["cdf", "upserts"])
     ap.add_argument("--timeout-s", type=float, default=0.0)
     args = ap.parse_args()
 
@@ -62,6 +63,7 @@ def main() -> None:
         args.checkpoint,
         starting_version=starting,
         trigger_interval=args.trigger,
+        mode=args.mode,
     )
     if args.timeout_s > 0:
         q.awaitTermination(args.timeout_s)

@@ -86,12 +86,26 @@ def replicate_stream(
     checkpoint: str,
     starting_version: int | None = None,
     trigger_interval: str = "1 second",
+    mode: str = "cdf",
 ):
     """Start (and return) the streaming query replicating ``source_path``
     into ``replica``. Stop it via ``query.stop()``; restarting with the
-    same ``checkpoint`` resumes exactly-once."""
+    same ``checkpoint`` resumes exactly-once.
+
+    ``mode="cdf"`` (default) replicates from collapsed state diffs —
+    works for any source, cost ∝ changed buckets' state. ``mode=
+    "upserts"`` replicates from the delta files each commit appended —
+    cost ∝ the change set (requires a merge-on-read source); a batch
+    spanning several commits may carry several rows per key, so the
+    apply LWW-reduces by source commit version before merging."""
+    if mode not in ("cdf", "upserts"):
+        raise ValueError(f"mode must be cdf|upserts, got {mode!r}")
     spark.dataSource.register(SnapshotCDFDataSource)
-    reader = spark.readStream.format("snapshot_cdf").option("path", source_path)
+    reader = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", source_path)
+        .option("mode", mode)
+    )
     if starting_version is not None:
         reader = reader.option("startingVersion", starting_version)
     feed = reader.load()
@@ -101,33 +115,43 @@ def replicate_stream(
         for c in feed.columns
         if c not in ("_change_type", "_commit_version", *_VERSION_COLS)
     ]
+    known = (
+        ("insert", "update_preimage", "update_postimage", "delete")
+        if mode == "cdf"
+        else ("insert", "update", "delete")
+    )
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        known = ("insert", "update_preimage", "update_postimage", "delete")
         bad = (
             batch_df.filter(~F.col("_change_type").isin(*known))
             .limit(1)
             .collect()
         )
         if bad:
-            # never map an unknown change type onto a destructive op — the
-            # upserts-mode types ('update'), or any future type, must be
-            # wired explicitly, not swallowed as deletes
+            # never map an unknown change type onto a destructive op —
+            # any future type must be wired explicitly, not swallowed
             raise ValueError(
                 f"unexpected _change_type {bad[0]['_change_type']!r} in "
-                "replication feed (replicate_stream expects mode=cdf)"
+                f"replication feed (mode={mode})"
             )
         ev = batch_df.filter(
             F.col("_change_type") != F.lit("update_preimage")
         ).select(
             *payload,
             F.when(F.col("_change_type") == "insert", "insert")
-            .when(F.col("_change_type") == "update_postimage", "update")
+            .when(F.col("_change_type").isin("update_postimage", "update"), "update")
             .otherwise("delete")
             .alias("op"),
             F.col("_commit_version").alias("op_seq"),
             F.col("_commit_version").alias("offset"),
         )
+        if mode == "upserts":
+            # several commits per batch ⇒ up to one row per key PER
+            # commit; keep the latest commit's row (key, commit) is
+            # unique, so the reduce is deterministic
+            from nifi_dicom_spark.operators.dedup import lww_dedup
+
+            ev = lww_dedup(ev, replica.key_cols())
         replica.merge(
             ev,
             op_col="op",

@@ -476,3 +476,49 @@ def test_stream_across_added_int_column_arrow_nulls(spark, tmp_path):
     # pre-image predates the column -> null; post-image carries the int
     assert got[("a", "update_preimage")] is None
     assert got[("a", "update_postimage")] == 7
+
+
+def test_replication_in_upserts_mode(spark, tmp_path):
+    """Change-set-proportional replication: the replica converges from the
+    delta-file feed, including a delete and a multi-commit batch (several
+    rows per key LWW-reduced by source commit version)."""
+    from nifi_dicom_spark.operators.apply import read_final_state
+    from nifi_dicom_spark.streaming.replicate import (
+        create_replica_table,
+        replicate_stream,
+    )
+
+    src = create_transcripts_table(spark, str(tmp_path / "src"), n_buckets=4)
+    apply_changes(src, _ev(spark, conv="A", seq=10, text="a1"), epoch=0)
+    # several commits BEFORE the stream starts — one batch, multi-commit
+    apply_changes(src, _ev(spark, conv="A", seq=20, text="a2", op="update"), epoch=1)
+    apply_changes(src, _ev(spark, conv="B", seq=30, text="b1"), epoch=2)
+    apply_changes(src, _ev(spark, op="delete", conv="B", seq=40, text=None), epoch=3)
+    replica = create_replica_table(spark, str(tmp_path / "dst"), src)
+
+    q = replicate_stream(
+        spark, src.path, replica, str(tmp_path / "ck"),
+        starting_version=0, mode="upserts",
+    )
+    try:
+        deadline = time.time() + 120
+        want = {("A", 0, "a2")}
+        got = None
+        while time.time() < deadline:
+            got = {
+                (r["conv_id"], r["turn_idx"], r["text"])
+                for r in read_final_state(replica).collect()
+            }
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want, got
+    finally:
+        q.stop()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cdf|upserts"):
+        replicate_stream(
+            spark, src.path, replica, str(tmp_path / "ck2"), mode="nope"
+        )
