@@ -342,9 +342,14 @@ class SnapshotTable:
         key_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
         max_records_per_file: int | None = None,
+        expected_buckets: "set[int] | None" = None,
+        expect_exact: bool = True,
     ) -> dict[str, list[str]]:
         """Write df as exactly one sorted parquet file per non-empty bucket
         under a fresh commit directory; return bucket -> [relpath].
+
+        ``expected_buckets`` (with ``expect_exact``) is the post-write
+        misplacement tripwire — see the inline comment at the end.
 
         ``murmur3`` layout: ``repartition(n_buckets, key_col)`` IS the bucket
         function (HashPartitioning uses the same murmur3), so output
@@ -389,49 +394,95 @@ class SnapshotTable:
         # so auxiliary sort keys (the z-order interleave) can order the file
         # without being written to it.
         wdf = clustered.sortWithinPartitions(*(sort_cols or kc)).select(*data_cols)
-        # AQE partition coalescing MUST NOT fire on this write: if the source
-        # plan already carries an ENSURE_REQUIREMENTS exchange hash-
+        # AQE MUST NOT re-shape the final exchange of this write: if the
+        # source plan already carries an ENSURE_REQUIREMENTS exchange hash-
         # partitioned on the key with numPartitions == n_buckets (e.g. an
         # upstream join on the key while shuffle.partitions == n_buckets),
         # Catalyst elides the explicit REPARTITION_BY_NUM as redundant —
         # correct mapping, but the surviving exchange is no longer
-        # coalesce-protected, and a coalesced write breaks the
+        # AQE-protected, and a coalesced (or locally-read) write breaks the
         # partition-index == bucket-id invariant (rows of several buckets
         # in one file → silent misplacement; regression-tested via the
-        # dead-letter read-modify-write path).
+        # dead-letter read-modify-write path AND the foreachBatch clone
+        # test below).
         #
-        # Scoping: AQE never coalesces a REPARTITION_BY_NUM shuffle, so when
+        # Scoping: AQE never re-shapes a REPARTITION_BY_NUM shuffle, so when
         # the physical plan still contains ours (the overwhelmingly common
         # case) the write needs NO conf change at all. Only when the explicit
-        # repartition was elided (or the plan can't be inspected) does the
-        # session-global toggle run — under a process-wide lock so concurrent
-        # writers can't interleave their set/restore, and only for the
-        # duration of this rare write.
+        # repartition was elided (or the plan can't be inspected) do we
+        # disable AQE outright for this one write — under a process-wide lock
+        # so concurrent writers can't interleave their set/restore.
+        #
+        # CRITICAL: both the plan inspection and the conf toggle must act on
+        # the session the plan EXECUTES under — ``wdf.sparkSession`` — not
+        # ``self.spark``. Inside ``foreachBatch`` the batch DataFrame (and
+        # everything derived from it, joins against this table's own reads
+        # included) is bound to a per-micro-batch CLONED SparkSession with
+        # its own SQLConf; toggling the outer session is a silent no-op
+        # there, which is exactly how the dead-letter table lost 7/8 of its
+        # rows to a coalesced single-file write once shuffle.partitions
+        # happened to equal n_buckets (the join-on-key elision scenario).
         def _writer():
             w = wdf.write.mode("overwrite")
             if max_records_per_file:
                 w = w.option("maxRecordsPerFile", int(max_records_per_file))
             return w
 
+        exec_sess = getattr(wdf, "sparkSession", None) or self.spark
         if self._plan_coalesce_safe(wdf):
             _writer().parquet(out_abs)
         else:
-            conf = self.spark.conf
-            coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+            conf = exec_sess.conf
+            aqe_key = "spark.sql.adaptive.enabled"
             with _WRITE_CONF_LOCK:
-                prev = conf.get(coalesce_key, "true")
-                conf.set(coalesce_key, "false")
+                prev = conf.get(aqe_key, "true")
+                conf.set(aqe_key, "false")
                 try:
                     _writer().parquet(out_abs)
                 finally:
-                    conf.set(coalesce_key, prev)
+                    conf.set(aqe_key, prev)
+        import pyarrow.parquet as _pq
+
         files: dict[str, list[str]] = {}
         for fn in os.listdir(out_abs):
             if not fn.endswith(".parquet") or not fn.startswith("part-"):
                 continue
+            # Spark always emits a (0-row) file for write-partition 0 even
+            # when that partition is empty (schema preservation for fully-
+            # empty writes) — registering it would pin a phantom file under
+            # bucket 0 in every manifest and trip the misplacement check
+            # below. One local footer read per written file (≤ n_buckets
+            # per commit; the stats path already reads these footers).
+            if _pq.read_metadata(os.path.join(out_abs, fn)).num_rows == 0:
+                continue
             b = str(int(fn.split("-")[1]))
             files.setdefault(b, []).append(os.path.join(out_rel, fn))
-        return {b: sorted(v) for b, v in files.items()}
+        files = {b: sorted(v) for b, v in files.items()}
+        # Loud tripwire against ANY residual misplacement vector: callers on
+        # paths where every expected bucket provably receives ≥1 row (MoR
+        # merge: rows = the conformed batch; compact/optimize: tombstones
+        # are stored rows, so a bucket with files cannot reduce to empty)
+        # pass the expected bucket set — a mismatch means the write's
+        # partition-index ↔ bucket mapping broke, and committing it would
+        # corrupt the table silently (the next compaction folds rows of N
+        # buckets under one bucket id and drops the rest). Fail the commit
+        # instead; the orphaned write directory is vacuum's problem.
+        if expected_buckets is not None:
+            got = {int(b) for b in files}
+            exp = {int(b) for b in expected_buckets}
+            stray = got - exp
+            missing = (exp - got) if expect_exact else set()
+            if stray or missing:
+                raise RuntimeError(
+                    "bucket write misplacement detected "
+                    f"(wrote buckets {sorted(got)}, expected "
+                    f"{sorted(exp)}{'' if expect_exact else ' (superset)'}; "
+                    f"stray={sorted(stray)} missing={sorted(missing)}): "
+                    "the write's partition-index == bucket-id invariant "
+                    "broke (AQE re-shaped the final exchange?); refusing "
+                    "to commit misattributed files"
+                )
+        return files
 
     # ------------------------------------------------------------ file stats
 
@@ -903,12 +954,14 @@ class SnapshotTable:
         return new["version"]
 
     def _plan_coalesce_safe(self, df: DataFrame) -> bool:
-        """True when the write needs no AQE-coalescing toggle: coalescing is
-        globally off, or the plan's top exchange is still our explicit
-        ``REPARTITION_BY_NUM`` (a shuffle origin AQE never coalesces).
+        """True when the write needs no AQE toggle: AQE/coalescing is off in
+        the session the plan EXECUTES under (``df.sparkSession`` — inside
+        ``foreachBatch`` that is the micro-batch CLONE, not ``self.spark``),
+        or the plan's top exchange is still our explicit
+        ``REPARTITION_BY_NUM`` (a shuffle origin AQE never re-shapes).
         Conservative on any inspection failure (False → use the toggle)."""
         try:
-            conf = self.spark.conf
+            conf = (getattr(df, "sparkSession", None) or self.spark).conf
             if conf.get("spark.sql.adaptive.enabled", "true") != "true":
                 return True
             if (
@@ -1173,12 +1226,17 @@ class SnapshotTable:
                     fn,
                     already_clustered=True,
                     key_cols=key_cols,
+                    # MoR rows = the conformed batch: every touched bucket
+                    # keeps ≥1 row through the dedup, so the written bucket
+                    # set must equal the touched set exactly
+                    expected_buckets=set(touched),
                 )
             else:
                 merged = lww_dedup(combined, key_cols).withColumn("_bucket", bucket)
                 merged = merged.select(*schema.fieldNames(), "_bucket")
                 new_files = self._write_bucket_files(
-                    merged, tag, n_buckets, fn, key_cols=key_cols
+                    merged, tag, n_buckets, fn, key_cols=key_cols,
+                    expected_buckets=set(touched) if mode == "mor" else None,
                 )
             stats = self._commit_merge(
                 m, schema, touched, new_files, commit_keys, policy, skipped,
@@ -1254,8 +1312,11 @@ class SnapshotTable:
                 raise ValueError(f"unknown merge policy {policy!r}")
 
             tag = uuid.uuid4().hex[:12]
+            # cow upsert can legitimately empty a touched bucket (delete-only
+            # batch against an absent key), so only stray buckets are fatal
             new_files = self._write_bucket_files(
-                merged, tag, n_buckets, fn, key_cols=key_cols
+                merged, tag, n_buckets, fn, key_cols=key_cols,
+                expected_buckets=set(touched), expect_exact=False,
             )
         finally:
             src.unpersist()
@@ -1871,6 +1932,10 @@ class SnapshotTable:
                 "_bucket", _bucket_expr(m["key_cols"][0], m["n_buckets"], fn)
             )
         tag = uuid.uuid4().hex[:12]
+        # tombstones are stored rows, so a bucket holding ≥1 delta file
+        # cannot LWW-reduce to empty: the rewrite must repopulate exactly
+        # the compacted buckets (misplacement here is what turns a
+        # coalesced write into silent row loss)
         new_files = self._write_bucket_files(
             merged,
             tag,
@@ -1879,6 +1944,7 @@ class SnapshotTable:
             key_cols=m["key_cols"],
             sort_cols=sort_cols,
             max_records_per_file=max_rpf,
+            expected_buckets=set(todo),
         )
         stats = self._commit_merge(
             m, self.schema(), todo, new_files, None, "compact", 0, delta=False
@@ -1958,6 +2024,7 @@ class SnapshotTable:
             fn,
             key_cols=m["key_cols"],
             sort_cols=sort_cols,
+            expected_buckets=set(todo),
             max_records_per_file=max_records_per_file,
         )
         stats = self._commit_merge(

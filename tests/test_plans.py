@@ -151,6 +151,7 @@ def test_plan_coalesce_safe_detection(spark, tmp_path):
     # the plan (kernel-parallelism .repartition(8)). The decision must come
     # from the topmost shuffle exchange — a whole-plan substring search
     # would wrongly report safe here.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         agg = base.repartition(8).groupBy("k").agg(F.max("v").alias("v"))
@@ -159,4 +160,4 @@ def test_plan_coalesce_safe_detection(spark, tmp_path):
         assert "REPARTITION_BY_NUM" in plan  # the decoy is present
         assert not table._plan_coalesce_safe(elided)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
