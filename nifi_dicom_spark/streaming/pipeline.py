@@ -56,6 +56,14 @@ class CDCPipeline:
     #: (poison events can't loop forever through the retry feed)
     dead_letter: SnapshotTable | None = None
     max_retries: int = 3
+    #: hard cap on rows ``requeue_retryable`` pulls to the driver per call.
+    #: The reject channel of a healthy stream is tiny, but a malformed-input
+    #: flood (upstream schema break → every event quarantined) must not
+    #: materialize the whole backlog in driver memory: rows beyond the cap
+    #: stay quarantined and are picked up by the NEXT requeue call
+    #: (lowest offsets first, so deferral is deterministic and makes
+    #: progress).
+    max_requeue_per_epoch: int = 100_000
     #: test hook: called (epoch, result) after each successful apply
     on_batch: Callable | None = None
     epochs_applied: list[int] = field(default_factory=list)
@@ -120,8 +128,10 @@ class CDCPipeline:
         SURVEY T7). Reads every quarantined row written so far, drops
         offsets that are already poison (≥ ``max_retries``), dedups by
         offset, and appends ONE new change-log file for the next trigger to
-        pick up. Returns the number of requeued events (0 = the loop has
-        drained: everything left is poison or nothing is quarantined).
+        pick up. At most ``max_requeue_per_epoch`` events are pulled to the
+        driver per call; any excess is deferred to the next call. Returns
+        the number of requeued events (0 = the loop has drained: everything
+        left is poison or nothing is quarantined).
 
         Termination is structural: each retry epoch re-quarantines the same
         still-bad events, incrementing ``retry_count`` idempotently, until
@@ -145,11 +155,16 @@ class CDCPipeline:
         retry = bad.join(poisoned, on="offset", how="left_anti").dropDuplicates(
             ["offset"]
         )
-        # quarantine sets are tiny (the reject channel of a healthy stream);
+        # Bound the driver-side materialization: a poison flood must not
+        # pull the whole quarantine backlog into driver memory. Lowest
+        # offsets first so the deferral is deterministic; the remainder is
+        # requeued by subsequent calls (the loop structure tolerates
+        # deferral — quarantine files persist until their events drain).
+        capped = retry.orderBy("offset").limit(int(self.max_requeue_per_epoch))
         # emit ONE flat file like every other change-log file so the
         # streaming source's listing picks it up (a Spark directory-write
         # would nest part files the file source does not list)
-        pdf = retry.toPandas()
+        pdf = capped.toPandas()
         if len(pdf):
             import pyarrow as pa
             import pyarrow.parquet as pq

@@ -190,6 +190,157 @@ def test_deadletter_retry_loop_parks_poison(spark, tmp_path):
     assert sorted(final_state["text"]) == ["a", "c", "d"]
 
 
+def test_requeue_cap_bounds_poison_flood(spark, tmp_path):
+    """A malformed-input flood (upstream schema break → every event
+    quarantined) must not pull the whole quarantine backlog into driver
+    memory on requeue: each ``requeue_retryable`` call pulls at most
+    ``max_requeue_per_epoch`` rows (lowest offsets first), defers the rest
+    to later calls, and the loop still drains without losing any retryable
+    event or double-counting any retry."""
+    import pandas as pd
+
+    from nifi_dicom_spark.operators.deadletter import create_deadletter, poison
+
+    n_bad, n_ok, cap, max_retries = 100_000, 100, 10_000, 2
+    n = n_bad + n_ok
+    log = pd.DataFrame(
+        {
+            "offset": range(n),
+            "partition_id": [0] * n,
+            "op": ["insert"] * n,
+            "op_seq": [1] * n,
+            # the flood: first n_bad offsets have a null key (permanently bad)
+            "conv_id": [None] * n_bad + [f"C{i}" for i in range(n_ok)],
+            "turn_idx": [0] * n,
+            "role": ["user"] * n,
+            "text": [f"t{i}" for i in range(n)],
+            "tool": [None] * n,
+            "ts": pd.to_datetime(["2024-01-01"] * n),
+            "schema_ver": [2] * n,
+        }
+    )
+    ev_dir = str(tmp_path / "events")
+    write_event_files(log, ev_dir, n_files=1)
+    table = create_transcripts_table(spark, str(tmp_path / "transcripts"))
+    dl = create_deadletter(spark, str(tmp_path / "dl"))
+    p = CDCPipeline(
+        spark=spark,
+        events_dir=ev_dir,
+        table=table,
+        checkpoint_dir=str(tmp_path / "ck"),
+        quarantine_dir=str(tmp_path / "q"),
+        dead_letter=dl,
+        max_retries=max_retries,
+        max_requeue_per_epoch=cap,
+    )
+    p.run_available()
+    assert dl.read().count() == n_bad  # whole flood quarantined once
+
+    requeued: list[int] = []
+    while (got := p.requeue_retryable()) > 0:
+        assert got <= cap  # the driver pull is bounded per call
+        requeued.append(got)
+        p.run_available()
+        assert len(requeued) <= n_bad // cap + 2, "requeue loop failed to drain"
+    # the first calls saturate the cap; deferral loses nothing: every bad
+    # event was requeued exactly once before parking at max_retries=2
+    assert requeued[0] == cap
+    assert sum(requeued) == n_bad
+    assert poison(dl, max_retries).count() == n_bad
+    # valid rows all applied despite the flood
+    assert read_final_state(table).count() == n_ok
+
+
+def test_foreachbatch_clone_write_attribution(spark, tmp_path):
+    """Regression: inside ``foreachBatch`` every DataFrame is bound to a
+    per-micro-batch CLONED SparkSession. A read-modify-write merge whose
+    join on the key produces an ENSURE_REQUIREMENTS exchange with
+    numPartitions == n_buckets (shuffle.partitions == n_buckets here) gets
+    its explicit REPARTITION_BY_NUM elided; the AQE guard must then act on
+    the CLONE's conf, not the outer session's, or AQE coalesces the bucket
+    partitions and files get attributed to the wrong buckets — silent row
+    loss at the next compaction (how the dead-letter table once lost 7/8 of
+    its rows). Asserts per-bucket attribution directly: every bucket-pruned
+    read returns exactly the keys that hash to it, and compaction preserves
+    the full count."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    schema = T.StructType(
+        [
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("n_seen", T.IntegerType(), False),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["offset"], n_buckets=n_buckets
+    )
+    n = 400
+    pd_events = __import__("pandas").DataFrame(
+        {"offset": range(n), "v": [f"x{i}" for i in range(n)]}
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    pd_events.to_parquet(str(src_dir / "b0.parquet"), index=False)
+
+    def rmw(batch_df, epoch_id):
+        # dl-style read-modify-write: join against the table's own read on
+        # the key → hash(offset, n_buckets) partitioning upstream of the
+        # merge's repartition → the elision scenario
+        prior = table.read().select(
+            "offset", F.col("n_seen").alias("_prior")
+        )
+        entries = (
+            batch_df.select(F.col("offset").cast("long").alias("offset"))
+            .dropDuplicates(["offset"])
+            .join(prior, on="offset", how="left")
+            .select(
+                "offset",
+                F.lit("update").alias("op"),
+                F.lit(int(epoch_id)).cast("long").alias("op_seq"),
+                (F.coalesce(F.col("_prior"), F.lit(0)) + 1)
+                .cast("int")
+                .alias("n_seen"),
+            )
+        )
+        table.merge(entries, op_col="op", policy="versioned_upsert")
+
+    q = (
+        spark.readStream.schema("offset long, v string")
+        .parquet(str(src_dir))
+        .writeStream.foreachBatch(rmw)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert table.read().count() == n
+    # direct attribution check: bucket-pruned reads return exactly the keys
+    # whose murmur3 hash lands in that bucket
+    expect = {
+        r["offset"]: r["b"]
+        for r in spark.range(n)
+        .select(
+            F.col("id").alias("offset"),
+            F.pmod(F.hash(F.col("id")), F.lit(n_buckets)).alias("b"),
+        )
+        .collect()
+    }
+    for b in range(n_buckets):
+        got = sorted(r["offset"] for r in table.read(buckets=[b]).collect())
+        want = sorted(k for k, v in expect.items() if v == b)
+        assert got == want, f"bucket {b}: misattributed rows"
+    # compaction over the (correctly attributed) deltas loses nothing
+    table.compact()
+    assert table.read().count() == n
+
+
 def test_gap_timeout_conversation_completeness(spark, tmp_path):
     """T2: applyInPandasWithState gap-timeout — a conversation completes only
     after `gap` of event-time quiescence; later traffic advances the
