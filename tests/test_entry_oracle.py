@@ -83,3 +83,31 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------- NTZ proof
+#
+# The driver's correctness session runs with DEFAULT Spark 4 configs, where
+# spark.sql.parquet.inferTimestampNTZ.enabled=true reads the pandas-written
+# fixture `ts` columns as TIMESTAMP_NTZ. The engine's own sessions pin the
+# flag false, which let a driver-only DATATYPE_MISMATCH crash
+# (unix_micros over NTZ in debezium_parse, round 3) coexist with a green
+# local suite. Every queries() entry must therefore run under the driver's
+# config too — this sweep is the conftest-level guard against that drift.
+
+
+@pytest.fixture(scope="module")
+def ntz_session(spark):
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    yield spark
+    spark.conf.set(key, prev)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_runs_under_driver_ntz_config(ntz_session, name):
+    q = entry_mod.queries()[name]
+    df = q(ntz_session, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
