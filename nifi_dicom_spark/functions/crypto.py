@@ -27,7 +27,13 @@ EQUAL plaintext no longer produce byte-identical envelopes (the v2 scheme
 derived the IV from the plaintext itself, which made the whole column an
 equality oracle: identical envelopes ⇔ identical plaintexts). Calling
 ``encrypt_payload`` without an identity column keeps the v2
-plaintext-derived IV for compatibility — documented as equality-disclosing.
+plaintext-derived IV for compatibility — equality-disclosing, so it now
+raises :class:`CryptoEqualityLeakWarning` at plan-build time. Because the
+IV is a pure function of (password, identity), re-encrypting an UPDATED
+payload under a key-only identity reuses the key+IV pair across row
+versions — include ``op_seq``/epoch in the identity (see
+:func:`encrypt_payload`) when old versions remain readable via time
+travel.
 
 The envelope is authenticated: an HMAC-SHA256 tag (truncated to 16 bytes)
 over iv‖ciphertext, keyed by the AES key, is appended. Decrypting with a
@@ -51,12 +57,19 @@ from __future__ import annotations
 
 import hashlib
 import hmac
+import warnings
 from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+class CryptoEqualityLeakWarning(UserWarning):
+    """Raised when the column-level API is used in a mode that discloses
+    plaintext equality (v2 plaintext-derived IV) — see
+    :func:`encrypt_payload`."""
+
 
 MAGIC_V3 = b"NDS3"  # identity-derived IV (no plaintext-equality disclosure)
 MAGIC_V2 = b"NDS2"  # plaintext-derived IV, authenticated
@@ -156,19 +169,37 @@ def encrypt_payload(
 ) -> Column:
     """BinaryType → BinaryType AES envelope (Arrow-batched).
 
-    Pass ``identity`` (a column UNIQUE per row, e.g.
-    ``F.concat_ws("|", "conv_id", "turn_idx")``) to key the IV by row
-    identity (v3 envelopes — no cross-row plaintext-equality disclosure).
-    Rows whose identity is NULL fall back to the v2 plaintext-derived IV
-    for that row (a constant IV for all null-identity rows would be WORSE
-    than v2: CBC with equal key+IV reveals common plaintext prefixes, not
-    just whole-value equality). The same prefix-disclosure applies if the
-    identity column is not actually unique — rows SHARING an identity value
-    share an IV — so derive it from the row's key. Without ``identity``,
-    v2 envelopes are emitted (plaintext-derived IV: equal plaintexts ⇒
-    equal envelopes)."""
+    Pass ``identity`` (a column UNIQUE per row AND per row VERSION, e.g.
+    ``F.concat_ws("|", "conv_id", "turn_idx", "op_seq")``) to key the IV by
+    row identity (v3 envelopes — no cross-row plaintext-equality
+    disclosure). Rows whose identity is NULL fall back to the v2
+    plaintext-derived IV for that row (a constant IV for all null-identity
+    rows would be WORSE than v2: CBC with equal key+IV reveals common
+    plaintext prefixes, not just whole-value equality). The same
+    prefix-disclosure applies whenever two encryptions SHARE an identity
+    value — across rows when the column is not actually unique, and ACROSS
+    VERSIONS OF THE SAME ROW when an update re-encrypts a changed payload
+    under an identity built only from the key: old envelopes stay readable
+    via time travel until vacuum, and an observer holding both versions
+    learns the length of the common plaintext prefix. Fold a monotone
+    version component that is stable under replay — ``op_seq`` or the
+    commit epoch — into the identity to close that channel (decryption
+    never recomputes the IV, so this costs nothing at read time).
+
+    Without ``identity``, v2 envelopes are emitted (plaintext-derived IV:
+    equal plaintexts ⇒ byte-equal envelopes — a column-wide equality
+    oracle) and a ``CryptoEqualityLeakWarning`` is raised at plan-build
+    time so the leak can't be re-opened by simple omission; suppress it
+    only for deliberate v2-compatibility writes."""
     c = F.col(col) if isinstance(col, str) else col
     if identity is None:
+        warnings.warn(
+            "encrypt_payload called without identity: emitting v2 envelopes "
+            "whose plaintext-derived IV makes equal plaintexts byte-equal "
+            "(an equality oracle). Pass identity=<key ‖ op_seq> for v3.",
+            CryptoEqualityLeakWarning,
+            stacklevel=2,
+        )
 
         @F.pandas_udf(T.BinaryType())
         def _enc(s: pd.Series) -> pd.Series:

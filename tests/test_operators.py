@@ -712,11 +712,15 @@ def test_train_centroids_deterministic_and_quantized():
 
 def test_encrypt_decrypt_roundtrip(spark):
     """F9: AES envelope round trip is identity; deterministic across replays;
-    wrong password fails cleanly; non-envelopes are detected."""
+    wrong password fails cleanly; non-envelopes are detected. Omitting the
+    identity column (v2 compatibility mode) must WARN — the equality leak
+    can't be re-opened silently."""
     import pandas as pd
+    import pytest
     from pyspark.sql import functions as F
 
     from nifi_dicom_spark.functions.crypto import (
+        CryptoEqualityLeakWarning,
         decrypt_payload,
         encrypt_payload,
         is_envelope,
@@ -725,7 +729,8 @@ def test_encrypt_decrypt_roundtrip(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"id": [1, 2, 3], "t": ["alpha", "", "snow ☃ bytes"]})
     ).select("id", F.encode("t", "UTF-8").alias("p"))
-    enc = df.withColumn("env", encrypt_payload("p", "pw")).cache()
+    with pytest.warns(CryptoEqualityLeakWarning):
+        enc = df.withColumn("env", encrypt_payload("p", "pw")).cache()
     out = enc.withColumn("back", decrypt_payload("env", "pw")).collect()
     for r in sorted(out, key=lambda r: r["id"]):
         assert bytes(r["back"]) == bytes(r["p"])
@@ -785,6 +790,29 @@ def test_encrypt_identity_iv_no_equality_leak(spark):
     assert all(bytes(r["b"]) == bytes(r["p"]) for r in back)
     bad = enc.withColumn("b", decrypt_payload("env", "WRONG")).collect()
     assert all(r["b"] is None for r in bad)
+
+
+def test_encrypt_version_folded_identity_no_prefix_leak():
+    """Cross-version IV reuse: re-encrypting an UPDATED payload under a
+    key-only identity reuses key+IV, so the two envelopes (both readable
+    via time travel) share ciphertext blocks up to the first plaintext
+    difference — a prefix-length disclosure. Folding the monotone op_seq
+    into the identity (the documented remedy) gives each version its own
+    IV, and decryption needs no knowledge of it."""
+    from nifi_dicom_spark.functions.crypto import _decrypt_one, _encrypt_one
+
+    v1 = b"A" * 64 + b"tail-one"
+    v2 = b"A" * 64 + b"tail-two"  # update: same 64-byte prefix
+    # key-only identity: shared IV → first 4 CBC blocks byte-identical
+    e1 = _encrypt_one("pw", v1, identity=b"conv|0")
+    e2 = _encrypt_one("pw", v2, identity=b"conv|0")
+    body1, body2 = e1[36:-16], e2[36:-16]
+    assert body1[:64] == body2[:64] and body1 != body2  # the leak, pinned
+    # op_seq folded in: no shared blocks at all
+    f1 = _encrypt_one("pw", v1, identity=b"conv|0|7")
+    f2 = _encrypt_one("pw", v2, identity=b"conv|0|8")
+    assert f1[36:52] != f2[36:52]  # first blocks differ
+    assert _decrypt_one("pw", f1) == v1 and _decrypt_one("pw", f2) == v2
 
 
 def test_decrypt_legacy_envelope_generations(spark):
