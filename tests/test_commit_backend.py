@@ -609,3 +609,187 @@ def test_concurrent_props_change_conflicts(spark, tmp_path):
         table.merge(
             _rows(spark, schema, [k_a], "writer-a"), policy="versioned_upsert"
         )
+
+
+# ------------------------------------- object-store visibility contract (r4)
+
+
+class _DiesBeforeManifestPut(InMemoryKVStore):
+    """Writer death in the exact object-store hazard window: every data
+    file of the epoch is already PUT (visible to anyone who lists the data
+    prefix) but the manifest conditional-put never executes."""
+
+    def __init__(self, die_on_version: int):
+        super().__init__()
+        self.die_on_key = f"transcripts/v{die_on_version}.json"
+        self.died = False
+
+    def put_if_absent(self, key: str, payload: bytes) -> bool:
+        if key == self.die_on_key and not self.died:
+            self.died = True
+            raise RuntimeError("writer killed before manifest put")
+        return super().put_if_absent(key, payload)
+
+
+def test_kv_backend_early_visible_data_files_never_surface(
+    spark, tiny_log, tmp_path
+):
+    """Object stores make data files visible the moment they are PUT —
+    BEFORE the manifest conditional-put that references them. A writer
+    dying (or losing the race) in that window leaves early-visible,
+    unreferenced files under the data prefix. The conditional-put backend
+    must not care: readers follow the manifest's EXACT paths (never a
+    data-prefix LIST), the recovered writer re-merges cleanly, and vacuum
+    is what eventually identifies the litter. The POSIX backend gets the
+    same ordering for free from link(2); this pins it for the KV path."""
+    import os
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from nifi_dicom_spark.model import KEY_COLUMNS
+    from nifi_dicom_spark.operators.apply import STORED_COLUMNS
+    from pyspark.sql import types as T
+
+    by_name = {f.name: f for f in CHANGE_EVENTS_SCHEMA.fields}
+    stored = T.StructType([by_name[c] for c in STORED_COLUMNS])
+    kv = _DiesBeforeManifestPut(die_on_version=2)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), stored, key_cols=KEY_COLUMNS, n_buckets=8,
+        backend=ConditionalPutCommitBackend(kv, prefix="transcripts/"),
+    )
+    half = len(tiny_log) // 2
+    apply_changes(table, _spark_events(spark, tiny_log.iloc[:half]), epoch=0)
+
+    def data_files():
+        out = []
+        for root, _dirs, fns in os.walk(str(tmp_path / "t" / "data")):
+            out += [os.path.join(root, f) for f in fns if f.endswith(".parquet")]
+        return set(out)
+
+    before = data_files()
+    with pytest.raises(RuntimeError, match="before manifest put"):
+        apply_changes(table, _spark_events(spark, tiny_log.iloc[half:]), epoch=1)
+    orphans = data_files() - before
+    assert orphans, "the dead writer's data files should be visible early"
+    # 1) reads are pinned to the manifest: the early-visible files change
+    #    nothing, and a foreign decoy under the data prefix changes nothing
+    assert_final_state_equal(
+        read_final_state(table).toPandas(), replay_oracle(tiny_log.iloc[:half])
+    )
+    decoy_dir = tmp_path / "t" / "data" / "c-deadbeefdead"
+    decoy_dir.mkdir()
+    tiny_log.iloc[:3].to_parquet(str(decoy_dir / "part-00000-decoy.parquet"))
+    assert_final_state_equal(
+        read_final_state(table).toPandas(), replay_oracle(tiny_log.iloc[:half])
+    )
+    # 2) the recovered writer re-merges the SAME epoch cleanly (fresh file
+    #    tag; the orphans from the failed attempt are inert)
+    r = apply_changes(table, _spark_events(spark, tiny_log.iloc[half:]), epoch=1)
+    assert r.merge.applied
+    assert_final_state_equal(
+        read_final_state(table).toPandas(), replay_oracle(tiny_log)
+    )
+    # 3) vacuum flags the orphan litter once past the in-flight age guard,
+    #    and removing it leaves reads byte-identical
+    would = table.vacuum(keep_versions=1, min_file_age_s=0.0, dry_run=True)
+    assert would >= len(orphans)
+    removed = table.vacuum(keep_versions=1, min_file_age_s=0.0)
+    assert removed == would
+    assert not (orphans & data_files())
+    assert_final_state_equal(
+        read_final_state(table).toPandas(), replay_oracle(tiny_log)
+    )
+
+
+class _StaleListKV(InMemoryKVStore):
+    """LIST-after-PUT inconsistency on the MANIFEST prefix: for ``lag``
+    list calls after each put, list_keys serves a stale snapshot that
+    omits the newly-put keys (what eventually-consistent stores did, and
+    what a cached LIST still does)."""
+
+    def __init__(self, lag: int):
+        super().__init__()
+        self.lag = lag
+        self.armed = False  # inject staleness only in the window under test
+        self._stale: list[tuple[list[str], int]] = []  # (snapshot, remaining)
+
+    def put_if_absent(self, key: str, payload: bytes) -> bool:
+        with self._lock:
+            snapshot = sorted(self._data)
+        ok = super().put_if_absent(key, payload)
+        if ok and self.armed:
+            self._stale.append((snapshot, self.lag))
+        return ok
+
+    def list_keys(self, prefix: str) -> list[str]:
+        if self._stale:
+            snapshot, remaining = self._stale[0]
+            if remaining <= 0:
+                self._stale.pop(0)
+            else:
+                self._stale[0] = (snapshot, remaining - 1)
+                return [k for k in snapshot if k.startswith(prefix)]
+        return super().list_keys(prefix)
+
+
+def test_kv_backend_stale_list_reads_lag_but_stay_consistent(spark, tmp_path):
+    """current_version() is the only LIST in the read path. Under
+    list-after-put inconsistency a reader may briefly resolve the PREVIOUS
+    version — which is a complete, committed snapshot — and must never see
+    an error or partial state; once the listing catches up the new version
+    appears. Writers are unaffected: the conditional put is atomic per key
+    regardless of LIST staleness."""
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    # lag sized to outlast the merge's own internal post-commit list calls
+    # so the fresh reader is guaranteed to land inside the stale window
+    kv = _StaleListKV(lag=50)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["k"], n_buckets=4,
+        backend=ConditionalPutCommitBackend(kv, prefix="t/"),
+    )
+    import pandas as pd
+
+    def batch(tag, seq):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": [f"k{i}" for i in range(6)],
+                    "op": ["update"] * 6,
+                    "op_seq": [seq] * 6,
+                    "offset": list(range(6)),
+                    "v": [seq * 100 + i for i in range(6)],
+                }
+            )
+        )
+
+    table.merge(batch("a", 1), op_col="op", policy="versioned_upsert")
+    v_before = table.current_version()
+    kv.armed = True  # LIST goes stale exactly around the next commit
+    table.merge(batch("b", 2), op_col="op", policy="versioned_upsert")
+    # a FRESH reader under stale LIST resolves the previous version: a
+    # complete snapshot (all op_seq=1), no error, no mixed state
+    stale_reader = SnapshotTable.load(
+        spark, str(tmp_path / "t"),
+        backend=ConditionalPutCommitBackend(kv, prefix="t/"),
+    )
+    lagged = stale_reader.read().toPandas()
+    assert stale_reader.current_version() >= v_before
+    assert set(lagged["op_seq"]) == {1}
+    # the listing catches up -> the committed merge appears, intact
+    while kv._stale:
+        kv.list_keys("t/")
+    fresh = SnapshotTable.load(
+        spark, str(tmp_path / "t"),
+        backend=ConditionalPutCommitBackend(kv, prefix="t/"),
+    ).read().toPandas()
+    assert set(fresh["op_seq"]) == {2}
