@@ -44,6 +44,29 @@ Registration (per session)::
             .option("path", table_path)
             .option("startingVersion", 1)   # default: current at start
             .load())
+
+Options:
+
+* ``startingVersion`` — first version to stream from (default: the
+  table's current version when the query starts).
+* ``mode`` — ``cdf`` (default; state diffs with pre/post images) or
+  ``upserts`` (each commit's appended delta files verbatim; requires
+  merge-on-read writes).
+* ``maxVersionsPerBatch`` — backlog PACING, not a hard cap. Limits how
+  many table versions one micro-batch covers while draining a backlog
+  (``1`` = exact per-commit attribution). CAVEAT — restart hole: the
+  limit is applied from in-process driver state that the Data Source API
+  gives no way to seed from the checkpointed start offset, so the FIRST
+  micro-batch after a query restart covers the entire outstanding
+  backlog in one batch regardless of the option. That batch is still
+  correct (rows attribute to its endpoint version, as always), but
+  callers must NOT rely on this option to bound per-batch memory or
+  latency across restarts — size ``maxPartitionDiffBytes`` for the
+  worst-case whole-backlog batch instead (that cap is per-partition and
+  stateless, so it DOES hold across restarts).
+* ``maxPartitionDiffBytes`` — split threshold (default 128 MiB): a diff
+  whose referenced files exceed this many bytes is subdivided into
+  key-hash splits so no single worker's pandas state outgrows memory.
 """
 
 from __future__ import annotations
@@ -474,7 +497,29 @@ def _bucket_state(p: _BucketDiffPartition, files: list[str]):
     if p.versioned:
         # last ROW per key after the stable (op_seq, offset) sort — NOT
         # groupby().last(), which takes the last non-null value PER COLUMN
-        # and would stitch superseded values into the winner
+        # and would stitch superseded values into the winner.
+        #
+        # Tie guard: on (key, op_seq, offset) ties this keep='last' would
+        # break by file/concat order while the Spark-side lww_dedup max_by
+        # breaks by payload struct comparison — the two sides could
+        # disagree. Duplicate EVENT DELIVERY legitimately lands the same
+        # byte-identical row in two epochs' delta files (any winner is the
+        # same row), but a tie with DIFFERING payloads means the table is
+        # malformed: fail loudly rather than stream a state that read()
+        # might not reproduce.
+        vkey = [*p.key_cols, "op_seq", "offset"]
+        dupe = df.duplicated(subset=vkey, keep=False)
+        if dupe.any():  # rare path: disambiguate only the tied rows
+            distinct = df.loc[dupe].astype(str).drop_duplicates()
+            clash = distinct.duplicated(subset=vkey, keep=False)
+            if clash.any():
+                sample = distinct.loc[clash, vkey].head(4)
+                raise ValueError(
+                    "malformed table: rows sharing (key, op_seq, offset) "
+                    "with DIFFERENT payloads make the LWW winner "
+                    "ambiguous (pandas and Spark tie-breaks differ); "
+                    f"sample:\n{sample.to_string(index=False)}"
+                )
         df = df.sort_values(["op_seq", "offset"], kind="stable").drop_duplicates(
             subset=p.key_cols, keep="last"
         )

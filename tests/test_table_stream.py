@@ -522,3 +522,43 @@ def test_replication_in_upserts_mode(spark, tmp_path):
         replicate_stream(
             spark, src.path, replica, str(tmp_path / "ck2"), mode="nope"
         )
+
+
+def test_bucket_state_tie_guard(tmp_path):
+    """The pandas LWW reduce mirrors lww_dedup only when (key, op_seq,
+    offset) identifies a row. Byte-identical duplicate deliveries (same
+    event in two epochs' delta files) are fine — any winner is the same
+    row; ties with DIFFERENT payloads are a malformed table and must fail
+    loudly instead of streaming an order-dependent state."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from nifi_dicom_spark.sources.table_stream import (
+        _BucketDiffPartition,
+        _bucket_state,
+    )
+
+    cols = ["k", "op", "op_seq", "offset", "v"]
+
+    def write(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows, columns=cols)),
+            str(tmp_path / name),
+        )
+        return name
+
+    p = _BucketDiffPartition(
+        data_dir=str(tmp_path), key_cols=["k"], columns=cols, versioned=True
+    )
+    # exact duplicate delivery across two files: one winner, no error
+    f1 = write("a.parquet", [("k1", "update", 5, 10, "same")])
+    f2 = write("b.parquet", [("k1", "update", 5, 10, "same"),
+                             ("k2", "update", 1, 11, "x")])
+    out = _bucket_state(p, [f1, f2])
+    assert sorted(out["k"]) == ["k1", "k2"] and len(out) == 2
+    # same version key, different payloads: ambiguous winner -> ValueError
+    f3 = write("c.parquet", [("k1", "update", 5, 10, "DIFFERENT")])
+    with pytest.raises(ValueError, match="DIFFERENT payloads"):
+        _bucket_state(p, [f1, f3])
