@@ -50,6 +50,22 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", cpus=cpus)
 
+    # Config-drift guard (round-3 lesson: a red driver CORRECTNESS row
+    # coexisted with a green local bench because the driver session reads
+    # parquet timestamps as NTZ while this one pins the flag). The queries
+    # are NTZ-proofed by the test sweep (tests/test_entry_oracle.py); the
+    # bench RECORDS the flags it ran under so any future divergence between
+    # bench and driver sessions is visible in the artifact, not hidden.
+    session_conf = {
+        "inferTimestampNTZ": spark.conf.get(
+            "spark.sql.parquet.inferTimestampNTZ.enabled"
+        ),
+        "timeZone": spark.conf.get("spark.sql.session.timeZone"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        "shufflePartitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    assert session_conf["timeZone"] == "UTC", session_conf  # oracle contract
+
     timings: dict[str, float] = {}
 
     # --- headline: sustained CDC replay ------------------------------------
@@ -110,6 +126,7 @@ def main() -> None:
                     "replay_events_per_sec_incl_compact": round(eps_incl_compact, 1),
                     "replay_final_rows": n_final,
                     "cpus": cpus,
+                    "session_conf": session_conf,
                 },
             }
         )
