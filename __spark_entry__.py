@@ -1175,6 +1175,59 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.col("_u").alias("u"))
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window construction: overlapping token chunks per document
+    (max 24 tokens, 8-token overlap) — a zero-shuffle projection+explode of
+    built-in sequence/slice/concat_ws (no Python, full codegen)."""
+    from nifi_dicom_spark.functions.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, max_tokens=24, overlap=8)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean log-prob under the
+    corpus's own unigram distribution — one token-hash exchange feeding
+    both the frequency aggregate and the co-partitioned join (no broadcast
+    of the vocabulary), then one re-aggregate by doc."""
+    from nifi_dicom_spark.functions.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs)
+
+
+_MIXTURE_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 0.5}
+_MIXTURE_BUDGET = 6_000
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture plan: per-source availability vs target weights and
+    the sampling rate (>1 = upsample) that hits a token budget — one tiny
+    map-side-combined aggregate over the corpus."""
+    from nifi_dicom_spark.functions.corpus import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return mixture_plan(
+        docs, weights=_MIXTURE_WEIGHTS, token_budget=_MIXTURE_BUDGET
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply mixture rates deterministically in BOTH directions: md5-uniform
+    downsampling below rate 1, floor+fractional-uniform upsampling above it
+    (each copy distinguishable via _copy) — zero shuffle, kept multiset is
+    a pure function of doc ids."""
+    from nifi_dicom_spark.functions.corpus import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_sample(
+        docs,
+        rates={"src0": 2.787456, "src1": 0.86580, "src2": 0.473703},
+        salt="r4",
+    )
+    return out.select("doc_id", "source", "_copy", F.col("_u").alias("u"))
+
+
 def q_attr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 all-tags mode: every attribute stringified (200-char cap, W4) and
     emitted as (id, attr, value) rows — explode(map_entries)."""
@@ -1837,6 +1890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         # --- new this round --------------------------------------------
         "redact_regions": q_redact_regions,
+        "chunk_docs": q_chunk_docs,
+        "unigram_logprob": q_unigram_logprob,
+        "mixture_plan": q_mixture_plan,
+        "mixture_sample": q_mixture_sample,
         # --- green r3 rows ----------------------------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -1844,10 +1901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermarks": q_watermarks,
         "route_split": q_route_split,
         "hierarchy_query": q_hierarchy_query,
-        "deidentify": q_deidentify,
-        "sessionize": q_sessionize,
-        "priority_merge": q_priority_merge,
-        "winnowing": q_winnowing,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1878,6 +1931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimize_scan": q_optimize_scan,
         "zorder_scan": q_zorder_scan,
         # --- green since rounds 1-2: rotated to the tail ----------------
+        "deidentify": q_deidentify,
+        "sessionize": q_sessionize,
+        "priority_merge": q_priority_merge,
+        "winnowing": q_winnowing,
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
         "lang_guess": q_lang_guess,
@@ -2748,6 +2805,83 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, lang, u FROM s WHERE u < rate
+        """,
+        "chunk_docs": """
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), c AS (
+              SELECT id, toks,
+                     CASE WHEN len(toks) <= 0 THEN 0
+                          WHEN len(toks) <= 24 THEN 1
+                          ELSE CAST(ceil((len(toks) - 24) / 16.0) AS INT) + 1
+                     END AS n_chunks
+              FROM t
+            ), e AS (
+              SELECT id, toks, unnest(range(0, n_chunks)) AS i FROM c
+            )
+            SELECT id, CAST(i AS INT) AS chunk_idx,
+                   CAST(i * 16 AS INT) AS start_token,
+                   CAST(len(toks[i*16+1 : i*16+24]) AS INT) AS n_chunk_tokens,
+                   array_to_string(toks[i*16+1 : i*16+24], ' ') AS chunk_text
+            FROM e
+        """,
+        "unigram_logprob": """
+            WITH tok AS (
+              SELECT doc_id AS id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents
+            ), freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT id, count(*) AS n_tokens,
+                   round(avg(ln(tf)) - ln((SELECT n FROM tot)), 4) AS mean_logprob,
+                   round(-(avg(ln(tf)) - ln((SELECT n FROM tot))) / ln(2), 4)
+                     AS bits_per_token
+            FROM tok JOIN freq USING (token)
+            GROUP BY id
+        """,
+        "mixture_plan": """
+            WITH avail AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                              x -> x <> ''))) AS BIGINT)
+                       AS available_tokens
+              FROM documents GROUP BY source
+            ), w AS (
+              SELECT *, CASE source WHEN 'src0' THEN 3.0/4.5
+                                    WHEN 'src1' THEN 1.0/4.5
+                                    WHEN 'src2' THEN 0.5/4.5
+                                    ELSE 0.0 END AS wt
+              FROM avail
+            )
+            SELECT source, n_docs, available_tokens,
+                   round(wt, 6) AS weight,
+                   CAST(round(wt * 6000) AS BIGINT) AS target_tokens,
+                   round(wt * 6000 / available_tokens, 6) AS sample_rate
+            FROM w
+        """,
+        "mixture_sample": """
+            WITH s AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 'r4'), 1, 8))::BIGINT
+                       / 4294967296.0 AS u,
+                     CASE source WHEN 'src0' THEN 2.787456
+                                 WHEN 'src1' THEN 0.86580
+                                 WHEN 'src2' THEN 0.473703
+                                 ELSE 0.0 END AS rate
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, u,
+                     CAST(floor(rate) +
+                          CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END
+                          AS INT) AS n_copies
+              FROM s
+            )
+            SELECT doc_id, source, CAST(i AS INT) AS _copy, u
+            FROM (SELECT doc_id, source, u, unnest(range(1, n_copies + 1)) AS i
+                  FROM c)
         """,
         "nested_deidentify": """
             SELECT user_id, event_id,

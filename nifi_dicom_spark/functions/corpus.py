@@ -304,3 +304,150 @@ def decontaminate(
         F.min("hamming").alias("min_hamming"),
         F.count(F.lit(1)).alias("n_matches"),
     )
+
+
+# --------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Training-window construction: split each document into overlapping
+    token windows of ``max_tokens`` with ``overlap`` tokens carried between
+    consecutive windows (stride = ``max_tokens − overlap``) — the step
+    between "clean documents" and "training sequences".
+
+    Output: one row per chunk — ``(id, chunk_idx, start_token,
+    n_chunk_tokens, chunk_text)``. A document with ≤ ``max_tokens`` tokens
+    yields exactly one chunk; an empty document yields none; the last
+    chunk is the (possibly short) remainder. Chunk boundaries are pure
+    whitespace-token arithmetic (the same tokenizer as
+    :mod:`nifi_dicom_spark.functions.text`), so the operator is a single
+    zero-shuffle projection + explode: built-in `sequence`/`slice`/
+    `concat_ws` only, whole-stage codegen, no Python — at 100 TB the cost
+    is one pass over the text column with output ∝ total tokens.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
+        )
+    stride = max_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(F.col("_toks"))
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= max_tokens, F.lit(1))
+        .otherwise(F.ceil((n - F.lit(max_tokens)) / F.lit(float(stride))) + 1)
+        .cast("int")
+    )
+    idx = F.col("_chunk_idx")
+    sliced = F.slice(F.col("_toks"), idx * stride + 1, max_tokens)
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .withColumn(
+            "_chunk_idx",
+            F.explode(
+                # sequence(0, -1) would count DOWN; empty docs must emit an
+                # empty array so the explode drops them instead
+                F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ),
+        )
+        .select(
+            "id",
+            idx.cast("int").alias("chunk_idx"),
+            (idx * stride).cast("int").alias("start_token"),
+            F.size(sliced).cast("int").alias("n_chunk_tokens"),
+            F.concat_ws(" ", sliced).alias("chunk_text"),
+        )
+    )
+
+
+# --------------------------------------------------------- corpus mixture
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-mixture arithmetic: given target mixture ``weights`` per
+    source and a total ``token_budget``, compute per-source availability
+    and the deterministic sampling rate that hits the target — the plan a
+    training-data pipeline derives before materializing a weighted corpus.
+
+    ``sample_rate`` > 1 means upsampling (the source must repeat across
+    epochs to meet its weight); :func:`mixture_sample` applies either
+    direction deterministically. One tiny aggregate over the corpus
+    (partial-agg map-side; the result is sources-sized), so the plan costs
+    a single column scan at any corpus size. Sources absent from
+    ``weights`` get weight 0 (dropped by the sample step).
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum > 0")
+    ntok = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    avail = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).cast("long").alias("available_tokens"),
+    )
+    w: Column = F.lit(0.0)
+    for s, v in sorted(weights.items()):
+        w = F.when(F.col("source") == s, F.lit(float(v) / total_w)).otherwise(w)
+    target = w * F.lit(float(token_budget))
+    return avail.select(
+        "source",
+        "n_docs",
+        "available_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(target).cast("long").alias("target_tokens"),
+        F.round(target / F.col("available_tokens"), 6).alias("sample_rate"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Apply a mixture plan's per-source rates deterministically, BOTH
+    directions: rate ≤ 1 downsamples (md5-uniform keep, exactly
+    :func:`stratified_sample`'s contract), rate > 1 upsamples — every doc
+    repeats ``floor(rate)`` times plus one more iff its uniform falls
+    below the fractional part, so expected copies = rate with zero
+    variance re-run to re-run (the kept multiset is a pure function of
+    ids). Output adds ``_copy`` (1-based repeat index: distinct training
+    epochs of the same doc stay distinguishable downstream) and ``_u``
+    (the raw uniform, for replay audits). Zero shuffle — a filter +
+    bounded explode, whole-stage codegen.
+    """
+    u = sample_uniform(id_col, salt)
+    rate: Column = F.lit(0.0)
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
+    n_copies = (
+        F.floor(rate) + F.when(F.col("_u") < rate - F.floor(rate), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.withColumn("_u", u)
+        .withColumn("_n_copies", n_copies)
+        .withColumn(
+            "_copy",
+            F.explode(
+                F.when(
+                    F.col("_n_copies") > 0,
+                    F.sequence(F.lit(1), F.col("_n_copies")),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("_n_copies")
+    )

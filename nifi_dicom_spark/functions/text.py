@@ -7,6 +7,8 @@ tables at 100 TB never touch Python for these. Cross-engine-deterministic
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -275,4 +277,62 @@ def quality_filter(
         lang.alias("lang"),
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
+    )
+
+
+# ------------------------------------------------------- unigram LM score
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-proxy quality score: mean log-probability of each
+    document's tokens under the corpus's OWN unigram distribution (the
+    KenLM-style signal large-scale pipelines use to rank text quality,
+    computed without an external model: p(t) = corpus_count(t) / corpus
+    tokens, case-folded).
+
+    Output: ``(id, n_tokens, mean_logprob, bits_per_token)`` — higher
+    ``bits_per_token`` ⇔ rarer vocabulary ⇔ "surprising" text (gibberish
+    and boilerplate both stand out, at opposite ends). Documents with zero
+    tokens are omitted (their mean is undefined).
+
+    Scale shape: exact corpus-wide frequencies cost two exchanges over the
+    exploded token relation — (1) hash-shuffle by token for the frequency
+    aggregate and the join (AQE broadcasts the vocab side when it is
+    small; a huge vocabulary falls back to the co-partitioned shuffle
+    join, so no size assumption is baked in), then (2) re-aggregate by
+    doc id. The corpus total is Σ tf over the vocab-sized freq relation
+    (not a third corpus scan) and joins in as a broadcast single-row
+    crossJoin. Partial aggregation (map-side combine) applies at both
+    ends; nothing is collected to the driver.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # the corpus total is Σ tf — derive it from the vocab-sized freq
+    # relation rather than a third full scan of the text column
+    total = freq.groupBy().agg(F.sum("tf").alias("corpus_tokens"))
+    per_doc = (
+        tok.join(freq, "token")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log("tf")).alias("_avg_ln_tf"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "id",
+        "n_tokens",
+        F.round(
+            F.col("_avg_ln_tf") - F.log("corpus_tokens"), 4
+        ).alias("mean_logprob"),
+        F.round(
+            -(F.col("_avg_ln_tf") - F.log("corpus_tokens")) / F.lit(math.log(2)),
+            4,
+        ).alias("bits_per_token"),
     )

@@ -199,3 +199,138 @@ def test_decontaminate_rejects_bad_pigeonhole(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="pigeonhole"):
         decontaminate(df, df, "text", "doc_id", max_hamming=4, n_bands=4)
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk arithmetic against a hand-computed serial replay: stride =
+    max−overlap, last chunk is the short remainder, n≤max yields one
+    chunk, empty docs yield none — and the operator stays a zero-shuffle
+    projection (no Exchange in the plan)."""
+    import re
+
+    from nifi_dicom_spark.functions.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks → 1 chunk
+            (2, " ".join(f"u{i}" for i in range(25))),  # 25 → chunks at 0,6,12,18
+            (3, ""),  # empty → none
+            (4, "one two"),  # short → 1 chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=10, overlap=4)
+    rows = {(r["id"], r["chunk_idx"]): r for r in out.collect()}
+    # serial replay
+    def expect(n, mx=10, ov=4):
+        stride = mx - ov
+        if n <= 0:
+            return []
+        if n <= mx:
+            return [(0, n)]
+        import math
+        k = math.ceil((n - mx) / stride) + 1
+        return [(i * stride, min(mx, n - i * stride)) for i in range(k)]
+
+    for did, n in ((1, 10), (2, 25), (3, 0), (4, 2)):
+        exp = expect(n)
+        got = sorted(k for k in rows if k[0] == did)
+        assert len(got) == len(exp), (did, got, exp)
+        for idx, (start, length) in enumerate(exp):
+            r = rows[(did, idx)]
+            assert r["start_token"] == start and r["n_chunk_tokens"] == length
+    # overlap really carries tokens: chunk1 of doc 2 starts at token 6
+    assert rows[(2, 1)]["chunk_text"].split()[0] == "u6"
+    assert rows[(2, 0)]["chunk_text"].split()[-1] == "u9"  # 4-token overlap
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Exchange (hash|range|Single)", plan)
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=10, overlap=10)
+
+
+def test_mixture_plan_and_sample(spark):
+    """Plan arithmetic (weights normalized, rate = target/available) and
+    BOTH sampling directions: rate>1 repeats docs floor(r)(+1 on the
+    fractional uniform) times, rate<1 keeps the md5-uniform subset; kept
+    multiset is a pure function of ids (re-run identical), expected token
+    mass tracks the target, and the sample plan has no Exchange."""
+    import re
+
+    from nifi_dicom_spark.functions.corpus import (
+        mixture_plan,
+        mixture_sample,
+        sample_uniform,
+    )
+
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", "w x y z") for i in range(n)],
+        "doc_id long, source string, text string",
+    )
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(
+            docs, weights={"a": 3.0, "b": 1.0}, token_budget=2000
+        ).collect()
+    }
+    assert plan["a"]["available_tokens"] == 800 and plan["a"]["n_docs"] == 200
+    assert plan["a"]["weight"] == 0.75 and plan["a"]["target_tokens"] == 1500
+    assert plan["a"]["sample_rate"] == round(1500 / 800, 6)  # 1.875 upsample
+    assert plan["b"]["sample_rate"] == round(500 / 800, 6)  # 0.625 downsample
+
+    rates = {"a": 1.875, "b": 0.625}
+    out = mixture_sample(docs, rates, salt="s")
+    rows = out.collect()
+    # determinism: bit-identical multiset on re-run
+    again = mixture_sample(docs, rates, salt="s").collect()
+    key = lambda r: (r["doc_id"], r["_copy"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    # direction semantics per doc: copies = floor(r) (+1 iff u < frac(r))
+    u = {
+        r["doc_id"]: r["u"]
+        for r in docs.select(
+            "doc_id", sample_uniform("doc_id", "s").alias("u")
+        ).collect()
+    }
+    import collections
+
+    copies = collections.Counter(r["doc_id"] for r in rows)
+    for i in range(n):
+        r = rates["a" if i % 2 == 0 else "b"]
+        exp = int(r) + (1 if u[i] < r - int(r) else 0)
+        assert copies.get(i, 0) == exp, (i, r, u[i])
+    # _copy is 1..n_copies (epochs distinguishable)
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r["doc_id"]].append(r["_copy"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    plan_str = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Exchange (hash|range|Single)", plan_str)
+
+
+def test_unigram_logprob_matches_serial(spark):
+    """Exact corpus-unigram mean log-prob vs a pure-Python replay; empty
+    docs omitted; case-folded."""
+    import math
+    from collections import Counter
+
+    from nifi_dicom_spark.functions.text import unigram_logprob
+
+    texts = {1: "a b a c", 2: "A b", 3: "", 4: "c c d"}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in unigram_logprob(docs).collect()}
+    toks = {k: v.lower().split() for k, v in texts.items()}
+    freq = Counter(t for v in toks.values() for t in v)
+    total = sum(freq.values())
+    assert set(out) == {1, 2, 4}  # empty doc omitted
+    for k in out:
+        exp = sum(math.log(freq[t] / total) for t in toks[k]) / len(toks[k])
+        assert abs(out[k]["mean_logprob"] - round(exp, 4)) < 1e-9
+        assert out[k]["n_tokens"] == len(toks[k])
+        assert abs(
+            out[k]["bits_per_token"] - round(-exp / math.log(2), 4)
+        ) < 2e-4
