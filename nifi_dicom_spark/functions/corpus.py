@@ -331,12 +331,14 @@ def chunk_documents(
     `concat_ws` only, whole-stage codegen, no Python — at 100 TB the cost
     is one pass over the text column with output ∝ total tokens.
     """
+    from nifi_dicom_spark.functions.text import tokens as _tokens
+
     if not 0 <= overlap < max_tokens:
         raise ValueError(
             f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
         )
     stride = max_tokens - overlap
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    toks = _tokens(text_col)  # the engine's ONE whitespace tokenizer
     n = F.size(F.col("_toks"))
     n_chunks = (
         F.when(n <= 0, F.lit(0))
@@ -390,10 +392,12 @@ def mixture_plan(
     a single column scan at any corpus size. Sources absent from
     ``weights`` get weight 0 (dropped by the sample step).
     """
+    from nifi_dicom_spark.functions.text import token_count
+
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("weights must sum > 0")
-    ntok = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    ntok = token_count(text_col)  # the engine's ONE whitespace tokenizer
     avail = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ntok).cast("long").alias("available_tokens"),

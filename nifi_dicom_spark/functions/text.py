@@ -309,9 +309,7 @@ def unigram_logprob(
     """
     tok = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("token"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     # the corpus total is Σ tf — derive it from the vocab-sized freq

@@ -1228,15 +1228,20 @@ class SnapshotTable:
                     key_cols=key_cols,
                     # MoR rows = the conformed batch: every touched bucket
                     # keeps ≥1 row through the dedup, so the written bucket
-                    # set must equal the touched set exactly
+                    # set must equal the touched set exactly; a cow rewrite
+                    # could legitimately empty a bucket some day, so it only
+                    # forbids STRAY buckets (same policy on both bucket-fn
+                    # branches)
                     expected_buckets=set(touched),
+                    expect_exact=(mode == "mor"),
                 )
             else:
                 merged = lww_dedup(combined, key_cols).withColumn("_bucket", bucket)
                 merged = merged.select(*schema.fieldNames(), "_bucket")
                 new_files = self._write_bucket_files(
                     merged, tag, n_buckets, fn, key_cols=key_cols,
-                    expected_buckets=set(touched) if mode == "mor" else None,
+                    expected_buckets=set(touched),
+                    expect_exact=(mode == "mor"),
                 )
             stats = self._commit_merge(
                 m, schema, touched, new_files, commit_keys, policy, skipped,

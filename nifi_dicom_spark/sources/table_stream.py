@@ -510,7 +510,13 @@ def _bucket_state(p: _BucketDiffPartition, files: list[str]):
         vkey = [*p.key_cols, "op_seq", "offset"]
         dupe = df.duplicated(subset=vkey, keep=False)
         if dupe.any():  # rare path: disambiguate only the tied rows
-            distinct = df.loc[dupe].astype(str).drop_duplicates()
+            # normalize missing values BEFORE stringifying: a duplicate
+            # delivery straddling ADD COLUMN stores null in the new file
+            # ('None') while the old file's absent column concat-fills as
+            # NaN ('nan') — the same logical row, which must not read as a
+            # payload conflict
+            sub = df.loc[dupe].astype(object)
+            distinct = sub.where(pd.notna(sub), None).astype(str).drop_duplicates()
             clash = distinct.duplicated(subset=vkey, keep=False)
             if clash.any():
                 sample = distinct.loc[clash, vkey].head(4)

@@ -138,6 +138,14 @@ class CDCPipeline:
         the poison threshold parks them and this method stops emitting."""
         if self.quarantine_dir is None or self.dead_letter is None:
             raise ValueError("requeue_retryable needs quarantine_dir + dead_letter")
+        if int(self.max_requeue_per_epoch) < 1:
+            # 0 would silently turn every drain loop ("while requeue() > 0")
+            # into a no-op with events stuck in quarantine forever; there is
+            # no "uncapped" sentinel — pass a large cap explicitly
+            raise ValueError(
+                f"max_requeue_per_epoch must be >= 1, got "
+                f"{self.max_requeue_per_epoch}"
+            )
         if not os.path.isdir(self.quarantine_dir):
             return 0
         from pyspark.sql import functions as F

@@ -562,3 +562,41 @@ def test_bucket_state_tie_guard(tmp_path):
     f3 = write("c.parquet", [("k1", "update", 5, 10, "DIFFERENT")])
     with pytest.raises(ValueError, match="DIFFERENT payloads"):
         _bucket_state(p, [f1, f3])
+
+
+def test_bucket_state_tie_guard_across_schema_evolution(tmp_path):
+    """A byte-identical duplicate delivery STRADDLING an ADD COLUMN commit
+    is the same logical row: the pre-evolution file lacks the new column
+    (concat null-fills it as NaN) while the post-evolution file stores an
+    explicit null — the guard must not read NaN-vs-None as a payload
+    conflict and kill a well-formed stream."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.sources.table_stream import (
+        _BucketDiffPartition,
+        _bucket_state,
+    )
+
+    old_cols = ["k", "op", "op_seq", "offset", "v"]
+    new_cols = [*old_cols, "tool"]
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame([("k1", "update", 5, 10, "same")], columns=old_cols)
+        ),
+        str(tmp_path / "old.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                [("k1", "update", 5, 10, "same", None)], columns=new_cols
+            ).astype({"tool": "object"})
+        ),
+        str(tmp_path / "new.parquet"),
+    )
+    p = _BucketDiffPartition(
+        data_dir=str(tmp_path), key_cols=["k"], columns=new_cols, versioned=True
+    )
+    out = _bucket_state(p, ["old.parquet", "new.parquet"])
+    assert len(out) == 1 and out.iloc[0]["v"] == "same"
