@@ -282,6 +282,46 @@ class SnapshotTable:
     def applied_watermarks(self) -> dict[int, int]:
         return {int(p): e for p, e in self._hw(self.manifest()).items()}
 
+    def version_at(self, timestamp) -> int:
+        """TIMESTAMP AS OF resolution (the Delta/Iceberg analog): the newest
+        version whose commit wall-clock is ≤ ``timestamp``. Accepts epoch
+        seconds (int/float), a ``datetime`` (naive = UTC, the engine-wide
+        timezone contract), or an ISO-8601 string. Raises ``ValueError``
+        for a timestamp before the table existed. O(versions) manifest
+        reads — same cost as :meth:`history`, bounded by retention; pass
+        the result to :meth:`read`/:meth:`restore`/:meth:`manifest`.
+
+        Timestamps are commit WALL-CLOCK metadata, not data: two versions
+        committed within one clock tick resolve to the later one, and
+        replaying a log elsewhere yields different wall-clocks for the same
+        logical versions — pin exact reproducibility to version numbers;
+        timestamps are for humans ("the table as of yesterday 09:00")."""
+        from datetime import datetime, timezone
+
+        if isinstance(timestamp, str):
+            dt = datetime.fromisoformat(timestamp)
+            ts = dt.replace(tzinfo=dt.tzinfo or timezone.utc).timestamp()
+        elif isinstance(timestamp, datetime):
+            dt = timestamp
+            ts = dt.replace(tzinfo=dt.tzinfo or timezone.utc).timestamp()
+        else:
+            ts = float(timestamp)
+        best = None
+        for v in range(self.current_version() + 1):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            # legacy manifests without committed_at can't postdate the
+            # timestamp they lack — treat as the epoch (always eligible)
+            if float(m.get("committed_at", 0.0)) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"timestamp {timestamp!r} predates the table's first commit"
+            )
+        return best
+
     # ----------------------------------------------------------------- reads
 
     def _paths(
@@ -299,13 +339,20 @@ class SnapshotTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         dedup: bool = True,
+        timestamp=None,
     ) -> DataFrame:
         """Snapshot read. Missing columns in old files surface as nulls
         (schema-evolution read path). If merge-on-read delta files exist for
         the requested buckets, base∪delta is LWW-reduced by the key columns
         (exact: the reduce is associative) unless ``dedup=False`` (raw
-        physical rows, for diagnostics). Time travel below
+        physical rows, for diagnostics). ``timestamp`` is the TIMESTAMP AS
+        OF form of time travel (resolved via :meth:`version_at`; mutually
+        exclusive with ``version``). Time travel below
         :meth:`min_retained_version` raises :class:`VersionVacuumedError`."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         if version is not None and version < (min_ret := self.min_retained_version()):
             raise VersionVacuumedError(
                 f"version {version} was vacuumed (oldest retained: {min_ret}); "

@@ -935,3 +935,62 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     # the real vacuum then removes exactly what the dry run reported
     assert table.vacuum(keep_versions=1, min_file_age_s=0) == would
     assert table.min_retained_version() > 0
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: version_at resolves the newest commit at-or-before
+    the wall-clock, read(timestamp=...) equals read(version=...), datetime
+    and ISO-string forms agree, and a pre-table timestamp raises."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["k"], n_buckets=4
+    )
+    stamps = {}
+
+    def batch(seq):
+        return spark.createDataFrame(
+            [(f"k{i}", "update", seq, i, f"s{seq}") for i in range(5)], schema
+        )
+
+    for seq in (1, 2, 3):
+        t.merge(batch(seq), op_col="op", policy="versioned_upsert")
+        stamps[seq] = float(t.manifest()["committed_at"])
+        _time.sleep(0.05)  # guarantee distinct wall-clocks across commits
+
+    for seq, ts in stamps.items():
+        v = t.version_at(ts)
+        assert float(t.manifest(v)["committed_at"]) == ts
+        got = {r["k"]: r["v"] for r in t.read(timestamp=ts).collect()}
+        assert got == {f"k{i}": f"s{seq}" for i in range(5)}
+        # equivalent to the explicit-version read
+        assert got == {r["k"]: r["v"] for r in t.read(version=v).collect()}
+    # datetime + ISO forms resolve identically (naive = UTC contract).
+    # datetime carries microseconds only, so probe MID-window rather than
+    # at the exact float commit instant (which would truncate to just
+    # before it)
+    mid = stamps[2] + 0.01
+    dt = datetime.fromtimestamp(mid, tz=timezone.utc)
+    assert t.version_at(dt) == t.version_at(mid) == t.version_at(stamps[2])
+    assert t.version_at(dt.isoformat()) == t.version_at(mid)
+    # "now" resolves to the current version; prehistoric raises
+    assert t.version_at(_time.time() + 1) == t.current_version()
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at(0.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, timestamp=stamps[1])
