@@ -124,6 +124,42 @@ def _bucket_expr(key_col: str, n_buckets: int, bucket_fn: str = "murmur3"):
     return F.pmod(h, F.lit(n_buckets)).cast("int")
 
 
+def version_at_backend(backend: CommitBackend, timestamp) -> int:
+    """TIMESTAMP AS OF resolution against a bare commit backend — the
+    shared core of :meth:`SnapshotTable.version_at`, also used by the
+    streaming source's ``startingTimestamp`` option (which has a backend
+    but no table object). See ``version_at`` for input forms and the
+    wall-clock caveats."""
+    from datetime import datetime, timezone
+
+    if isinstance(timestamp, str):
+        try:  # streaming options arrive stringly — accept "1787046670.38"
+            ts = float(timestamp)
+        except ValueError:
+            dt = datetime.fromisoformat(timestamp)
+            ts = dt.replace(tzinfo=dt.tzinfo or timezone.utc).timestamp()
+    elif isinstance(timestamp, datetime):
+        dt = timestamp
+        ts = dt.replace(tzinfo=dt.tzinfo or timezone.utc).timestamp()
+    else:
+        ts = float(timestamp)
+    best = None
+    for v in range(backend.current_version() + 1):
+        try:
+            m = json.loads(backend.load_manifest(v).decode())
+        except FileNotFoundError:
+            continue
+        # legacy manifests without committed_at can't postdate the
+        # timestamp they lack — treat as the epoch (always eligible)
+        if float(m.get("committed_at", 0.0)) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {timestamp!r} predates the table's first commit"
+        )
+    return best
+
+
 #: n_buckets -> [preimage long per bucket]; process-wide (pure function of n)
 _PK_CACHE: dict[int, list[int]] = {}
 
@@ -296,31 +332,7 @@ class SnapshotTable:
         replaying a log elsewhere yields different wall-clocks for the same
         logical versions — pin exact reproducibility to version numbers;
         timestamps are for humans ("the table as of yesterday 09:00")."""
-        from datetime import datetime, timezone
-
-        if isinstance(timestamp, str):
-            dt = datetime.fromisoformat(timestamp)
-            ts = dt.replace(tzinfo=dt.tzinfo or timezone.utc).timestamp()
-        elif isinstance(timestamp, datetime):
-            dt = timestamp
-            ts = dt.replace(tzinfo=dt.tzinfo or timezone.utc).timestamp()
-        else:
-            ts = float(timestamp)
-        best = None
-        for v in range(self.current_version() + 1):
-            try:
-                m = self.manifest(v)
-            except FileNotFoundError:
-                continue
-            # legacy manifests without committed_at can't postdate the
-            # timestamp they lack — treat as the epoch (always eligible)
-            if float(m.get("committed_at", 0.0)) <= ts:
-                best = v
-        if best is None:
-            raise ValueError(
-                f"timestamp {timestamp!r} predates the table's first commit"
-            )
-        return best
+        return version_at_backend(self.backend, timestamp)
 
     # ----------------------------------------------------------------- reads
 

@@ -167,10 +167,11 @@ def table_changes(
 
 def change_feed(
     table,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
     compare_cols: list[str] | None = None,
     per_commit: bool = True,
+    from_timestamp=None,
 ) -> DataFrame:
     """Row-form change feed (the Delta CDF / Iceberg changelog shape): one
     row per change IMAGE with ``_change_type`` ∈ {insert, delete,
@@ -191,6 +192,14 @@ def change_feed(
     — cost ∝ the touched portion per commit, not table size; the loop is
     O(#commits in range) driver-side plan construction, the standard cost
     of reading a change feed over a version range."""
+    if from_timestamp is not None:
+        # TIMESTAMP AS OF start (Delta CDF's startingTimestamp analog):
+        # changes AFTER the state the timestamp resolves to
+        if from_version is not None:
+            raise ValueError("pass from_version OR from_timestamp, not both")
+        from_version = table.version_at(from_timestamp)
+    if from_version is None:
+        raise ValueError("change_feed needs from_version or from_timestamp")
     to_version = (
         table.current_version() if to_version is None else to_version
     )

@@ -49,6 +49,11 @@ Options:
 
 * ``startingVersion`` — first version to stream from (default: the
   table's current version when the query starts).
+* ``startingTimestamp`` — TIMESTAMP AS OF form of the same (epoch seconds
+  or ISO-8601; mutually exclusive with ``startingVersion``): stream the
+  changes after the state that wall-clock resolves to. Resolved to a
+  version once at query start; the checkpoint stores the version, so
+  restarts replay the identical range.
 * ``mode`` — ``cdf`` (default; state diffs with pre/post images) or
   ``upserts`` (each commit's appended delta files verbatim; requires
   merge-on-read writes).
@@ -142,6 +147,11 @@ class _CDFStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: T.StructType):
         self.path = options["path"]
         self.start_opt = options.get("startingversion")
+        self.start_ts_opt = options.get("startingtimestamp")
+        if self.start_opt is not None and self.start_ts_opt is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
         #: the stream's DECLARED row shape, fixed at query start — a
         #: mid-stream ADD COLUMN commit must not widen emitted tuples (the
         #: new column appears after a stream restart re-plans the schema)
@@ -187,11 +197,18 @@ class _CDFStreamReader(DataSourceStreamReader):
     # -- offsets (driver side, metadata only) ---------------------------
 
     def initialOffset(self) -> dict:
-        v = (
-            int(self.start_opt)
-            if self.start_opt is not None
-            else _backend(self.path).current_version()
-        )
+        if self.start_opt is not None:
+            v = int(self.start_opt)
+        elif self.start_ts_opt is not None:
+            # startingTimestamp (Delta streaming-source analog): stream the
+            # changes AFTER the state this wall-clock resolves to. Resolved
+            # ONCE here — the offset checkpointed by Spark is the version,
+            # so restarts replay the identical range even if clocks moved.
+            from nifi_dicom_spark.lake.snapshot_table import version_at_backend
+
+            v = version_at_backend(_backend(self.path), self.start_ts_opt)
+        else:
+            v = _backend(self.path).current_version()
         self._last_end = v
         return {"version": v}
 
