@@ -40,7 +40,6 @@ manifests by construction):
 
 from __future__ import annotations
 
-import json
 import os
 import re
 import threading
@@ -173,6 +172,13 @@ class PosixCommitBackend(CommitBackend):
             os.fsync(f.fileno())
         try:
             os.link(tmp, target)  # atomic; EEXIST = another writer won
+            # the payload bytes are durable (fsync above) but the NEW
+            # DIRECTORY ENTRY is not until the directory itself is synced —
+            # without this, a power loss after returning True can revert
+            # the listing to N-1, breaking the contract that an
+            # acknowledged commit stays visible (the stream would then die
+            # on a FileNotFoundError for an offset it already checkpointed)
+            self._fsync_dir()
             return True
         except FileExistsError:
             return False
@@ -185,6 +191,20 @@ class PosixCommitBackend(CommitBackend):
                 os.unlink(tmp)
             except FileNotFoundError:
                 pass
+
+    def _fsync_dir(self) -> None:
+        """Make directory-entry mutations (link/replace) power-loss
+        durable. Best-effort on filesystems that reject directory fsync."""
+        try:
+            fd = os.open(self.meta_dir, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.fsync(fd)
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
 
     def current_version(self) -> int:
         try:
@@ -218,7 +238,10 @@ class PosixCommitBackend(CommitBackend):
         except FileNotFoundError:
             return 0
         for fn in names:
-            if not (fn.startswith(".v") and fn.endswith(".tmp")):
+            # commit temps are ".v{N}.{hex}.tmp", blob temps
+            # ".{name}.{hex}.tmp" — both hidden dotfiles with the .tmp
+            # suffix; committed manifests and blobs never match
+            if not (fn.startswith(".") and fn.endswith(".tmp")):
                 continue
             p = os.path.join(self.meta_dir, fn)
             try:
@@ -232,10 +255,16 @@ class PosixCommitBackend(CommitBackend):
     # -- blobs -------------------------------------------------------------
 
     def put_blob(self, name: str, payload: bytes) -> None:
-        tmp = os.path.join(self.meta_dir, f".{name}.{uuid.uuid4().hex}")
+        # .tmp suffix so a crash between write and replace leaves litter
+        # repair() sweeps (it matches hidden *.tmp files), not an immortal
+        # hidden file
+        tmp = os.path.join(self.meta_dir, f".{name}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "wb") as f:
             f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.meta_dir, name))
+        self._fsync_dir()
 
     def get_blob(self, name: str) -> bytes | None:
         try:
@@ -325,7 +354,14 @@ class ConditionalPutCommitBackend(CommitBackend):
         return f"{self.prefix}v{version}.json"
 
     def initialize(self) -> None:
-        if self.kv.list_keys(self.prefix):
+        # a table exists iff a MANIFEST exists — blobs or (under a shared
+        # prefix) unrelated keys are not a table, and current_version()
+        # would agree by raising TableNotFoundError for them
+        has_manifest = any(
+            _MANIFEST_RE.match(k[len(self.prefix):])
+            for k in self.kv.list_keys(self.prefix)
+        )
+        if has_manifest:
             raise FileExistsError(f"table already exists at '{self.prefix}'")
 
     def try_commit(self, version: int, payload: bytes) -> bool:
@@ -355,9 +391,3 @@ class ConditionalPutCommitBackend(CommitBackend):
         return self.kv.get(f"{self.prefix}{name}")
 
 
-def dumps_manifest(manifest: dict) -> bytes:
-    return json.dumps(manifest).encode()
-
-
-def loads_manifest(payload: bytes) -> dict:
-    return json.loads(payload.decode())

@@ -47,8 +47,10 @@ Registration (per session)::
 
 Options:
 
-* ``startingVersion`` — first version to stream from (default: the
-  table's current version when the query starts).
+* ``startingVersion`` — the BASELINE version: the stream emits the
+  changes committed AFTER it (exclusive — pass ``v-1`` to include
+  version ``v``'s own commit; default baseline: the table's current
+  version when the query starts, i.e. new changes only).
 * ``startingTimestamp`` — TIMESTAMP AS OF form of the same (epoch seconds
   or ISO-8601; mutually exclusive with ``startingVersion``): stream the
   changes after the state that wall-clock resolves to. Resolved to a
@@ -107,12 +109,17 @@ def _backend(path: str):
 def _visible_fields(manifest: dict) -> tuple[list[T.StructField], bool]:
     """(fields of the logical/visible row, versioned?) — versioned tables
     hide the op/op_seq/offset bookkeeping from the feed, exactly like
-    :func:`table_changes`."""
+    :func:`table_changes`. Every payload field is declared NULLABLE
+    regardless of the table schema: upsert-mode tombstones carry null
+    payload by design, and files predating an ADD COLUMN null-fill the new
+    column — a non-nullable declaration would make the Arrow emission
+    reject exactly those legitimate rows (pyarrow enforces schema
+    nullability)."""
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     names = set(schema.fieldNames())
     versioned = {"op", "op_seq", "offset"} <= names
     fields = [
-        f
+        T.StructField(f.name, f.dataType, True)
         for f in schema.fields
         if not (versioned and f.name in _VERSION_COLS)
     ]
@@ -229,6 +236,28 @@ class _CDFStreamReader(DataSourceStreamReader):
         if self._last_end is None or v > self._last_end:
             self._last_end = v
 
+    def _guard_schema_drift(self, m_end: dict, ve: int) -> None:
+        """Fail the query on a mid-stream schema change instead of silently
+        losing events (the Delta CDF streaming behavior). The stream's row
+        shape is frozen at query start; a commit that ADDs a column would
+        otherwise have its changes conformed DOWN to the old columns — an
+        update touching only the new column diffs as a no-op, the offset
+        advances past it, and after a restart (which re-plans the wider
+        schema) the checkpoint is already beyond the commit: the event is
+        gone forever, and a replica tailing the feed diverges. Raising
+        BEFORE the offset commits makes the fix a clean query restart with
+        nothing lost."""
+        end_cols = [f.name for f in _visible_fields(m_end)[0]]
+        if set(end_cols) != set(self.columns):
+            added = sorted(set(end_cols) - set(self.columns))
+            dropped = sorted(set(self.columns) - set(end_cols))
+            raise RuntimeError(
+                f"table schema changed mid-stream at version {ve} "
+                f"(added={added}, dropped={dropped}): restart the streaming "
+                "query to pick up the new schema — the checkpoint resumes "
+                "exactly before this batch, so no changes are lost"
+            )
+
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         vs, ve = int(start["version"]), int(end["version"])
         self._note_offset(ve)
@@ -244,6 +273,7 @@ class _CDFStreamReader(DataSourceStreamReader):
             raise RuntimeError(
                 f"stream offset version missing (vacuumed?): {e}"
             ) from None
+        self._guard_schema_drift(m_e, ve)
         _fields, versioned = _visible_fields(m_e)
         data_dir = os.path.join(self.path, "data")
         key_cols = list(m_e["key_cols"])
@@ -320,7 +350,13 @@ class _CDFStreamReader(DataSourceStreamReader):
             ) from None
         parts: list[InputPartition] = []
         for v in range(vs + 1, ve + 1):
-            m = json.loads(be.load_manifest(v).decode())
+            try:  # same vacuum-aware error as the start manifest
+                m = json.loads(be.load_manifest(v).decode())
+            except FileNotFoundError as e:
+                raise RuntimeError(
+                    f"stream offset version missing (vacuumed?): {e}"
+                ) from None
+            self._guard_schema_drift(m, v)
             summary = m.get("summary") or {}
             op = summary.get("operation")
             policy = summary.get("policy")

@@ -695,3 +695,112 @@ def test_starting_timestamp_option(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="from_version or from_timestamp"):
         change_feed(t)
+
+
+def test_mid_stream_schema_change_fails_query_not_data(spark, tmp_path):
+    """An ADD COLUMN committed WHILE the stream runs must fail the query
+    (Delta-CDF behavior) rather than silently conforming the batch down to
+    the query-start columns — an update touching only the new column would
+    diff as a no-op and be lost forever once the offset advanced. The
+    checkpoint resumes exactly before the failed batch, so a restart
+    (which re-plans the wider schema) loses nothing."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from nifi_dicom_spark.sources.table_stream import _CDFStreamReader
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["k"], n_buckets=2
+    )
+    t.merge(
+        spark.createDataFrame([("a", "update", 1, 1, "x")], schema),
+        op_col="op", policy="versioned_upsert",
+    )
+    v0 = t.current_version()
+    # reader planned at the CURRENT schema (no 'score' yet)
+    from nifi_dicom_spark.sources.table_stream import (
+        CDF_META_FIELDS,
+        _visible_fields,
+    )
+
+    fields, _ = _visible_fields(t.manifest())
+    declared = T.StructType(fields + CDF_META_FIELDS)
+    for mode in ("cdf", "upserts"):
+        reader = _CDFStreamReader(
+            {"path": t.path, "startingversion": str(v0), "mode": mode}, declared
+        )
+        # mid-stream evolution: the next commit adds 'score'
+        t.merge(
+            spark.createDataFrame(
+                [("a", "update", 2, 2, "y", 7)],
+                "k string, op string, op_seq long, offset long, v string, score int",
+            ),
+            op_col="op", policy="versioned_upsert",
+        )
+        with pytest.raises(RuntimeError, match="schema changed mid-stream"):
+            reader.partitions(
+                {"version": v0}, {"version": t.current_version()}
+            )
+
+
+def test_upserts_tombstone_with_nonnullable_payload_column(spark, tmp_path):
+    """A table created with a non-nullable payload column still streams
+    deletes in upserts mode: tombstones carry null payload by design, so
+    the feed declares every payload field nullable — the Arrow emission
+    must not reject the tombstone row against the table's declared
+    nullability."""
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("v", T.StringType(), False),  # non-nullable payload
+        ]
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["k"], n_buckets=2
+    )
+    t.merge(
+        spark.createDataFrame([("a", "insert", 1, 1, "x")], schema),
+        op_col="op", policy="versioned_upsert",
+    )
+    v0 = t.current_version()
+    tomb = T.StructType([*schema.fields[:4], T.StructField("v", T.StringType(), True)])
+    t.merge(
+        spark.createDataFrame([("a", "delete", 2, 2, None)], tomb),
+        op_col="op", policy="versioned_upsert",
+    )
+    spark.dataSource.register(SnapshotCDFDataSource)
+    feed = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", t.path)
+        .option("startingVersion", v0)
+        .option("mode", "upserts")
+        .load()
+    )
+    q = (
+        feed.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 1
+    assert rows[0]["_change_type"] == "delete" and rows[0]["v"] is None
