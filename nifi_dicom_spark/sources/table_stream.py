@@ -469,6 +469,11 @@ class _CDFStreamReader(DataSourceStreamReader):
             emit(n, changed, "update_postimage")
         emit(n, ins_keys, "insert")
         emit(o, del_keys, "delete")
+        # drop empty frames before concat: pandas ≥2.1 deprecates letting
+        # empty/all-NA entries participate in result-dtype determination
+        # (pandas 3 changes the behavior) — an empty image set must not be
+        # able to flip a column's dtype in the emitted batch
+        frames = [f for f in frames if len(f)]
         if not frames:
             return iter(())
         out = pd.concat(frames, ignore_index=True)

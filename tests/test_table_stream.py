@@ -804,3 +804,100 @@ def test_upserts_tombstone_with_nonnullable_payload_column(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     assert len(rows) == 1
     assert rows[0]["_change_type"] == "delete" and rows[0]["v"] is None
+
+
+def test_replication_across_schema_evolution_restart(spark, tmp_path):
+    """The operational story for mid-stream ADD COLUMN under replication:
+    the running replication query FAILS (no silent divergence), and a
+    plain restart — same checkpoint — re-plans the wider schema, resumes
+    before the failed batch, and converges the replica including the new
+    column (the replica's merge evolves its schema on the first wider
+    batch)."""
+    import time as _time
+
+    from nifi_dicom_spark.operators.apply import read_final_state
+    from nifi_dicom_spark.streaming.replicate import (
+        create_replica_table,
+        replicate_stream,
+    )
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), schema, key_cols=["k"], n_buckets=4
+    )
+    src.merge(
+        spark.createDataFrame([("A", "update", 1, 1, "a1")], schema),
+        op_col="op", policy="versioned_upsert",
+    )
+    replica = create_replica_table(spark, str(tmp_path / "dst"), src)
+    ck = str(tmp_path / "ck")
+
+    def count_live():
+        import pyspark.sql.functions as F
+
+        return replica.read().filter(F.col("op") != "delete").count()
+
+    q = replicate_stream(spark, src.path, replica, ck, starting_version=0,
+                         trigger_interval="1 second")
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if count_live() >= 1:
+                break
+            _time.sleep(0.5)
+        assert count_live() == 1
+        # mid-stream evolution on the SOURCE: a wider merge adds 'rating'
+        src.merge(
+            spark.createDataFrame(
+                [("B", "update", 2, 2, "b1", 5)],
+                "k string, op string, op_seq long, offset long, "
+                "v string, rating int",
+            ),
+            op_col="op", policy="versioned_upsert",
+        )
+        died = None
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if q.exception() is not None:
+                died = str(q.exception())
+                break
+            _time.sleep(0.5)
+        assert died and "schema changed mid-stream" in died, died
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    # restart: the feed re-plans with 'rating'; the replica merge evolves
+    q2 = replicate_stream(spark, src.path, replica, ck, starting_version=0,
+                          trigger_interval="1 second")
+    try:
+        import pyspark.sql.functions as F
+
+        deadline = _time.time() + 90
+        ok = False
+        while _time.time() < deadline:
+            if q2.exception() is not None:
+                raise AssertionError(f"restarted stream died: {q2.exception()}")
+            st = replica.read().filter(F.col("op") != "delete").toPandas()
+            if len(st) == 2 and "rating" in st.columns:
+                got = dict(zip(st["k"], st["rating"]))
+                if got.get("B") == 5:
+                    ok = True
+                    break
+            _time.sleep(0.5)
+        assert ok, replica.read().toPandas().to_dict("records")
+    finally:
+        q2.stop()
