@@ -391,6 +391,13 @@ def mixture_plan(
     (partial-agg map-side; the result is sources-sized), so the plan costs
     a single column scan at any corpus size. Sources absent from
     ``weights`` get weight 0 (dropped by the sample step).
+
+    Weighted sources ABSENT from the corpus (e.g. a typo'd source name)
+    still get a plan row — ``n_docs=0, available_tokens=0`` — so a
+    misconfigured mixture surfaces in the plan instead of silently
+    shrinking the budget. ``sample_rate`` for an unsatisfiable source
+    (positive target, zero available tokens) is NULL, never a division
+    crash or a silently-dropped row.
     """
     from nifi_dicom_spark.functions.text import token_count
 
@@ -402,6 +409,23 @@ def mixture_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ntok).cast("long").alias("available_tokens"),
     )
+    # full outer vs the weight keys: weighted-but-absent sources become
+    # explicit zero-availability rows (the literal side is sources-sized,
+    # broadcast — no extra scan of the corpus)
+    spark = df.sparkSession
+    wanted = spark.createDataFrame(
+        [(s,) for s in sorted(weights)], "source string"
+    )
+    avail = (
+        avail.join(F.broadcast(wanted), on="source", how="full_outer")
+        .select(
+            "source",
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.col("available_tokens"), F.lit(0))
+            .cast("long")
+            .alias("available_tokens"),
+        )
+    )
     w: Column = F.lit(0.0)
     for s, v in sorted(weights.items()):
         w = F.when(F.col("source") == s, F.lit(float(v) / total_w)).otherwise(w)
@@ -412,7 +436,12 @@ def mixture_plan(
         "available_tokens",
         F.round(w, 6).alias("weight"),
         F.round(target).cast("long").alias("target_tokens"),
-        F.round(target / F.col("available_tokens"), 6).alias("sample_rate"),
+        F.when(
+            F.col("available_tokens") > 0,
+            F.round(target / F.col("available_tokens"), 6),
+        )
+        .when(target == 0, F.lit(0.0))
+        .alias("sample_rate"),  # NULL = unsatisfiable (target > 0, nothing available)
     )
 
 

@@ -172,7 +172,18 @@ def lsh_bands(
     """Band the signature: array of (band_id, bucket_hash) structs; docs
     sharing any band bucket are candidate pairs. ``method="md5"`` buckets via
     md5 over the pipe-joined band rows — reproducible in external SQL engines
-    (the xxhash64 default is the cheap JVM-native hot path)."""
+    (the xxhash64 default is the cheap JVM-native hot path).
+
+    ``bands * rows_per_band`` must not exceed the signature length —
+    ``element_at`` past the end yields NULLs and every such band collapses
+    into one global bucket (silent recall loss); the signature length is not
+    statically known here, so the divisibility guard lives in
+    :func:`minhash_lsh_candidates`' candidate builder."""
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(
+            f"bands and rows_per_band must be >= 1 "
+            f"(got bands={bands}, rows_per_band={rows_per_band})"
+        )
 
     def bucket(b: int) -> Column:
         els = [
@@ -218,6 +229,16 @@ def _candidates_from_shingles(
     method: str = "xxhash64",
 ) -> DataFrame:
     rows_per_band = k // bands
+    if rows_per_band < 1 or bands * rows_per_band != k:
+        # bands > k would make every band bucket a hash of ZERO minhashes
+        # (md5('') = one global bucket per band -> all buckets over the size
+        # cap -> zero candidates, silent total recall loss; xxhash64() with
+        # no args is an analysis error). Non-divisible k silently ignores
+        # the trailing minhashes the caller paid to compute.
+        raise ValueError(
+            f"bands must evenly divide k with rows_per_band >= 1 "
+            f"(got k={k}, bands={bands})"
+        )
     if method == "md5" and k > 8:
         # the md5 method derives K hashes as 8-hex-char slices of two 32-char
         # digests — k > 8 would slice past them and yield constant "" hashes

@@ -45,7 +45,10 @@ def quarantine_reason() -> Column:
     return (
         F.when(F.col("conv_id").isNull(), F.lit("null_key"))
         .when(F.coalesce(F.col("turn_idx") < 0, F.lit(True)), F.lit("bad_turn_idx"))
-        .when(~F.col("op").isin(*OPS), F.lit("unknown_op"))
+        # coalesce(..., True): NULL op makes isin three-valued-NULL, which
+        # would skip this arm and misdiagnose as null_op_seq/unknown (the
+        # turn_idx arm above guards the same way)
+        .when(F.coalesce(~F.col("op").isin(*OPS), F.lit(True)), F.lit("unknown_op"))
         .when(F.col("op_seq").isNull(), F.lit("null_op_seq"))
         .otherwise(F.lit("unknown"))
     )
@@ -71,10 +74,18 @@ def record_quarantine(
     via the commit ledger, so counts never double-increment on crash/restart
     (exactly-once for the reject channel too). A batch with no quarantined
     events returns empty without any write/commit."""
-    fresh = bad.select(
-        F.col("offset").cast("long").alias("offset"),
-        quarantine_reason().alias("reason"),
-    ).dropDuplicates(["offset"])
+    # min(reason), not dropDuplicates: when one offset appears twice in a
+    # batch with DIFFERENT failing arms, dropDuplicates keeps an arbitrary
+    # partition-order-dependent row (a task retry could store a different
+    # reason) — min is a pure function of the data, replay-deterministic.
+    fresh = (
+        bad.select(
+            F.col("offset").cast("long").alias("offset"),
+            quarantine_reason().alias("reason"),
+        )
+        .groupBy("offset")
+        .agg(F.min("reason").alias("reason"))
+    )
     touched = sorted(
         r["b"]
         for r in fresh.select(dl.bucket_expr("offset").alias("b")).distinct().collect()

@@ -538,6 +538,76 @@ def test_md5_minhash_rejects_oversized_k(spark):
         near_dup_pairs(df, "text", "doc_id", k=16, bands=8, method="md5")
 
 
+def test_lsh_banding_rejects_bad_band_geometry(spark):
+    """bands > k (rows_per_band = 0) would hash ZERO minhashes per band —
+    one global bucket, silent total recall loss; non-divisible k silently
+    ignores paid-for minhashes. Both must raise, for both hash methods."""
+    import pytest
+
+    from nifi_dicom_spark.functions.dedup_text import lsh_bands, near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    for method in ("xxhash64", "md5"):
+        with pytest.raises(ValueError, match="evenly divide"):
+            near_dup_pairs(df, "text", "doc_id", k=8, bands=16, method=method)
+        with pytest.raises(ValueError, match="evenly divide"):
+            near_dup_pairs(df, "text", "doc_id", k=8, bands=3, method=method)
+    with pytest.raises(ValueError, match=">= 1"):
+        lsh_bands(F.col("sig"), bands=0, rows_per_band=2)
+
+
+def test_deadletter_reason_null_op_and_duplicate_offsets(spark, tmp_path):
+    """A NULL op must diagnose as unknown_op (three-valued isin skips the
+    arm without the coalesce guard); one offset quarantined twice in a batch
+    with DIFFERENT failing arms must store a deterministic reason (min), not
+    a partition-order-dependent pick.
+
+    The wire schema declares op non-nullable, but Spark treats read-schema
+    nullability as advisory (from_json / NDJSON ingest can still surface
+    NULLs), so the frame here uses a nullable-op variant deliberately."""
+    from nifi_dicom_spark.operators.deadletter import (
+        create_deadletter,
+        record_quarantine,
+    )
+
+    bad = spark.createDataFrame(
+        [
+            (1, None, 1, "c", 0),  # null op -> unknown_op (NOT null_op_seq)
+            (2, None, 1, "c", -1),  # two arms fail across offset 2's rows:
+            (2, "truncate", 1, "c", 0),  # min('bad_turn_idx','unknown_op')
+        ],
+        "offset long, op string, op_seq long, conv_id string, turn_idx int",
+    )
+    dl = create_deadletter(spark, str(tmp_path / "dl"))
+    record_quarantine(dl, bad, epoch=0)
+    rows = {r["offset"]: r for r in dl.read().collect()}
+    assert rows[1]["reason"] == "unknown_op"
+    assert rows[2]["reason"] == "bad_turn_idx"  # min of the two arms, stable
+    assert rows[2]["retry_count"] == 1  # one batch = one increment, not two
+
+
+def test_mixture_plan_surfaces_absent_weighted_source(spark):
+    """A weighted source with NO corpus rows (e.g. a typo) must appear in
+    the plan as an explicit zero-availability row with a NULL (unsatisfiable)
+    sample_rate — not silently vanish and shrink the mixture."""
+    from nifi_dicom_spark.functions.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "wiki", "w x y z")], "doc_id long, source string, text string"
+    )
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(
+            docs, weights={"wiki": 0.5, "bookz": 0.5}, token_budget=100
+        ).collect()
+    }
+    assert plan["bookz"]["n_docs"] == 0
+    assert plan["bookz"]["available_tokens"] == 0
+    assert plan["bookz"]["target_tokens"] == 50
+    assert plan["bookz"]["sample_rate"] is None  # unsatisfiable, flagged
+    assert plan["wiki"]["sample_rate"] == round(50 / 4, 6)
+
+
 def test_deadletter_retry_counters(spark, tmp_path):
     """T7: re-quarantined events increment retry_count exactly once per
     epoch (idempotent under epoch replay); poison set respects max_retries."""
