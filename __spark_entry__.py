@@ -1228,6 +1228,39 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "_copy", F.col("_u").alias("u"))
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BM25 retrieval over the corpus for a 3-term query: the term
+    set filters each token ARRAY before any explode, so the wide exchange
+    is proportional to query hits, not corpus tokens; df/idf and the
+    corpus constants are broadcast back."""
+    from nifi_dicom_spark.functions.search import bm25_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_search(docs, ["merge", "spark", "vector"])
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order: position = row_number over
+    md5(id:salt) via the two-phase distributed prefix count (range
+    partition → per-partition window → O(partitions) offset fold) — never
+    a single-partition global window."""
+    from nifi_dicom_spark.functions.corpus import corpus_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return corpus_shuffle(docs, salt="r4")
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate discovery: corpus-wide top-50 bigrams with a total
+    (count desc, ngram asc) order — codegen'd n-gram construction,
+    map-side partial combine, TakeOrdered top-k (k·partitions rows to the
+    driver, never the vocabulary)."""
+    from nifi_dicom_spark.functions.text import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return top_ngrams(docs, n=2, k=50)
+
+
 def q_attr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 all-tags mode: every attribute stringified (200-char cap, W4) and
     emitted as (id, attr, value) rows — explode(map_entries)."""
@@ -1894,6 +1927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
+        "bm25_search": q_bm25_search,
+        "corpus_shuffle": q_corpus_shuffle,
+        "top_ngrams": q_top_ngrams,
         # --- green r3 rows ----------------------------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -2882,6 +2918,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(i AS INT) AS _copy, u
             FROM (SELECT doc_id, source, u, unnest(range(1, n_copies + 1)) AS i
                   FROM c)
+        """,
+        "bm25_search": r"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), d AS (
+              SELECT id, len(toks) AS dl,
+                     list_filter(toks,
+                                 t -> list_contains(['merge','spark','vector'], t)
+                                ) AS hits
+              FROM base
+            ), stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+            tf AS (
+              SELECT id, dl, term, count(*) AS tf
+              FROM (SELECT id, dl, unnest(hits) AS term FROM d)
+              GROUP BY id, dl, term
+            ), dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT id, count(*) AS n_terms_hit,
+                   round(sum( ln(1 + (n_docs - df + 0.5)/(df + 0.5))
+                              * (tf * 2.2)
+                              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ),
+                         4) AS score
+            FROM tf JOIN dft USING (term) CROSS JOIN stats
+            GROUP BY id
+        """,
+        "corpus_shuffle": """
+            SELECT doc_id AS id,
+                   md5(CAST(doc_id AS VARCHAR) || ':r4') AS shuffle_key,
+                   row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || ':r4'), doc_id
+                   ) AS position
+            FROM documents
+        """,
+        "top_ngrams": r"""
+            WITH t AS (
+              SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT array_to_string(toks[i:i+1], ' ') AS ngram
+              FROM t, unnest(range(1, len(toks))) AS u(i)
+            )
+            SELECT ngram, count(*) AS cnt
+            FROM g GROUP BY ngram
+            ORDER BY cnt DESC, ngram ASC LIMIT 50
         """,
         "nested_deidentify": """
             SELECT user_id, event_id,

@@ -484,3 +484,61 @@ def mixture_sample(
         )
         .drop("_n_copies")
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle: assign every document a stable
+    pseudo-random position (1-based, dense, no gaps) by ordering on
+    ``md5(id ‖ ':' ‖ salt)``. Training pipelines need the corpus in a
+    reproducible random order (shard writers consume positions 1..N);
+    ``ORDER BY rand()`` is neither reproducible nor restart-safe, while a
+    keyed hash order is a pure function of (ids, salt) — identical across
+    re-runs, partial re-runs, and engines (the DuckDB oracle recomputes
+    it exactly).
+
+    Same two-phase distributed scan as :func:`pack_shards`: range-
+    repartition on the hash key so partitions hold contiguous key ranges,
+    per-partition row_number, then add each partition's exclusive prefix
+    count — the O(partitions) driver-side fold. Never a global
+    single-partition window; one shuffle at any corpus size. Ties (md5
+    collisions) break on the id itself, keeping the order total.
+
+    Returns ``(id, shuffle_key, position)``.
+    """
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    base = (
+        df.select(F.col(id_col).alias("id"), key.alias("shuffle_key"))
+        .repartitionByRange(n_parts, "shuffle_key", "id")
+        .sortWithinPartitions("shuffle_key", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        # same branch point as pack_shards: the counts aggregate and the
+        # window scan must observe ONE partitioning — persist pins it
+        .persist()
+    )
+    try:
+        counts = {
+            r["_pid"]: r["c"]
+            for r in base.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        }  # O(partitions), never O(rows)
+        running, offsets = 0, []
+        for pid in sorted(counts):
+            offsets.append((pid, running))
+            running += counts[pid]
+        off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+        w = Window.partitionBy("_pid").orderBy("shuffle_key", "id")
+        out = (
+            base.join(F.broadcast(off_df), "_pid")
+            .withColumn("position", F.row_number().over(w) + F.col("_off"))
+            .select("id", "shuffle_key", "position")
+        )
+        # eager: release the pinned partitioning before returning
+        return out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()

@@ -334,3 +334,45 @@ def unigram_logprob(
             4,
         ).alias("bits_per_token"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams (case-folded whitespace
+    tokens), the boilerplate-discovery primitive: the most frequent
+    n-grams in a web corpus are navigation chrome, license banners, and
+    template text — the inputs to a repetition-removal pass.
+
+    Deterministic total order: count desc, then ngram asc (ngrams are
+    unique after the aggregate, so the tie-break is total and the LIMIT
+    is stable across engines).
+
+    Scale shape: the n-gram relation is built by a narrow, fully
+    codegen'd ``transform(sequence(...), slice, concat_ws)`` over each
+    document's token array (documents shorter than ``n`` contribute an
+    empty array — no error, no skew), exploded and hash-aggregated with
+    map-side partial combine. ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps its local top-k and only
+    k·partitions rows reach the driver, never the full vocabulary.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

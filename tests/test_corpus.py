@@ -334,3 +334,122 @@ def test_unigram_logprob_matches_serial(spark):
         assert abs(
             out[k]["bits_per_token"] - round(-exp / math.log(2), 4)
         ) < 2e-4
+
+
+def test_corpus_shuffle_is_dense_permutation(spark):
+    """Positions are exactly 1..N, ordered by the md5 key; stable across
+    partition counts (the offset fold is partitioning-invariant)."""
+    from nifi_dicom_spark.functions.corpus import corpus_shuffle
+
+    ids = [(f"doc{i}",) for i in range(97)]
+    df = spark.createDataFrame(ids, "doc_id string")
+    out = corpus_shuffle(df, salt="s1", n_partitions=7).collect()
+    assert sorted(r["position"] for r in out) == list(range(1, 98))
+    by_key = sorted(out, key=lambda r: (r["shuffle_key"], r["id"]))
+    assert [r["position"] for r in by_key] == list(range(1, 98))
+    # serial replay: md5 recomputed in Python gives the same order
+    expect = {
+        doc: hashlib.md5(f"{doc}:s1".encode()).hexdigest() for (doc,) in ids
+    }
+    for r in out:
+        assert r["shuffle_key"] == expect[r["id"]]
+    # different partitioning, identical result
+    out2 = corpus_shuffle(df, salt="s1", n_partitions=3).collect()
+    assert {(r["id"], r["position"]) for r in out2} == {
+        (r["id"], r["position"]) for r in out
+    }
+    # different salt, different order (overwhelmingly)
+    out3 = corpus_shuffle(df, salt="s2", n_partitions=7).collect()
+    assert {(r["id"], r["position"]) for r in out3} != {
+        (r["id"], r["position"]) for r in out
+    }
+
+
+def test_corpus_shuffle_plan_has_no_global_window(spark):
+    """The scale contract: no single-partition Exchange — the window stage
+    rides the range repartition, same shape pack_shards asserts."""
+    from nifi_dicom_spark.functions.corpus import corpus_shuffle
+
+    df = spark.range(0, 1000).select(F.col("id").cast("string").alias("doc_id"))
+    # localCheckpoint inside corpus_shuffle hides its plan; re-derive the
+    # pre-checkpoint stage exactly as the function builds it
+    key = F.md5(F.concat(F.col("doc_id"), F.lit(":")))
+    base = (
+        df.select(F.col("doc_id").alias("id"), key.alias("shuffle_key"))
+        .repartitionByRange(8, "shuffle_key", "id")
+        .sortWithinPartitions("shuffle_key", "id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert corpus_shuffle(df, n_partitions=8).count() == 1000
+
+
+def test_bm25_matches_serial_replay(spark):
+    """Exact BM25 vs a pure-Python implementation on a hand-built corpus,
+    including docs with zero hits (they shape avgdl but emit no row)."""
+    import math
+
+    from nifi_dicom_spark.functions.search import bm25_search
+
+    texts = {
+        1: "spark merge spark window",
+        2: "merge only once here padded padded padded",
+        3: "no relevant words at all",
+        4: "",
+        5: "SPARK Spark spark",
+    }
+    terms = ["spark", "merge"]
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in bm25_search(docs, terms).collect()}
+    toks = {k: v.lower().split() for k, v in texts.items()}
+    n_docs = len(texts)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    dfreq = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in terms
+    }
+    k1, b = 1.2, 0.75
+    assert set(out) == {1, 2, 5}  # 3 and 4 have no hits
+    for did in out:
+        exp, hits = 0.0, 0
+        for t in terms:
+            tf = toks[did].count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            dl = len(toks[did])
+            exp += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert out[did]["n_terms_hit"] == hits
+        assert abs(out[did]["score"] - round(exp, 4)) < 1e-9, did
+    # empty term set is an error, case folding on the query side too
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_search(docs, [])
+    out_uc = {r["id"]: r["score"] for r in bm25_search(docs, ["SPARK", "Merge"]).collect()}
+    assert out_uc == {k: v["score"] for k, v in out.items()}
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    """Bigram counts vs serial replay; short docs contribute nothing; the
+    (cnt desc, ngram asc) order is total and the limit stable."""
+    from collections import Counter
+
+    from nifi_dicom_spark.functions.text import top_ngrams
+
+    texts = ["a b a b c", "b c", "x", ""]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = top_ngrams(docs, n=2, k=3).collect()
+    serial = Counter()
+    for t in texts:
+        w = t.split()
+        for i in range(len(w) - 1):
+            serial[f"{w[i]} {w[i+1]}"] += 1
+    expect = sorted(serial.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["ngram"], r["cnt"]) for r in rows] == expect
+    # n=1 degenerates to token counts
+    uni = {r["ngram"]: r["cnt"] for r in top_ngrams(docs, n=1, k=10).collect()}
+    assert uni == {"a": 2, "b": 3, "c": 2, "x": 1}
