@@ -1257,7 +1257,12 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver, never the vocabulary)."""
     from nifi_dicom_spark.functions.text import top_ngrams
 
-    docs = _t(spark, sf_dir, "documents").select("text")
+    # single-file inputs otherwise run the whole explode in ONE task
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return top_ngrams(docs, n=2, k=50)
 
 
