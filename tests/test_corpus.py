@@ -453,3 +453,81 @@ def test_top_ngrams_counts_and_ties(spark):
     # n=1 degenerates to token counts
     uni = {r["ngram"]: r["cnt"] for r in top_ngrams(docs, n=1, k=10).collect()}
     assert uni == {"a": 2, "b": 3, "c": 2, "x": 1}
+
+
+def test_corpus_job_pipeline_end_to_end(spark, tmp_path):
+    """The composite spark-submit pipeline (jobs/corpus_job.run_pipeline):
+    stage counts monotone, heldout docs actually removed, shard packing
+    respects the token budget, and the whole run is deterministic —
+    re-running into a fresh dir yields identical shard assignments."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_job import run_pipeline
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    # heldout = a slice of the corpus itself → guaranteed contamination hits
+    heldout_dir = str(tmp_path / "heldout")
+    spark.read.parquet(src).filter("doc_id < 5").select(
+        "doc_id", "text"
+    ).write.parquet(heldout_dir)
+
+    out1 = str(tmp_path / "shards1")
+    m = run_pipeline(
+        spark,
+        input_path=src,
+        output_path=out1,
+        heldout_path=heldout_dir,
+        weights={"src0": 2.0, "src1": 1.0, "src2": 0.5},
+        token_budget=5_000,
+        shard_tokens=2_000,
+        min_tokens=5,
+        salt="t1",
+    )
+    assert (
+        m["input_docs"]
+        >= m["after_exact_dedup"]
+        >= m["after_near_dup"]
+        >= m["after_quality_filter"]
+        >= m["after_decontaminate"]
+        > 0
+    )
+    got = spark.read.parquet(out1)
+    rows = got.collect()
+    assert m["output_docs"] == len(rows) == m["sampled_docs"]
+    # planted heldout docs must be gone (exact copies → simhash hamming 0)
+    assert not [r for r in rows if r["doc_id"] < 5]
+    # positions are dense 1..N and shard ids contiguous in position order
+    assert sorted(r["position"] for r in rows) == list(range(1, len(rows) + 1))
+    by_pos = sorted(rows, key=lambda r: r["position"])
+    shard_seq = [r["shard_id"] for r in by_pos]
+    assert shard_seq == sorted(shard_seq)
+    # packing invariant: each shard's tokens < budget + one straddling doc
+    from collections import defaultdict
+
+    tok = defaultdict(int)
+    for r in rows:
+        tok[r["shard_id"]] += r["n_tokens"]
+    max_doc = max(r["n_tokens"] for r in rows)
+    assert all(t < 2_000 + max_doc for t in tok.values())
+    # upsampled sources carry _copy > 1 for some docs (rate 2.0 on src0)
+    assert any(r["_copy"] > 1 for r in rows)
+
+    # determinism: identical shard assignment on a re-run
+    out2 = str(tmp_path / "shards2")
+    m2 = run_pipeline(
+        spark,
+        input_path=src,
+        output_path=out2,
+        heldout_path=heldout_dir,
+        weights={"src0": 2.0, "src1": 1.0, "src2": 0.5},
+        token_budget=5_000,
+        shard_tokens=2_000,
+        min_tokens=5,
+        salt="t1",
+    )
+    assert m2 == {**m, "output_path": out2}
+    key = ["shard_id", "position", "doc_id", "_copy"]
+    a = {tuple(r) for r in spark.read.parquet(out1).select(key).collect()}
+    b = {tuple(r) for r in spark.read.parquet(out2).select(key).collect()}
+    assert a == b
