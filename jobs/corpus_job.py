@@ -113,12 +113,14 @@ def run_pipeline(
     metrics["after_near_dup"] = docs2.count()
     docs1.unpersist()
 
-    # 3. quality filter (keep decision with machine-readable reasons)
-    qf = quality_filter(docs2, "text", "doc_id", min_tokens=min_tokens)
+    # 3. PII redaction BEFORE the quality gate: redacted docs should
+    # survive (placeholders carry no PII), not be dropped by the
+    # has_pii rule — redact-then-filter is the order that keeps them
+    redacted = docs2.withColumn("text", redact(F.col("text")))
+    # 4. quality filter (keep decision with machine-readable reasons)
+    qf = quality_filter(redacted, "text", "doc_id", min_tokens=min_tokens)
     keep_ids = qf.filter(F.col("keep")).select("doc_id")
-    docs3 = docs2.join(keep_ids, "doc_id", "left_semi")
-    # 4. PII redaction on the surviving text (zero shuffle)
-    docs3 = docs3.withColumn("text", redact(F.col("text"))).persist()
+    docs3 = redacted.join(keep_ids, "doc_id", "left_semi").persist()
     metrics["after_quality_filter"] = docs3.count()
     docs2.unpersist()
 

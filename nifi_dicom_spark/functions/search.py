@@ -14,8 +14,13 @@ Scale shape:
   number of *query-term hits*, not corpus tokens. At 10^10 tokens with a
   3-term query this is the difference between shuffling terabytes and
   shuffling megabytes.
-* Per-document length statistics (``dl``) come from the same projection
-  (``size`` of the token array) — no second text scan.
+* The whole query costs exactly TWO column-pruned corpus scans: one for
+  the (N, avgdl) length statistics over ALL documents, one for the hit
+  relation. Persisting the token arrays to share a single scan would
+  cache O(corpus tokens) — far more expensive than re-reading one pruned
+  parquet column. The hit relation ``tf`` IS materialized (it is tiny —
+  ≤ |terms| rows per hit document) so the df/idf broadcast and the final
+  score join reuse it instead of re-scanning text a third time.
 * ``df``/``idf`` are computed from the hit relation grouped by term — at
   most ``|terms|`` rows — and broadcast back; the corpus-level constants
   (N, avgdl) are a single-row broadcast crossJoin. The only wide exchange
@@ -82,6 +87,10 @@ def bm25_search(
         base.select("id", "dl", F.explode("_hits").alias("term"))
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # branch point: both the df/idf aggregate and the score join read
+        # this relation — eager checkpoint so the corpus is scanned ONCE
+        # for hits (the relation is ≤ |terms| rows per hit document)
+        .localCheckpoint(eager=True)
     )
     # document frequency per term: ≤ |terms| rows after the aggregate
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
