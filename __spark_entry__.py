@@ -914,6 +914,90 @@ def _redact_regions_oracle() -> str:
     """
 
 
+def _layer1_signal(doc_id: int) -> "np.ndarray":
+    """Deterministic two-tone test signal per doc (1920 samples @32 kHz),
+    shared by the layer1_decode query and its oracle."""
+    import numpy as np
+
+    i = int(doc_id)
+    t = np.arange(1920)
+    f1 = 200.0 + (i % 37) * 80.0
+    f2 = 500.0 + (i % 23) * 130.0
+    return 0.45 * np.sin(2 * np.pi * f1 * t / 32000.0) + 0.25 * np.sin(
+        2 * np.pi * f2 * t / 32000.0
+    )
+
+
+def q_layer1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio bitstream decode through the multimodal path:
+    a deterministic two-tone signal per doc is encoded as MPEG-1 Layer I
+    (from-scratch 32-band subband codec, ``functions/mpeg_audio.py`` —
+    ISO frame layout + scalefactors + mid-rise quantizer, designed
+    near-PR pseudo-QMF filterbank) inside an Arrow batch, then the
+    standard ``extract_features`` kernel entropy-decodes the subband
+    stream and synthesizes PCM — the RMS-energy features OF THE LOSSY
+    DECODE and the exact container size are value-checked against a
+    Python-replayed oracle. Reference analog: decompress-on-read of
+    encapsulated bulk data (``AttributeList.java:45,231``)."""
+    from nifi_dicom_spark.functions.multimodal import extract_features
+
+    @F.pandas_udf("binary")
+    def make_l1(ids: pd.Series) -> pd.Series:
+        from nifi_dicom_spark.functions.mpeg_audio import encode_layer1
+
+        return pd.Series(
+            [encode_layer1(_layer1_signal(int(i)), 32000, bits=8) for i in ids]
+        )
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        make_l1("doc_id").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+        )
+        .alias("meta"),
+    )
+    feats = extract_features(media, dim=4)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("band0"),
+        F.round(F.element_at("feature", 4).cast("double"), 6).alias("band3"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def _layer1_decode_oracle() -> str:
+    """Replay the synthesize→encode→decode→feature pipeline in Python with
+    the same codec over the same doc_ids and inline the expected rows."""
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions.codecs import audio_energy_features
+    from nifi_dicom_spark.functions.mpeg_audio import decode_layer1, encode_layer1
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for i in ids:
+        payload = encode_layer1(_layer1_signal(int(i)), 32000, bits=8)
+        pcm, _sr = decode_layer1(payload)
+        feat = audio_energy_features(pcm, 4)
+        rows.append(f"({int(i)}, {float(feat[0])!r}, {float(feat[3])!r}, {len(payload)})")
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, round(band0, 6) AS band0, round(band3, 6) AS band3,
+               CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES {values}) AS t(media_id, band0, band3, n_bytes)
+    """
+
+
 def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
     """Deterministic (kind, payload) per doc cycling all 7 container
     formats — the single source of truth for both the Spark pandas_udf and
@@ -1917,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- no r3 CORRECTNESS row (or red) — must be in the first 50 ----
         "debezium_parse": q_debezium_parse,
+        "layer1_decode": q_layer1_decode,  # new in r4
         "change_feed": q_change_feed,
         "stats_json": q_stats_json,
         "pii_redact": q_pii_redact,
@@ -2769,6 +2854,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "person_match": _person_match_oracle(),
         "png_decode": _png_decode_oracle(),
+        "layer1_decode": _layer1_decode_oracle(),
         "jpeg_decode": _jpeg_decode_oracle(),
         "redact_regions": _redact_regions_oracle(),
         "media_probe": _media_probe_oracle(),

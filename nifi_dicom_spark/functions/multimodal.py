@@ -1,17 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-Decode is REAL for every image format plus PCM audio: WAV, BMP and PNG are
-parsed by the pure-stdlib+numpy codecs in
-:mod:`nifi_dicom_spark.functions.codecs`, baseline JPEG by the from-scratch
-entropy/DCT codec in :mod:`nifi_dicom_spark.functions.jpeg`; they yield
-genuine features (RMS energy windows, grayscale band means), genuine
-decoded dimensions and genuine resizes. MP4 and MP3 are REAL at the
-container/frame level (:mod:`..functions.mp4` box/sample-table demux,
-:mod:`..functions.mp3` frame-header/Xing parse — see ``probe_media`` and
-``sample_frames``); only their compressed *bitstream* payloads
-(H.264/Layer-III entropy stacks, genuinely out of scope without external
-libs) fall back to a deterministic, clearly-marked stub in the feature
-path. The
+Decode is REAL for every image format, PCM audio AND compressed
+Layer-I audio: WAV, BMP and PNG are parsed by the pure-stdlib+numpy
+codecs in :mod:`nifi_dicom_spark.functions.codecs`, baseline JPEG by the
+from-scratch entropy/DCT codec in :mod:`nifi_dicom_spark.functions.jpeg`,
+MPEG-1 Layer I audio by the from-scratch subband codec in
+:mod:`nifi_dicom_spark.functions.mpeg_audio` (32-band pseudo-QMF +
+ISO bit layout, SNR-verified round trip); they yield genuine features
+(RMS energy windows, grayscale band means), genuine decoded dimensions
+and genuine resizes. MP4 and MP3 are REAL at the container/frame level
+(:mod:`..functions.mp4` box/sample-table demux, :mod:`..functions.mp3`
+frame-header/Xing parse — see ``probe_media`` and ``sample_frames``);
+only the remaining compressed *bitstream* payloads (H.264/Layer-II/III
+entropy stacks, genuinely out of scope without external libs) fall back
+to a deterministic, clearly-marked stub in the feature path. The
 Spark-side plumbing is identical and fully tested either way: schema
 (binary payload + typed metadata struct), Arrow-batched ``mapInPandas``
 transforms, partition-size control for fat binary rows.
@@ -35,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nifi_dicom_spark.functions import codecs, jpeg, mp3, mp4
+from nifi_dicom_spark.functions import codecs, jpeg, mp3, mp4, mpeg_audio
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -74,11 +76,11 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB for the remaining undecodable *bitstreams* (MP3/MP4 spectral
-    payloads — their psychoacoustic/entropy stacks are genuinely out of
-    scope without external libs; WAV/BMP/PNG/baseline-JPEG decode for
-    real, and MP3/MP4 containers demux for real via probe_media /
-    sample_frames).
+    """STUB for the remaining undecodable *bitstreams* (MPEG Layer II/III
+    and H.264 spectral payloads — their psychoacoustic/entropy stacks are
+    genuinely out of scope without external libs;
+    WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I decode for real, and MP3/MP4
+    containers demux for real via probe_media / sample_frames).
 
     Deterministic fake: sha256-seeded pseudo-feature so tests are stable.
     Replace the body with the real decode + model features in production;
@@ -92,16 +94,20 @@ def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
 def _decode_feature(
     payload: bytes, dim: int = 16
 ) -> tuple[np.ndarray, int | None, int | None]:
-    """Real decode for WAV/BMP/PNG payloads (pure-stdlib+numpy codecs);
-    deterministic stub otherwise. Returns (feature, width, height) — dims
-    non-null only when a real image decode ran. Magic bytes only gate the
-    ATTEMPT — unsupported variants (float WAV, compressed/odd-bpp BMP,
+    """Real decode for WAV/MPEG-Layer-I/BMP/PNG/JPEG payloads
+    (pure-stdlib+numpy codecs); deterministic stub otherwise. Returns
+    (feature, width, height) — dims non-null only when a real image
+    decode ran. Magic bytes only gate the ATTEMPT — unsupported variants
+    (float WAV, Layer II/III streams, compressed/odd-bpp BMP,
     16-bit/interlaced PNG, truncated files) fall back to the stub rather
     than crashing the whole Spark job on one bad row."""
 
     try:
         if codecs.is_wav(payload):
             samples, _sr = codecs.decode_wav(payload)
+            return codecs.audio_energy_features(samples, dim), None, None
+        if mpeg_audio.is_layer1(payload):
+            samples, _sr = mpeg_audio.decode_layer1(payload)
             return codecs.audio_energy_features(samples, dim), None, None
         if codecs.is_bmp(payload):
             img = codecs.decode_bmp(payload)

@@ -1,0 +1,190 @@
+"""MPEG-1 Layer I subband codec: filterbank reconstruction, quantizer
+properties, bit-format interop with the mp3 frame scanner, and the REAL
+compressed-audio decode path through the multimodal feature kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nifi_dicom_spark.functions import codecs, mp3, mpeg_audio as ma
+
+
+def _tone(n: int = 3840, sr: int = 32000) -> np.ndarray:
+    t = np.arange(n)
+    return 0.5 * np.sin(2 * np.pi * 440 * t / sr) + 0.3 * np.sin(
+        2 * np.pi * 1873 * t / sr
+    )
+
+
+# --- filterbank --------------------------------------------------------------
+
+
+def test_filterbank_near_perfect_reconstruction():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(16384)
+    y = ma.synthesize(ma.analyze(x))
+    snr = ma.roundtrip_snr_db(x[: len(x) - ma._DELAY], y[ma._DELAY : len(x)])
+    assert snr > 50.0  # designed prototype measures ~56 dB
+
+
+def test_filterbank_critically_sampled_shape():
+    s = ma.analyze(np.zeros(320))
+    assert s.shape == (10, 32)
+    assert not s.any()
+
+
+def test_subband_isolation():
+    # a pure tone in band b's passband concentrates energy in that band
+    sr = 32000
+    t = np.arange(8192)
+    for b in (0, 3, 11):
+        f = (b + 0.5) * sr / 64  # band center
+        s = ma.analyze(np.sin(2 * np.pi * f * t / sr))
+        energy = (s[8:] ** 2).sum(axis=0)  # skip filter warm-up
+        assert energy.argmax() == b
+        assert energy[b] > 0.9 * energy.sum()
+
+
+# --- quantizer ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nb", [2, 4, 8, 12, 15])
+def test_quantizer_roundtrip_and_forbidden_code(nb):
+    y = np.linspace(-1.0, 1.0, 4097)
+    codes = ma._quantize(y, nb)
+    assert codes.max() <= (1 << nb) - 2  # all-ones never emitted
+    back = ma._dequantize(codes, nb)
+    step = 2.0 ** (1 - nb) * (2**nb / (2**nb - 1.0))
+    assert np.abs(back - y).max() <= step  # within one quantizer step
+
+
+def test_scalefactor_table_is_iso_closed_form():
+    assert ma.SCALEFACTORS[0] == 2.0
+    assert ma.SCALEFACTORS[3] == pytest.approx(1.0)
+    ratios = ma.SCALEFACTORS[1:] / ma.SCALEFACTORS[:-1]
+    assert np.allclose(ratios, 2.0 ** (-1 / 3))
+    assert len(ma.SCALEFACTORS) == 63
+
+
+# --- codec round trip --------------------------------------------------------
+
+
+def test_roundtrip_snr_scales_with_bits():
+    sig = _tone()
+    snrs = {}
+    for bits in (4, 6, 8):
+        dec, sr = ma.decode_layer1(ma.encode_layer1(sig, 32000, bits=bits))
+        assert sr == 32000
+        assert len(dec) >= len(sig)
+        snrs[bits] = ma.roundtrip_snr_db(sig, dec[: len(sig)])
+    assert snrs[4] > 18.0
+    assert snrs[6] > 30.0
+    assert snrs[8] > 40.0
+    assert snrs[4] < snrs[6] < snrs[8]
+
+
+def test_roundtrip_fullband_noise_all_bands():
+    rng = np.random.default_rng(3)
+    noise = rng.uniform(-0.9, 0.9, 5000)
+    dec, _ = ma.decode_layer1(ma.encode_layer1(noise, 44100, bits=8, coded_bands=32))
+    assert ma.roundtrip_snr_db(noise, dec[: len(noise)]) > 40.0
+
+
+def test_roundtrip_stereo_downmix():
+    t = np.arange(3840)
+    st = np.stack([_tone(), 0.4 * np.sin(2 * np.pi * 997 * t / 32000)], axis=1)
+    enc = ma.encode_layer1(st, 32000, bits=6)
+    info = mp3.parse_mp3(enc)
+    assert (info["mode"], info["channels"]) == ("stereo", 2)
+    dec, _ = ma.decode_layer1(enc)
+    mix = st.mean(axis=1)
+    assert ma.roundtrip_snr_db(mix, dec[: len(mix)]) > 30.0
+
+
+def test_encode_deterministic():
+    sig = _tone(1000)
+    assert ma.encode_layer1(sig, 32000) == ma.encode_layer1(sig, 32000)
+
+
+# --- bit-format interop with the frame scanner -------------------------------
+
+
+def test_frames_parse_with_existing_scanner():
+    enc = ma.encode_layer1(_tone(), 32000, bits=8)
+    info = mp3.parse_mp3(enc)
+    assert info["version"] == "1" and info["layer"] == 1
+    assert info["mode"] == "mono"
+    assert info["n_frames"] == (3840 + ma._DELAY + 383) // 384
+    assert not info["is_vbr"]
+    frames = mp3.frame_table(enc)
+    assert len({f.size for f in frames}) == 1  # CBR: constant frame size
+    assert sum(f.size for f in frames) == len(enc)
+
+
+def test_bitrate_selected_is_smallest_fitting():
+    enc = ma.encode_layer1(_tone(), 32000, bits=4, coded_bands=8)
+    lo = mp3.parse_mp3(enc)["bitrate_kbps"]
+    enc2 = ma.encode_layer1(_tone(), 32000, bits=12, coded_bands=32)
+    hi = mp3.parse_mp3(enc2)["bitrate_kbps"]
+    assert lo < hi
+
+
+# --- guards ------------------------------------------------------------------
+
+
+def test_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        ma.encode_layer1(_tone(), 12345)  # not an MPEG-1 rate
+    with pytest.raises(ValueError):
+        ma.encode_layer1(_tone(), 32000, bits=1)
+    with pytest.raises(ValueError):
+        # stereo @ 8 bits x 30 bands exceeds the largest Layer I frame
+        ma.encode_layer1(np.zeros((768, 2)), 32000, bits=8)
+    with pytest.raises(ValueError):
+        ma.decode_layer1(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        ma.decode_layer1(mp3.write_mp3(3))  # Layer III: headers only
+
+
+def test_is_layer1_dispatch():
+    assert ma.is_layer1(ma.encode_layer1(_tone(400), 32000))
+    assert not ma.is_layer1(mp3.write_mp3(2))
+    assert not ma.is_layer1(b"RIFF....WAVE")
+    assert not ma.is_layer1(None)
+    assert not ma.is_layer1(b"")
+
+
+def test_truncated_frame_body_raises():
+    enc = ma.encode_layer1(_tone(400), 32000)
+    with pytest.raises(ValueError):
+        # cut inside the first frame body: scanner keeps the frame (size
+        # comes from the header) but the bit reader must run dry
+        ma.decode_layer1(enc[: mp3.frame_table(enc)[0].size // 2])
+
+
+# --- multimodal feature path: REAL decode for Layer I ------------------------
+
+
+def test_multimodal_layer1_real_vs_layer3_stub(spark):
+    from nifi_dicom_spark.functions.multimodal import (
+        _fake_decode_feature,
+        extract_features,
+    )
+
+    sig = _tone(2000)
+    l1 = ma.encode_layer1(sig, 32000, bits=8)
+    l3 = mp3.write_mp3(4, seed=b"x")
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(l1), None), (2, "audio", bytearray(l3), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
+    )
+    rows = {r["media_id"]: r for r in extract_features(df, dim=4).collect()}
+
+    dec, _ = ma.decode_layer1(l1)
+    expect_real = codecs.audio_energy_features(dec, 4)
+    assert np.allclose(rows[1]["feature"], expect_real, rtol=1e-5)
+
+    expect_stub = _fake_decode_feature(l3, 4)
+    assert np.allclose(rows[2]["feature"], expect_stub, rtol=1e-6)
