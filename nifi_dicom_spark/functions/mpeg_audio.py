@@ -347,17 +347,26 @@ def encode_layer1(
 
 
 def decode_layer1(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode an MPEG-1 Layer I stream (mono or stereo; stereo is
-    downmixed to mono to match ``codecs.decode_wav``'s contract).
-    Returns (float64 samples, sample_rate). Uses the existing frame
-    scanner for sync/ID3 handling, then entropy-decodes each payload.
-    """
+    """Decode an MPEG-1 Layer I stream (mono, stereo or dual-channel;
+    2-channel audio is downmixed to mono to match ``codecs.decode_wav``'s
+    contract). Returns (float64 samples, sample_rate). Uses the existing
+    frame scanner for sync/ID3 handling, then entropy-decodes each
+    payload. CRC-protected frames skip the 2-byte CRC word (the checksum
+    itself is not verified). Joint-stereo frames are rejected: their
+    shared-allocation intensity bands need ``mode_extension`` handling
+    this decoder does not implement, and misparsing them would produce
+    silent garbage. The last ≤480 returned samples of a stream without
+    encoder flush padding are a partial (attenuated-tail) reconstruction
+    — streams from :func:`encode_layer1` carry the flush, so their
+    original-signal region is always fully reconstructed."""
     frames = mp3.frame_table(payload)
     if not frames:
         raise ValueError("no MPEG frames found")
     first = mp3._parse_header(payload, frames[0].offset)
     if first is None or first.layer != 1 or first.version != "1":
         raise ValueError("not an MPEG-1 Layer I stream")
+    if first.mode == "joint_stereo":
+        raise ValueError("joint-stereo Layer I (intensity bands) unsupported")
     nch = first.channels
     sr = first.sample_rate
 
@@ -366,14 +375,20 @@ def decode_layer1(payload: bytes) -> tuple[np.ndarray, int]:
         h = mp3._parse_header(payload, fr.offset)
         if h is None or h.layer != 1:
             continue
-        body = payload[fr.offset + 4 : fr.offset + fr.size]
+        skip = 4 + (2 if h.has_crc else 0)  # header + optional CRC word
+        body = payload[fr.offset + skip : fr.offset + fr.size]
         r = _BitReader(body)
         alloc = r.take(N_BANDS * nch, 4).reshape(N_BANDS, nch)
+        if (alloc == 15).any():
+            raise ValueError("forbidden Layer I allocation index 15")
         nb = np.where(alloc > 0, alloc + 1, 0)
         scf = np.zeros((N_BANDS, nch))
         coded = np.argwhere(alloc > 0)
         for sb, ch in coded:
-            scf[sb, ch] = SCALEFACTORS[int(r.take(1, 6)[0])]
+            idx = int(r.take(1, 6)[0])
+            if idx > 62:
+                raise ValueError("forbidden scalefactor index 63")
+            scf[sb, ch] = SCALEFACTORS[idx]
         sub = np.zeros((_GRANULES, N_BANDS, nch))
         # sample order: s=0..11, sb=0..31, ch. When every coded (sb, ch)
         # shares one width (any fixed-allocation encoder, incl. ours) the
@@ -396,25 +411,31 @@ def decode_layer1(payload: bytes) -> tuple[np.ndarray, int]:
     allsub = np.concatenate(per_frame, axis=0)  # (12*F, 32, nch)
     mono_sub = allsub.mean(axis=2) if nch > 1 else allsub[:, :, 0]
     out = synthesize(mono_sub)
-    # trim the cascade delay so sample 0 aligns with encoder input 0, and
-    # drop the final _DELAY samples (beyond them reconstruction is partial;
-    # the encoder's flush padding guarantees the usable region covers the
-    # original signal)
-    n = allsub.shape[0] * HOP - _DELAY
+    # trim the cascade delay so sample 0 aligns with encoder input 0;
+    # return the full frame content (one sample per subband slot). The
+    # tail's final ≤_DELAY samples are partially reconstructed — for
+    # flush-padded streams (ours) that region is the appended silence, and
+    # for third-party streams truncating it would LOSE real audio, so it
+    # is returned as-is (documented above).
+    n = allsub.shape[0] * HOP
     return out[_DELAY : _DELAY + n], sr
 
 
 def is_layer1(payload: bytes | None) -> bool:
-    """True when the payload scans as an MPEG-1 Layer I stream."""
-    if not payload or not mp3.is_mp3(payload):
+    """True when the payload STARTS with an MPEG-1 Layer I frame header
+    (after an optional ID3v2 tag). Deliberately anchored at offset 0 — no
+    resync scan — so this dispatch gate is O(1) on the hot feature path
+    and can never steal a BMP/PNG/JPEG payload whose compressed bytes
+    happen to contain a sync pattern somewhere in the first 2 KB (the
+    ``mp3.is_mp3`` scan is the right tool for *probing*, not for
+    *dispatch*). Decoding still tolerates mid-stream junk via
+    ``frame_table``'s resync once a stream is positively identified."""
+    if not payload or len(payload) < 4:
         return False
     try:
-        frames = mp3.frame_table(payload, max_frames=1)
+        h = mp3._parse_header(payload, mp3._id3v2_len(payload))
     except Exception:
         return False
-    if not frames:
-        return False
-    h = mp3._parse_header(payload, frames[0].offset)
     return h is not None and h.layer == 1 and h.version == "1"
 
 

@@ -155,12 +155,100 @@ def test_is_layer1_dispatch():
     assert not ma.is_layer1(b"")
 
 
-def test_truncated_frame_body_raises():
+def test_truncated_payload_raises():
     enc = ma.encode_layer1(_tone(400), 32000)
     with pytest.raises(ValueError):
-        # cut inside the first frame body: scanner keeps the frame (size
-        # comes from the header) but the bit reader must run dry
+        # cut inside the first frame: the scanner drops the incomplete
+        # frame (its header-declared size overruns the payload), leaving
+        # zero frames
         ma.decode_layer1(enc[: mp3.frame_table(enc)[0].size // 2])
+
+
+def _header(bitrate_kbps: int = 32, mode_bits: int = 3) -> bytes:
+    # MPEG-1 Layer I @32 kHz: frame_len = 12*br/32*4 bytes
+    br_idx = mp3._BR_INDEX[(1, 1)][bitrate_kbps]
+    return bytes([0xFF, 0xFF, (br_idx << 4) | (2 << 2), mode_bits << 6])
+
+
+def test_bitreader_runs_dry_on_underfull_frame_body():
+    # a COMPLETE 48-byte frame whose allocations demand more sample bits
+    # than the body holds: alloc index 1 (2-bit samples) on all 32 bands
+    # needs 128+192+768 bits but the body has only 44*8=352
+    body = ma._pack_bits(
+        np.array([1] * 32 + [0] * 32, dtype=np.uint64),
+        np.array([4] * 32 + [6] * 32, dtype=np.int64),
+    )
+    frame = _header(32) + body + b"\x00" * (48 - 4 - len(body))
+    with pytest.raises(ValueError, match="truncated"):
+        ma.decode_layer1(frame)
+
+
+def test_single_frame_stream_decodes_to_full_frame_length():
+    # smallest decodable unit: one all-silent frame (third-party streams
+    # have no flush padding; must not return an empty array)
+    frame = _header(32) + b"\x00" * 44
+    dec, sr = ma.decode_layer1(frame)
+    assert sr == 32000
+    assert len(dec) == 384
+    assert not dec.any()
+
+
+def test_crc_protected_frames_skip_the_crc_word():
+    enc = ma.encode_layer1(_tone(), 32000, bits=4, coded_bands=8)
+    flen = mp3.frame_table(enc)[0].size
+    rebuilt = bytearray()
+    for fr in mp3.frame_table(enc):
+        f = bytearray(enc[fr.offset : fr.offset + fr.size])
+        f[1] &= 0xFE  # protection_bit 0 = CRC present
+        # insert a dummy CRC word, dropping 2 bytes of tail padding
+        rebuilt += bytes(f[:4]) + b"\xab\xcd" + bytes(f[4 : flen - 2])
+    dec_crc, _ = ma.decode_layer1(bytes(rebuilt))
+    dec_plain, _ = ma.decode_layer1(enc)
+    assert np.allclose(dec_crc, dec_plain)
+
+
+def test_joint_stereo_rejected_dual_channel_accepted():
+    t = np.arange(768)
+    st = np.stack(
+        [np.sin(2 * np.pi * 440 * t / 32000), np.sin(2 * np.pi * 880 * t / 32000)],
+        axis=1,
+    )
+    enc = bytearray(ma.encode_layer1(st, 32000, bits=4, coded_bands=8))
+    flen = mp3.frame_table(bytes(enc))[0].size
+    joint = bytearray(enc)
+    dual = bytearray(enc)
+    for off in range(0, len(enc), flen):
+        joint[off + 3] = (joint[off + 3] & 0x3F) | (1 << 6)  # joint_stereo
+        dual[off + 3] = (dual[off + 3] & 0x3F) | (2 << 6)  # dual_channel
+    with pytest.raises(ValueError, match="joint-stereo"):
+        ma.decode_layer1(bytes(joint))
+    dec_dual, _ = ma.decode_layer1(bytes(dual))
+    dec_stereo, _ = ma.decode_layer1(bytes(enc))
+    assert np.allclose(dec_dual, dec_stereo)  # Layer I parses them identically
+
+
+def test_forbidden_field_values_raise_valueerror():
+    enc = bytearray(ma.encode_layer1(_tone(400), 32000, bits=8))
+    bad_alloc = bytearray(enc)
+    bad_alloc[4] |= 0xF0  # first 4-bit allocation -> forbidden index 15
+    with pytest.raises(ValueError, match="allocation"):
+        ma.decode_layer1(bytes(bad_alloc))
+    bad_scf = bytearray(enc)
+    # scalefactors start right after the 32x4-bit allocations = body byte 16
+    bad_scf[4 + 16] |= 0xFC  # first 6-bit scalefactor -> forbidden index 63
+    with pytest.raises(ValueError, match="scalefactor"):
+        ma.decode_layer1(bytes(bad_scf))
+
+
+def test_is_layer1_is_anchored_at_offset_zero():
+    enc = ma.encode_layer1(_tone(400), 32000)
+    # dispatch must NOT resync-scan: a sync mid-payload is not a Layer I
+    # stream (that is how image bytes could be stolen from the image path)
+    assert not ma.is_layer1(b"\x00" * 100 + enc)
+    assert mp3.is_mp3(b"\x00" * 100 + enc)  # the probe still finds it
+    # ...but a leading ID3v2 tag is part of the format and is skipped
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x00"
+    assert ma.is_layer1(id3 + enc)
 
 
 # --- multimodal feature path: REAL decode for Layer I ------------------------
