@@ -999,16 +999,20 @@ def _layer1_decode_oracle() -> str:
 
 
 def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
-    """Deterministic (kind, payload) per doc cycling all 7 container
+    """Deterministic (kind, payload) per doc cycling all 8 container
     formats — the single source of truth for both the Spark pandas_udf and
     the oracle replay, so probe results are byte-identical by construction."""
     import numpy as np
 
-    from nifi_dicom_spark.functions import codecs, jpeg, mp3, mp4
+    from nifi_dicom_spark.functions import codecs, jpeg, mp3, mp4, mpeg_audio
 
     i = int(doc_id)
     w, h = _png_dims(i)
-    slot = i % 7
+    slot = i % 8
+    if slot == 7:
+        # compressed audio that decodes for REAL (MPEG-1 Layer I)
+        sig = _layer1_signal(i)[: 384 * (i % 3 + 1)]
+        return "audio", mpeg_audio.encode_layer1(sig, 32000, bits=6, coded_bands=16)
     if slot == 0:
         n = i % 64 + 8
         t = np.arange(n) / 8000.0
@@ -1047,9 +1051,10 @@ def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
 
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container identification + header metadata over a mixed-format
-    binary column: WAV/BMP/PNG/JPEG/MP4/MP3 payloads (synthesized
-    deterministically per doc by the from-scratch encoders/muxers) plus an
-    unknown-format slot, probed by the header-only parsers — format, codec,
+    binary column: WAV/BMP/PNG/JPEG/MP4/MP3/MPEG-Layer-I payloads
+    (synthesized deterministically per doc by the from-scratch
+    encoders/muxers) plus an unknown-format slot, probed by the
+    header-only parsers — format, codec,
     dimensions, sample rate, channels, frame count, duration. The oracle
     replays the identical synthesize→probe pipeline in Python."""
     from nifi_dicom_spark.functions.multimodal import probe_media
