@@ -998,8 +998,77 @@ def _layer1_decode_oracle() -> str:
     """
 
 
+def q_layer2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer II bitstream decode through the multimodal path:
+    the same deterministic two-tone signal per doc is encoded as Layer II
+    (``functions/mpeg_audio.py encode_layer2`` — 1152-sample frames,
+    band-class allocation, scfsi-folded scalefactors, grouped 5-level +
+    ungrouped quantizers in one stream), then ``extract_features``
+    entropy-decodes the payload and synthesizes PCM; the RMS-energy
+    features OF THE LOSSY DECODE and the container size are value-checked
+    against a Python-replayed oracle. Reference analog: decompress-on-read
+    of encapsulated bulk data (``AttributeList.java:45,231``)."""
+    from nifi_dicom_spark.functions.multimodal import extract_features
+
+    @F.pandas_udf("binary")
+    def make_l2(ids: pd.Series) -> pd.Series:
+        from nifi_dicom_spark.functions.mpeg_audio import encode_layer2
+
+        return pd.Series(
+            [encode_layer2(_layer1_signal(int(i)), 32000, levels=15) for i in ids]
+        )
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        make_l2("doc_id").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+        )
+        .alias("meta"),
+    )
+    feats = extract_features(media, dim=4)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("band0"),
+        F.round(F.element_at("feature", 4).cast("double"), 6).alias("band3"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def _layer2_decode_oracle() -> str:
+    """Replay the synthesize→encode→decode→feature pipeline in Python with
+    the same Layer II codec over the same doc_ids and inline the rows."""
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions.codecs import audio_energy_features
+    from nifi_dicom_spark.functions.mpeg_audio import decode_layer2, encode_layer2
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for i in ids:
+        payload = encode_layer2(_layer1_signal(int(i)), 32000, levels=15)
+        pcm, _sr = decode_layer2(payload)
+        feat = audio_energy_features(pcm, 4)
+        rows.append(f"({int(i)}, {float(feat[0])!r}, {float(feat[3])!r}, {len(payload)})")
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, round(band0, 6) AS band0, round(band3, 6) AS band3,
+               CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES {values}) AS t(media_id, band0, band3, n_bytes)
+    """
+
+
 def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
-    """Deterministic (kind, payload) per doc cycling all 8 container
+    """Deterministic (kind, payload) per doc cycling all 9 container
     formats — the single source of truth for both the Spark pandas_udf and
     the oracle replay, so probe results are byte-identical by construction."""
     import numpy as np
@@ -1008,11 +1077,16 @@ def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
 
     i = int(doc_id)
     w, h = _png_dims(i)
-    slot = i % 8
+    slot = i % 9
     if slot == 7:
         # compressed audio that decodes for REAL (MPEG-1 Layer I)
         sig = _layer1_signal(i)[: 384 * (i % 3 + 1)]
         return "audio", mpeg_audio.encode_layer1(sig, 32000, bits=6, coded_bands=16)
+    if slot == 8:
+        # compressed audio that decodes for REAL (MPEG-1 Layer II:
+        # grouped+ungrouped quantizers, scfsi-folded scalefactors)
+        sig = _layer1_signal(i)[: 1152 * (i % 2 + 1)]
+        return "audio", mpeg_audio.encode_layer2(sig, 32000, levels=15)
     if slot == 0:
         n = i % 64 + 8
         t = np.arange(n) / 8000.0
@@ -2007,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- no r3 CORRECTNESS row (or red) — must be in the first 50 ----
         "debezium_parse": q_debezium_parse,
         "layer1_decode": q_layer1_decode,  # new in r4
+        "layer2_decode": q_layer2_decode,  # new in r4
         "change_feed": q_change_feed,
         "stats_json": q_stats_json,
         "pii_redact": q_pii_redact,
@@ -2860,6 +2935,7 @@ def oracle_sql() -> dict[str, str]:
         "person_match": _person_match_oracle(),
         "png_decode": _png_decode_oracle(),
         "layer1_decode": _layer1_decode_oracle(),
+        "layer2_decode": _layer2_decode_oracle(),
         "jpeg_decode": _jpeg_decode_oracle(),
         "redact_regions": _redact_regions_oracle(),
         "media_probe": _media_probe_oracle(),

@@ -457,6 +457,404 @@ def roundtrip_snr_db(x: np.ndarray, y: np.ndarray) -> float:
     return 10.0 * np.log10(p / e) if p > 0 else float("-inf")
 
 
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer II (ISO 11172-3 2.4.1.6 / 2.4.3.3.3) — same 32-band
+# filterbank, finer payload structure: 1152 samples per frame (36 subband
+# samples = 12 granules x 3), per-band allocation drawn from a band-class
+# table, up to three 6-bit scalefactors per band selected by a 2-bit scfsi
+# field, and *grouped* quantizers (3/5/9 levels pack 3 samples into one
+# 5/7/10-bit code word).
+#
+# Faithful to the public spec: the frame bit layout (allocation field
+# widths 4/4/3/2 by band class with sblimit 27 — the classic Table 3-B.2a
+# shape — scfsi semantics, scalefactor transmission order, granule-major
+# sample order, base-L grouping with the first sample in the low digit),
+# the scalefactor table (closed form, shared with Layer I), and the
+# 2^nb − 1-level mid-rise quantizer for ungrouped classes (shared
+# _quantize/_dequantize). One documented deviation, same policy as the
+# filterbank prototype: the grouped 3/5/9-level classes use the mid-tread
+# uniform closed form q = round((x+1)(L−1)/2), x̂ = 2q/(L−1) − 1 instead
+# of Table 3-B.4's printed C/D constants (non-derivable data); encoder and
+# decoder here are exactly inverse, and spec compliance for decoders is
+# SNR-based, not bit-exact, so third-party streams decode with a small
+# extra error on those low-rate bands only.
+# ---------------------------------------------------------------------------
+
+SAMPLES_PER_FRAME_L2 = 1152  # 36 subband samples x 32 bands
+_GRANULES_L2 = 12  # of 3 subband samples each
+SBLIMIT_L2 = 27
+
+# Band classes: (first_sb, last_sb_excl, allocation field width, level list).
+# Level lists: index 0 = band off; grouped levels are 3/5/9.
+_L2_CLASSES = (
+    (0, 3, 4, (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767, 65535)),
+    (3, 11, 4, (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 65535)),
+    (11, 23, 3, (3, 5, 7, 9, 15, 31, 65535)),
+    (23, 27, 2, (3, 5, 65535)),
+)
+_GROUP_BITS = {3: 5, 5: 7, 9: 10}  # ceil(log2(L^3)) for grouped classes
+
+
+def _l2_class(sb: int) -> tuple[int, tuple[int, ...]]:
+    for lo, hi, width, levels in _L2_CLASSES:
+        if lo <= sb < hi:
+            return width, levels
+    raise ValueError(f"subband {sb} above sblimit {SBLIMIT_L2}")
+
+
+def _l2_code_bits(levels: int) -> int:
+    """Bits consumed per GRANULE (3 samples) for one band at `levels`."""
+    if levels in _GROUP_BITS:
+        return _GROUP_BITS[levels]
+    return 3 * int(levels + 1).bit_length() - 3  # 3 x nb, levels = 2^nb - 1
+
+
+def _quantize_grouped(y: np.ndarray, levels: int) -> np.ndarray:
+    """Mid-tread uniform quantizer for the grouped 3/5/9-level classes:
+    y in [-1, 1] -> integer steps in [0, levels-1]."""
+    q = np.rint((y + 1.0) * (levels - 1) / 2.0).astype(np.int64)
+    return np.clip(q, 0, levels - 1).astype(np.uint32)
+
+
+def _dequantize_grouped(q: np.ndarray, levels: int) -> np.ndarray:
+    return 2.0 * q.astype(np.float64) / (levels - 1) - 1.0
+
+
+def _take_var(bits: np.ndarray, pos: int, widths: np.ndarray) -> tuple[np.ndarray, int]:
+    """Vectorized variable-width MSB-first field read: returns
+    (uint64 values, new position). Inverse of _pack_bits."""
+    widths = np.asarray(widths, dtype=np.int64)
+    total = int(widths.sum())
+    end = pos + total
+    if end > len(bits):
+        raise ValueError("Layer II frame body truncated")
+    chunk = bits[pos:end].astype(np.uint64)
+    ends = np.cumsum(widths)
+    starts = ends - widths
+    offsets = np.arange(total) - np.repeat(starts, widths)
+    shifts = (np.repeat(widths, widths) - 1 - offsets).astype(np.uint64)
+    contrib = chunk << shifts
+    values = np.add.reduceat(contrib, starts) if total else np.zeros(0, np.uint64)
+    # reduceat on an empty field (width 0) would misbehave; widths >= 2 here
+    return values, end
+
+
+def encode_layer2(
+    samples: np.ndarray,
+    sample_rate: int = 32000,
+    *,
+    levels: int = 15,
+    coded_bands: int = SBLIMIT_L2,
+) -> bytes:
+    """Encode PCM (float, [-1, 1]; (n,) mono or (n, 2) stereo) as an
+    MPEG-1 Layer II CBR stream.
+
+    ``levels`` is the requested quantizer resolution: each coded band gets
+    the largest level count its band class offers that is <= ``levels``
+    (a fixed allocation is a legal encoder choice — psychoacoustics only
+    ever changes WHICH allocation is written). With the default 15, bands
+    23..26 fall back to the grouped 5-level quantizer, so a single stream
+    exercises both grouped and ungrouped code paths. Scalefactors: all
+    three are measured per band; equal ones are folded via scfsi
+    (0=all three sent, 1=sf0 shared by parts 0,1; 2=one sf for all;
+    3=sf1 shared by parts 1,2), exactly the spec's four modes.
+    """
+    if sample_rate not in _MPEG1_RATES:
+        raise ValueError(f"sample_rate must be one of {_MPEG1_RATES}")
+    if not 1 <= coded_bands <= SBLIMIT_L2:
+        raise ValueError(f"coded_bands must be 1..{SBLIMIT_L2}")
+    if levels < 3:
+        raise ValueError("levels must be >= 3")
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] not in (1, 2):
+        raise ValueError("samples must be (n,) mono or (n, 1|2) channels")
+    nch = x.shape[1]
+    x = np.concatenate([x, np.zeros((_DELAY, nch))])  # filterbank flush
+    pad = (-x.shape[0]) % SAMPLES_PER_FRAME_L2
+    if pad:
+        x = np.concatenate([x, np.zeros((pad, nch))])
+    n_frames = x.shape[0] // SAMPLES_PER_FRAME_L2
+    if n_frames == 0:
+        raise ValueError("need at least one frame of samples")
+
+    # (n_frames, 36, 32, nch) subband samples
+    sub = np.stack(
+        [analyze(x[:, ch]).reshape(n_frames, 36, N_BANDS) for ch in range(nch)],
+        axis=-1,
+    )
+
+    # per-band allocation (fixed across frames/channels)
+    band_alloc: list[tuple[int, int, int]] = []  # (sb, alloc_index, levels)
+    for sb in range(coded_bands):
+        _w, lv = _l2_class(sb)
+        cand = [(ix + 1, l) for ix, l in enumerate(lv) if l <= levels]
+        if not cand:
+            continue  # class has no quantizer that coarse; leave band off
+        ix, l = cand[-1]
+        band_alloc.append((sb, ix, l))
+    if not band_alloc:
+        raise ValueError("allocation empty: raise `levels`")
+    coded_sb = [sb for sb, _ix, _l in band_alloc]
+
+    # Precompute the per-granule sample-field layout once (fixed across
+    # frames): flat column positions per quantizer level, in the spec's
+    # (band, channel[, sample]) field order, plus the width sequence.
+    _pos = 0
+    _cols_by_level: dict[int, list[int]] = {}
+    _bidx_by_level: dict[int, list[int]] = {}
+    _gran_widths: list[int] = []
+    for bi, (_sb, _ix, l) in enumerate(band_alloc):
+        grouped = l in _GROUP_BITS
+        nf = 1 if grouped else 3
+        w = _GROUP_BITS[l] if grouped else int(l + 1).bit_length() - 1
+        _bidx_by_level.setdefault(l, []).append(bi)
+        for _ch in range(nch):
+            for _k in range(nf):
+                _cols_by_level.setdefault(l, []).append(_pos)
+                _pos += 1
+                _gran_widths.append(w)
+    field_groups = [
+        (l, np.asarray(cols), np.asarray(_bidx_by_level[l]))
+        for l, cols in _cols_by_level.items()
+    ]
+    field_cols_flat = list(range(_pos))
+    sample_widths_flat = _gran_widths * _GRANULES_L2
+
+    # worst-case frame bits (scfsi may save 6/12 bits per band at runtime —
+    # budget for scfsi=0 so every frame fits)
+    alloc_bits = sum(_l2_class(sb)[0] for sb in range(SBLIMIT_L2)) * nch
+    scf_bits = len(band_alloc) * nch * (2 + 3 * 6)
+    sample_bits = _GRANULES_L2 * nch * sum(_l2_code_bits(l) for _sb, _ix, l in band_alloc)
+    need_bytes = (32 + alloc_bits + scf_bits + sample_bits + 7) // 8
+    l2_rates = mp3._BITRATES[(1, 2)][1:]
+    rate = next(
+        (r for r in l2_rates if SAMPLES_PER_FRAME_L2 // 8 * r * 1000 // sample_rate >= need_bytes),
+        None,
+    )
+    if rate is None:
+        raise ValueError(
+            f"payload ({need_bytes} B) exceeds the largest Layer II frame at "
+            f"{sample_rate} Hz; lower levels/coded_bands"
+        )
+    frame_len = SAMPLES_PER_FRAME_L2 // 8 * rate * 1000 // sample_rate
+
+    br_idx = mp3._BR_INDEX[(1, 2)][rate]
+    sr_idx = mp3._SR_INDEX[3][sample_rate]
+    header = bytes(
+        [
+            0xFF,
+            0xFD,  # sync + MPEG-1 + Layer II (bits 10) + no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            ((3 if nch == 1 else 0) << 6),
+        ]
+    )
+
+    frames = []
+    for fi in range(n_frames):
+        s = sub[fi]  # (36, 32, nch)
+        values: list[int] = []
+        widths: list[int] = []
+        # 1) allocation field: (sb, ch) order over ALL sblimit bands
+        alloc_ix = {sb: ix for sb, ix, _l in band_alloc}
+        for sb in range(SBLIMIT_L2):
+            w, _lv = _l2_class(sb)
+            for _ch in range(nch):
+                values.append(alloc_ix.get(sb, 0))
+                widths.append(w)
+        # 2) scalefactors: measure 3 per (coded sb, ch), fold via scfsi
+        scf_idx = np.zeros((3, len(coded_sb), nch), dtype=np.int64)
+        for part in range(3):
+            peak = np.abs(s[part * 12 : (part + 1) * 12, coded_sb, :]).max(axis=0)
+            ix = (
+                np.searchsorted(-SCALEFACTORS, -np.maximum(peak, 1e-12), side="right")
+                - 1
+            )
+            scf_idx[part] = np.clip(ix, 0, 62)
+        scfsi = np.zeros((len(coded_sb), nch), dtype=np.int64)
+        for bi in range(len(coded_sb)):
+            for ch in range(nch):
+                a, b, c = scf_idx[:, bi, ch]
+                if a == b == c:
+                    scfsi[bi, ch] = 2
+                elif a == b:
+                    scfsi[bi, ch] = 1
+                elif b == c:
+                    scfsi[bi, ch] = 3
+        # scfsi fields, (sb, ch) order over coded bands
+        for bi in range(len(coded_sb)):
+            for ch in range(nch):
+                values.append(int(scfsi[bi, ch]))
+                widths.append(2)
+        # scalefactor fields, (sb, ch) order, count per scfsi
+        for bi in range(len(coded_sb)):
+            for ch in range(nch):
+                a, b, c = (int(v) for v in scf_idx[:, bi, ch])
+                sent = {0: [a, b, c], 1: [a, c], 2: [a], 3: [a, b]}[int(scfsi[bi, ch])]
+                values.extend(sent)
+                widths.extend([6] * len(sent))
+        # 3) sample codes: granule-major, then (sb, ch) — fully vectorized.
+        # Normalize every coded sample at once: (12, 3, nbands, nch).
+        scf = SCALEFACTORS[scf_idx]  # (3, nbands, nch)
+        y = s[:, coded_sb, :].reshape(_GRANULES_L2, 3, len(coded_sb), nch)
+        y = y / np.repeat(scf, 4, axis=0)[:, None, :, :]
+        # One (12, fields_per_granule) code matrix, filled per quantizer
+        # class, then flattened granule-major — identical field order to
+        # the scalar loop this replaces.
+        code_mat = np.zeros((_GRANULES_L2, len(field_cols_flat)), dtype=np.uint64)
+        for l, cols, bidx in field_groups:
+            yb = y[:, :, bidx, :]  # (12, 3, k, nch)
+            if l in _GROUP_BITS:
+                q = _quantize_grouped(yb, l).astype(np.uint64)
+                code = q[:, 0] + l * q[:, 1] + l * l * q[:, 2]  # (12, k, nch)
+                code_mat[:, cols] = code.reshape(_GRANULES_L2, -1)
+            else:
+                nb = int(l + 1).bit_length() - 1
+                q = _quantize(yb, nb).astype(np.uint64)  # (12, 3, k, nch)
+                # field order within a granule is (band, ch, sample)
+                code_mat[:, cols] = q.transpose(0, 2, 3, 1).reshape(
+                    _GRANULES_L2, -1
+                )
+        values.extend(code_mat.reshape(-1).tolist())
+        widths.extend(sample_widths_flat)
+        body = _pack_bits(
+            np.asarray(values, dtype=np.uint64), np.asarray(widths, dtype=np.int64)
+        )
+        frame = header + body
+        if len(frame) > frame_len:
+            raise AssertionError("Layer II frame overflow (budget bug)")
+        frames.append(frame + b"\x00" * (frame_len - len(frame)))
+    return b"".join(frames)
+
+
+def decode_layer2(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an MPEG-1 Layer II stream (mono/stereo/dual; 2-channel audio
+    is downmixed to mono, matching ``decode_layer1``). Returns
+    (float64 samples, sample_rate). Handles all four scfsi modes and both
+    grouped (3/5/9-level) and ungrouped quantizer classes. Joint stereo is
+    rejected (intensity bands need mode_extension-dependent allocation
+    sharing this decoder does not implement)."""
+    frames = mp3.frame_table(payload)
+    if not frames:
+        raise ValueError("no MPEG frames found")
+    first = mp3._parse_header(payload, frames[0].offset)
+    if first is None or first.layer != 2 or first.version != "1":
+        raise ValueError("not an MPEG-1 Layer II stream")
+    if first.mode == "joint_stereo":
+        raise ValueError("joint-stereo Layer II (intensity bands) unsupported")
+    nch = first.channels
+    sr = first.sample_rate
+
+    per_frame = []
+    for fr in frames:
+        h = mp3._parse_header(payload, fr.offset)
+        if h is None or h.layer != 2:
+            continue
+        skip = 4 + (2 if h.has_crc else 0)
+        body = payload[fr.offset + skip : fr.offset + fr.size]
+        bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8))
+        pos = 0
+        # 1) allocation
+        alloc = np.zeros((SBLIMIT_L2, nch), dtype=np.int64)
+        for lo, hi, w, _lv in _L2_CLASSES:
+            vals, pos = _take_var(bits, pos, np.full((hi - lo) * nch, w))
+            alloc[lo:hi] = vals.astype(np.int64).reshape(hi - lo, nch)
+        coded = [
+            (sb, ch)
+            for sb in range(SBLIMIT_L2)
+            for ch in range(nch)
+            if alloc[sb, ch] > 0
+        ]
+        lvl = {
+            (sb, ch): _l2_class(sb)[1][alloc[sb, ch] - 1] for sb, ch in coded
+        }
+        # 2) scfsi then scalefactors
+        scfsi_v, pos = _take_var(bits, pos, np.full(len(coded), 2))
+        n_sent = np.where(scfsi_v == 0, 3, np.where(scfsi_v == 2, 1, 2))
+        sf_raw, pos = _take_var(bits, pos, np.full(int(n_sent.sum()), 6))
+        if (sf_raw > 62).any():
+            raise ValueError("forbidden scalefactor index 63")
+        scf = np.zeros((3, SBLIMIT_L2, nch))
+        si = 0
+        for k, (sb, ch) in enumerate(coded):
+            mode = int(scfsi_v[k])
+            sent = [int(v) for v in sf_raw[si : si + int(n_sent[k])]]
+            si += int(n_sent[k])
+            if mode == 0:
+                a, b, c = sent
+            elif mode == 1:
+                a = b = sent[0]
+                c = sent[1]
+            elif mode == 2:
+                a = b = c = sent[0]
+            else:
+                a = sent[0]
+                b = c = sent[1]
+            scf[0, sb, ch] = SCALEFACTORS[a]
+            scf[1, sb, ch] = SCALEFACTORS[b]
+            scf[2, sb, ch] = SCALEFACTORS[c]
+        # 3) samples: one granule's width pattern, repeated 12x, read in a
+        # single vectorized take, then dequantized per quantizer class
+        gw: list[int] = []
+        cols_by_level: dict[int, list[int]] = {}
+        pairs_by_level: dict[int, list[tuple[int, int]]] = {}
+        for sb, ch in coded:
+            l = lvl[(sb, ch)]
+            grouped = l in _GROUP_BITS
+            nf = 1 if grouped else 3
+            w = _GROUP_BITS[l] if grouped else int(l + 1).bit_length() - 1
+            cols_by_level.setdefault(l, []).extend(
+                range(len(gw), len(gw) + nf)
+            )
+            pairs_by_level.setdefault(l, []).append((sb, ch))
+            gw.extend([w] * nf)
+        widths = np.tile(np.asarray(gw, dtype=np.int64), _GRANULES_L2)
+        codes, pos = _take_var(bits, pos, widths)
+        codes = codes.reshape(_GRANULES_L2, len(gw))
+        sub = np.zeros((36, N_BANDS, nch))
+        for l, cols in cols_by_level.items():
+            pairs = pairs_by_level[l]
+            k = len(pairs)
+            if l in _GROUP_BITS:
+                c = codes[:, cols]  # (12, k)
+                if (c >= l * l * l).any():
+                    raise ValueError("grouped code out of range")
+                q = np.stack([c % l, (c // l) % l, c // (l * l)], axis=1)
+                vals = _dequantize_grouped(q, l).reshape(36, k)
+            else:
+                nb = int(l + 1).bit_length() - 1
+                c = codes[:, cols].reshape(_GRANULES_L2, k, 3)
+                vals = _dequantize(
+                    c.transpose(0, 2, 1).astype(np.uint32), nb
+                ).reshape(36, k)
+            sb_arr = np.asarray([p[0] for p in pairs])
+            ch_arr = np.asarray([p[1] for p in pairs])
+            # per-sample scalefactor: sample row r belongs to part r // 12
+            factor = np.repeat(scf[:, sb_arr, ch_arr], 12, axis=0)  # (36, k)
+            sub[:, sb_arr, ch_arr] = vals * factor
+        per_frame.append(sub)
+
+    allsub = np.concatenate(per_frame, axis=0)
+    mono_sub = allsub.mean(axis=2) if nch > 1 else allsub[:, :, 0]
+    out = synthesize(mono_sub)
+    n = allsub.shape[0] * HOP
+    return out[_DELAY : _DELAY + n], sr
+
+
+def is_layer2(payload: bytes | None) -> bool:
+    """True when the payload STARTS with an MPEG-1 Layer II frame header
+    (after an optional ID3v2 tag) — anchored dispatch, same policy as
+    :func:`is_layer1`."""
+    if not payload or len(payload) < 4:
+        return False
+    try:
+        h = mp3._parse_header(payload, mp3._id3v2_len(payload))
+    except Exception:
+        return False
+    return h is not None and h.layer == 2 and h.version == "1"
+
+
 __all__ = [
     "SCALEFACTORS",
     "analyze",
@@ -464,5 +862,8 @@ __all__ = [
     "encode_layer1",
     "decode_layer1",
     "is_layer1",
+    "encode_layer2",
+    "decode_layer2",
+    "is_layer2",
     "roundtrip_snr_db",
 ]

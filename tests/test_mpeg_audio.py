@@ -276,3 +276,128 @@ def test_multimodal_layer1_real_vs_layer3_stub(spark):
 
     expect_stub = _fake_decode_feature(l3, 4)
     assert np.allclose(rows[2]["feature"], expect_stub, rtol=1e-6)
+
+
+# --- Layer II -----------------------------------------------------------------
+
+
+def test_layer2_roundtrip_snr_scales_with_levels():
+    sig = _tone(12000)
+    prev = -np.inf
+    for levels, floor in ((9, 15.0), (15, 20.0), (255, 40.0)):
+        enc = ma.encode_layer2(sig, 32000, levels=levels)
+        dec, sr = ma.decode_layer2(enc)
+        assert sr == 32000
+        snr = ma.roundtrip_snr_db(sig, dec)
+        assert snr > floor, f"levels={levels}: {snr:.1f} dB"
+        assert snr > prev
+        prev = snr
+
+
+def test_layer2_grouped_quantizer_roundtrip():
+    # levels=5 forces the grouped 7-bit triplet path on EVERY coded band
+    sig = _tone(4608)
+    enc = ma.encode_layer2(sig, 32000, levels=5)
+    dec, _ = ma.decode_layer2(enc)
+    # coarse but correlated: the decode must track the signal, not noise
+    n = min(len(sig), len(dec))
+    corr = np.corrcoef(sig[:n], dec[:n])[0, 1]
+    assert corr > 0.9
+
+
+def test_layer2_default_allocation_mixes_grouped_and_ungrouped():
+    # levels=15: bands 0..22 get the 15-level (4-bit) quantizer, bands
+    # 23..26 only offer 3/5/65535 so they fall back to grouped 5-level —
+    # one stream exercises both code paths by construction
+    allocs = []
+    for sb in range(ma.SBLIMIT_L2):
+        _w, lv = ma._l2_class(sb)
+        cand = [l for l in lv if l <= 15]
+        allocs.append(cand[-1])
+    assert set(allocs) == {15, 5}
+
+
+def test_layer2_scfsi_all_modes_roundtrip():
+    # constant tone -> equal scalefactors (scfsi=2); ramp -> distinct
+    # (scfsi=0); half-and-half shapes hit 1 and 3. All must decode.
+    sr = 32000
+    n = 1152 * 2
+    t = np.arange(n) / sr
+    shapes = {
+        "const": 0.5 * np.sin(2 * np.pi * 440 * t),
+        "ramp": np.linspace(0.02, 0.9, n) * np.sin(2 * np.pi * 440 * t),
+        "step_up": np.where(t < t[n // 3], 0.05, 0.8) * np.sin(2 * np.pi * 440 * t),
+        "step_dn": np.where(t < t[2 * n // 3], 0.8, 0.05) * np.sin(2 * np.pi * 440 * t),
+    }
+    for name, sig in shapes.items():
+        enc = ma.encode_layer2(sig, sr, levels=255)
+        dec, _ = ma.decode_layer2(enc)
+        snr = ma.roundtrip_snr_db(sig, dec)
+        assert snr > 30.0, f"{name}: {snr:.1f} dB"
+
+
+def test_layer2_stereo_downmix_and_frame_geometry():
+    sig = _tone(4608, 48000)
+    st = np.stack([sig, 0.5 * sig], axis=1)
+    enc = ma.encode_layer2(st, 48000, levels=15)
+    frames = mp3.frame_table(enc)
+    h = mp3._parse_header(enc, 0)
+    assert h.layer == 2 and h.channels == 2 and h.samples == 1152
+    # frame chain covers the stream exactly
+    assert sum(f.size for f in frames) == len(enc)
+    dec, sr = ma.decode_layer2(enc)
+    assert sr == 48000
+    assert ma.roundtrip_snr_db(0.75 * sig, dec) > 18.0
+
+
+def test_layer2_encode_deterministic():
+    sig = _tone(4608)
+    assert ma.encode_layer2(sig, 32000) == ma.encode_layer2(sig, 32000)
+
+
+def test_layer2_dispatch_and_rejections():
+    sig = _tone(4608)
+    l2 = ma.encode_layer2(sig, 32000, levels=15)
+    l1 = ma.encode_layer1(sig, 32000, bits=8)
+    assert ma.is_layer2(l2) and not ma.is_layer1(l2)
+    assert ma.is_layer1(l1) and not ma.is_layer2(l1)
+    with pytest.raises(ValueError):
+        ma.decode_layer2(l1)
+    with pytest.raises(ValueError):
+        ma.decode_layer2(l2[:50])
+    with pytest.raises(ValueError):
+        ma.encode_layer2(sig, 12345)
+    with pytest.raises(ValueError):
+        ma.encode_layer2(sig, 32000, levels=2)
+    # mono at 32 kHz cannot fit a 16-bit-everywhere allocation: clear error
+    with pytest.raises(ValueError):
+        ma.encode_layer2(sig, 32000, levels=65535)
+
+
+def test_layer2_take_var_inverts_pack_bits():
+    rng = np.random.default_rng(7)
+    widths = rng.integers(2, 17, size=200)
+    values = np.array(
+        [int(rng.integers(0, 1 << w)) for w in widths], dtype=np.uint64
+    )
+    packed = ma._pack_bits(values, widths.astype(np.int64))
+    bits = np.unpackbits(np.frombuffer(packed, dtype=np.uint8))
+    got, pos = ma._take_var(bits, 0, widths.astype(np.int64))
+    assert pos == int(widths.sum())
+    assert (got == values).all()
+
+
+def test_multimodal_layer2_real_decode(spark):
+    from nifi_dicom_spark.functions.multimodal import extract_features
+
+    sig = _tone(4608)
+    l2 = ma.encode_layer2(sig, 32000, levels=15)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(l2), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
+    )
+    row = extract_features(df, dim=4).collect()[0]
+    dec, _ = ma.decode_layer2(l2)
+    expect = codecs.audio_energy_features(dec, 4)
+    assert np.allclose(row["feature"], expect, rtol=1e-5)
