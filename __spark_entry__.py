@@ -1293,6 +1293,96 @@ def _mp4_frames_oracle() -> str:
     """
 
 
+def _synth_mjpeg_payload(doc_id: int) -> bytes:
+    """Deterministic MJPEG-in-MP4 per doc: 2..4 baseline-JPEG frames from
+    the shared test pattern, muxed with the from-scratch muxer — shared by
+    the mjpeg_frames query and its oracle."""
+    from nifi_dicom_spark.functions import jpeg, mp4
+
+    i = int(doc_id)
+    w, h = 8 * (i % 3 + 2), 8 * (i % 2 + 1)
+    frames = [
+        jpeg.encode_jpeg(_synth_rgb(i * 31 + f, w, h), quality=85)
+        for f in range(i % 3 + 2)
+    ]
+    return mp4.mux_mp4(
+        frames,
+        width=w,
+        height=h,
+        timescale=600,
+        sample_duration=25,
+        codec="mjpa",
+        samples_per_chunk=2,
+    )
+
+
+def q_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode: MJPEG-in-MP4 containers are demuxed by the
+    from-scratch box walker, every access unit is extracted byte-exactly
+    and decoded by the from-scratch baseline-JPEG codec — per-frame width,
+    height and BT.601 mean luma come from the ACTUAL DECODED PIXELS (not
+    the container header). The oracle replays mux→demux→decode in Python.
+    This closes the video analog of decompress-on-read: H.264 access units
+    would take the same path but emit null dims (declared stub)."""
+    from nifi_dicom_spark.functions.multimodal import decode_frames
+
+    @F.pandas_udf("binary")
+    def make_mjpeg(ids: pd.Series) -> pd.Series:
+        return pd.Series([_synth_mjpeg_payload(int(i)) for i in ids])
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        make_mjpeg("doc_id").alias("payload"),
+    )
+    return decode_frames(media, every_n=1).select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("mean_luma", 4).alias("mean_luma"),
+        "frame_bytes",
+    )
+
+
+def _mjpeg_frames_oracle() -> str:
+    """Replay mux→demux→JPEG-decode in Python over the same doc_ids."""
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions import jpeg, mp4
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for i in ids:
+        payload = _synth_mjpeg_payload(int(i))
+        for s in mp4.sample_table(payload):
+            au = mp4.extract_sample(payload, s)
+            img = jpeg.decode_jpeg(au).astype("float64")
+            luma = float(
+                (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).mean()
+            )
+            rows.append(
+                f"({int(i)}, {s.index}, {img.shape[1]}, {img.shape[0]},"
+                f" {round(luma, 4)!r}, {s.size})"
+            )
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               round(mean_luma, 4) AS mean_luma,
+               CAST(frame_bytes AS INT) AS frame_bytes
+        FROM (VALUES {values})
+        AS t(media_id, frame_idx, width, height, mean_luma, frame_bytes)
+    """
+
+
 def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: documents packed into 512-token shards
     in doc_id order via the distributed prefix sum (range repartition +
@@ -2082,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_parse": q_debezium_parse,
         "layer1_decode": q_layer1_decode,  # new in r4
         "layer2_decode": q_layer2_decode,  # new in r4
+        "mjpeg_frames": q_mjpeg_frames,  # new in r4
         "change_feed": q_change_feed,
         "stats_json": q_stats_json,
         "pii_redact": q_pii_redact,
@@ -2936,6 +3027,7 @@ def oracle_sql() -> dict[str, str]:
         "png_decode": _png_decode_oracle(),
         "layer1_decode": _layer1_decode_oracle(),
         "layer2_decode": _layer2_decode_oracle(),
+        "mjpeg_frames": _mjpeg_frames_oracle(),
         "jpeg_decode": _jpeg_decode_oracle(),
         "redact_regions": _redact_regions_oracle(),
         "media_probe": _media_probe_oracle(),

@@ -289,6 +289,86 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def decode_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame decode for MJPEG-in-MP4 payloads: the box walker
+    demuxes the sample table, every ``every_n``-th access unit is
+    extracted byte-exactly, and units that are baseline JPEG images are
+    decoded by the from-scratch DCT/Huffman codec — true per-frame width,
+    height and mean luma come from the actual pixels. Access units of
+    codecs this repo cannot decode (e.g. H.264 — the declared stub
+    boundary) emit null dims/luma but keep their true byte size, so the
+    real-vs-stub split is visible downstream. Reference analog:
+    frame-level decompress-on-read of encapsulated multi-frame pixel data
+    (``AttributeList.java:45,231``); at 100 TB this is the
+    "decode only the sampled frames, never the whole video" shape — the
+    Arrow batch carries containers, the kernel touches ``1/every_n`` of
+    the payload bytes."""
+    from nifi_dicom_spark.functions import jpeg as jpeg_mod
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                if not mp4.is_mp4(payload):
+                    continue
+                try:
+                    table = mp4.sample_table(payload)
+                except Exception:
+                    continue  # malformed container: no decodable frames
+                for s in table[::every_n]:
+                    au = mp4.extract_sample(payload, s)
+                    w = h = None
+                    luma = None
+                    if jpeg_mod.is_jpeg(au):
+                        try:
+                            img = jpeg_mod.decode_jpeg(au)
+                            h, w = img.shape[0], img.shape[1]
+                            # ITU-R BT.601 luma over the real pixels
+                            rgb = img.astype(np.float64)
+                            luma = float(
+                                (
+                                    0.299 * rgb[..., 0]
+                                    + 0.587 * rgb[..., 1]
+                                    + 0.114 * rgb[..., 2]
+                                ).mean()
+                            )
+                        except Exception:
+                            w = h = None
+                            luma = None
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": s.index,
+                            "width": w,
+                            "height": h,
+                            "mean_luma": round(luma, 4) if luma is not None else None,
+                            "frame_bytes": s.size,
+                        }
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "mean_luma",
+                    "frame_bytes",
+                ],
+            )
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            out["frame_bytes"] = out["frame_bytes"].astype("Int32")
+            yield out
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        kernel,
+        schema="media_id long, frame_idx int, width int, height int,"
+        " mean_luma double, frame_bytes int",
+    )
+
+
 PROBE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

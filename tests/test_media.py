@@ -503,3 +503,57 @@ def test_redact_regions_spark(spark):
     assert codecs.decode_bmp(bytes(out[2]["payload"])).tobytes() == img.tobytes()
     assert out[3]["status"] == "unsupported"
     assert bytes(out[3]["payload"]) == b"garbage-payload"
+
+
+def test_decode_frames_mjpeg_real_pixels(spark):
+    import numpy as np
+
+    from nifi_dicom_spark.functions import jpeg
+    from nifi_dicom_spark.functions.multimodal import decode_frames
+
+    w, h = 24, 16
+    imgs = [
+        ((np.indices((h, w, 3)).sum(axis=0) * (f + 3)) % 256).astype(np.uint8)
+        for f in range(3)
+    ]
+    frames = [jpeg.encode_jpeg(im, quality=85) for im in imgs]
+    payload = mp4.mux_mp4(
+        frames, width=w, height=h, timescale=600, sample_duration=25, codec="mjpa"
+    )
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = sorted(
+        decode_frames(df, every_n=1).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert len(rows) == 3
+    for f, r in enumerate(rows):
+        assert (r["width"], r["height"]) == (w, h)
+        dec = jpeg.decode_jpeg(frames[f]).astype(np.float64)
+        luma = (
+            0.299 * dec[..., 0] + 0.587 * dec[..., 1] + 0.114 * dec[..., 2]
+        ).mean()
+        assert abs(r["mean_luma"] - round(float(luma), 4)) < 1e-9
+        assert r["frame_bytes"] == len(frames[f])
+
+
+def test_decode_frames_non_jpeg_units_emit_null_dims(spark):
+    from nifi_dicom_spark.functions.multimodal import decode_frames
+
+    # access units that are NOT JPEG (stand-in for H.264): true sizes kept,
+    # dims/luma null — the declared stub boundary stays visible
+    payload = mp4.mux_mp4(
+        _samples(4), width=64, height=48, codec="avc1", sample_duration=40
+    )
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(payload)), (8, "video", bytearray(b"notmp4"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = decode_frames(df, every_n=2).collect()
+    assert {r["media_id"] for r in rows} == {7}  # malformed row contributes none
+    assert len(rows) == 2  # every 2nd of 4
+    for r in rows:
+        assert r["width"] is None and r["height"] is None
+        assert r["mean_luma"] is None
+        assert r["frame_bytes"] > 0
