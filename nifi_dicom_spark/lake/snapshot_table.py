@@ -981,13 +981,37 @@ class SnapshotTable:
         (e.g. 64 buckets chosen at create vs 10^9 conversations later).
         Old versions keep their old layout and remain readable via time
         travel; the commit ledger and schema carry over unchanged. Legacy
-        xxhash64 tables migrate to the murmur3 layout as a side effect."""
+        xxhash64 tables migrate to the murmur3 layout as a side effect.
+        A declared :meth:`set_clustering` layout is applied to the rewrite
+        (the invariant that clustering survives ALL base rewrites), and the
+        write carries the exact-bucket misplacement tripwire — the expected
+        new-bucket set costs one distinct over the key column, cheap
+        relative to the full-table rewrite it protects."""
+        new_n_buckets = int(new_n_buckets)
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
         m = self.manifest()
         schema = self.schema()
         df = self.read()  # current logical state (deltas LWW-merged in)
+        df, sort_cols, max_rpf = self._clustering_write_args(m, df)
+        expected = {
+            r[0]
+            for r in df.select(
+                _bucket_expr(m["key_cols"][0], new_n_buckets, "murmur3").alias("b")
+            )
+            .distinct()
+            .collect()
+        }
         tag = uuid.uuid4().hex[:12]
         new_files = self._write_bucket_files(
-            df, tag, new_n_buckets, "murmur3", key_cols=m["key_cols"]
+            df,
+            tag,
+            new_n_buckets,
+            "murmur3",
+            key_cols=m["key_cols"],
+            sort_cols=sort_cols,
+            max_records_per_file=max_rpf,
+            expected_buckets=expected,
         )
         new = {
             "version": m["version"] + 1,

@@ -220,6 +220,35 @@ def test_rebucket_layout_evolution(spark, tmp_path):
     assert read_final_state(table).filter("text like 'e2-%'").count() > 0
 
 
+def test_rebucket_keeps_declared_clustering_and_validates(spark, tmp_path):
+    """A rebucket is a base rewrite like compact/optimize/merge_into CoW —
+    the declared layout must survive it (files stay time-clustered and
+    stats-prunable in the NEW buckets), and bad bucket counts fail fast."""
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    for e in range(2):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+    table.set_clustering(sort_by=["ts"], max_records_per_file=8)
+    table.optimize()
+    before = _sorted_rows(table.read())
+
+    with pytest.raises(ValueError, match=">= 1"):
+        table.rebucket(0)
+
+    table.rebucket(8)
+    assert table.n_buckets() == 8
+    assert _sorted_rows(table.read()) == before
+    m = table.manifest()
+    # clustering survived: buckets split into several ts-sorted files with
+    # recorded stats, and a day-1 window still prunes files away
+    assert any(len(rels) > 1 for rels in m["files"].values())
+    st = table.scan_file_stats("ts", hi=pd.Timestamp("2024-01-01 23:59:59"))
+    assert st["full"] < st["total"]
+    got = table.scan("ts", hi=pd.Timestamp("2024-01-01 23:59:59"))
+    exp = table.read().filter("ts <= '2024-01-01 23:59:59'")
+    assert _sorted_rows(got) == _sorted_rows(exp)
+
+
 def test_scan_pruning_correct_under_non_utc_session(spark, tmp_path):
     """Footer stats are UTC instants but the Spark filter interprets naive
     bounds in the SESSION time zone — the pruning must localize bounds the
