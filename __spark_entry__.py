@@ -1084,8 +1084,9 @@ def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
         return "audio", mpeg_audio.encode_layer1(sig, 32000, bits=6, coded_bands=16)
     if slot == 8:
         # compressed audio that decodes for REAL (MPEG-1 Layer II:
-        # grouped+ungrouped quantizers, scfsi-folded scalefactors)
-        sig = _layer1_signal(i)[: 1152 * (i % 2 + 1)]
+        # grouped+ungrouped quantizers, scfsi-folded scalefactors);
+        # 960/1920 of the 1920-sample signal -> 2- vs 3-frame streams
+        sig = _layer1_signal(i)[: 960 * (i % 2 + 1)]
         return "audio", mpeg_audio.encode_layer2(sig, 32000, levels=15)
     if slot == 0:
         n = i % 64 + 8

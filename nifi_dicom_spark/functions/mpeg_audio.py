@@ -622,13 +622,32 @@ def encode_layer2(
     field_cols_flat = list(range(_pos))
     sample_widths_flat = _gran_widths * _GRANULES_L2
 
+    # allocation prefix is frame-invariant too: hoist it out of the loop
+    _alloc_ix = {sb: ix for sb, ix, _l in band_alloc}
+    alloc_values: list[int] = []
+    alloc_widths: list[int] = []
+    for sb in range(SBLIMIT_L2):
+        w, _lv = _l2_class(sb)
+        for _ch in range(nch):
+            alloc_values.append(_alloc_ix.get(sb, 0))
+            alloc_widths.append(w)
+
     # worst-case frame bits (scfsi may save 6/12 bits per band at runtime —
     # budget for scfsi=0 so every frame fits)
     alloc_bits = sum(_l2_class(sb)[0] for sb in range(SBLIMIT_L2)) * nch
     scf_bits = len(band_alloc) * nch * (2 + 3 * 6)
     sample_bits = _GRANULES_L2 * nch * sum(_l2_code_bits(l) for _sb, _ix, l in band_alloc)
     need_bytes = (32 + alloc_bits + scf_bits + sample_bits + 7) // 8
-    l2_rates = mp3._BITRATES[(1, 2)][1:]
+    # ISO 11172-3 Layer II bitrate/mode restrictions: 32/48/56/80 kbps are
+    # single_channel-only; 224+ kbps are two-channel-only. Violating them
+    # produces headers conformant decoders reject, so filter candidates by
+    # the channel mode up front.
+    l2_rates = [
+        r
+        for r in mp3._BITRATES[(1, 2)][1:]
+        if (r not in (32, 48, 56, 80) or nch == 1)
+        and (r < 224 or nch == 2)
+    ]
     rate = next(
         (r for r in l2_rates if SAMPLES_PER_FRAME_L2 // 8 * r * 1000 // sample_rate >= need_bytes),
         None,
@@ -654,15 +673,9 @@ def encode_layer2(
     frames = []
     for fi in range(n_frames):
         s = sub[fi]  # (36, 32, nch)
-        values: list[int] = []
-        widths: list[int] = []
-        # 1) allocation field: (sb, ch) order over ALL sblimit bands
-        alloc_ix = {sb: ix for sb, ix, _l in band_alloc}
-        for sb in range(SBLIMIT_L2):
-            w, _lv = _l2_class(sb)
-            for _ch in range(nch):
-                values.append(alloc_ix.get(sb, 0))
-                widths.append(w)
+        # 1) allocation field: frame-invariant, precomputed above
+        values: list[int] = list(alloc_values)
+        widths: list[int] = list(alloc_widths)
         # 2) scalefactors: measure 3 per (coded sb, ch), fold via scfsi
         scf_idx = np.zeros((3, len(coded_sb), nch), dtype=np.int64)
         for part in range(3):
@@ -672,21 +685,14 @@ def encode_layer2(
                 - 1
             )
             scf_idx[part] = np.clip(ix, 0, 62)
+        a, b, c = scf_idx[0], scf_idx[1], scf_idx[2]  # each (nbands, nch)
         scfsi = np.zeros((len(coded_sb), nch), dtype=np.int64)
-        for bi in range(len(coded_sb)):
-            for ch in range(nch):
-                a, b, c = scf_idx[:, bi, ch]
-                if a == b == c:
-                    scfsi[bi, ch] = 2
-                elif a == b:
-                    scfsi[bi, ch] = 1
-                elif b == c:
-                    scfsi[bi, ch] = 3
+        scfsi[(a == b) & (b == c)] = 2
+        scfsi[(a == b) & (b != c)] = 1
+        scfsi[(a != b) & (b == c)] = 3
         # scfsi fields, (sb, ch) order over coded bands
-        for bi in range(len(coded_sb)):
-            for ch in range(nch):
-                values.append(int(scfsi[bi, ch]))
-                widths.append(2)
+        values.extend(scfsi.reshape(-1).tolist())
+        widths.extend([2] * (len(coded_sb) * nch))
         # scalefactor fields, (sb, ch) order, count per scfsi
         for bi in range(len(coded_sb)):
             for ch in range(nch):

@@ -222,6 +222,9 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     hashes); their ``frame_bytes``/``pts_ms`` stay null so the two paths
     are distinguishable downstream."""
 
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -304,6 +307,10 @@ def decode_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     Arrow batch carries containers, the kernel touches ``1/every_n`` of
     the payload bytes."""
     from nifi_dicom_spark.functions import jpeg as jpeg_mod
+
+    if every_n < 1:
+        # fail at the API boundary, not as an opaque executor task error
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

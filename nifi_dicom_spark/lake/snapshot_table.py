@@ -994,9 +994,16 @@ class SnapshotTable:
         schema = self.schema()
         df = self.read()  # current logical state (deltas LWW-merged in)
         df, sort_cols, max_rpf = self._clustering_write_args(m, df)
+        # Exact misplacement tripwire. Computed from the RAW physical rows
+        # (dedup=False) with only the key column selected: tombstones are
+        # stored rows, so every key survives the LWW reduce as >= 1 row and
+        # the raw bucket set equals the deduped one — this pass is a
+        # column-pruned parquet scan + partial-agg distinct (bounded by
+        # new_n_buckets values), NOT a second execution of the merge read.
         expected = {
             r[0]
-            for r in df.select(
+            for r in self.read(dedup=False)
+            .select(
                 _bucket_expr(m["key_cols"][0], new_n_buckets, "murmur3").alias("b")
             )
             .distinct()

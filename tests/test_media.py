@@ -557,3 +557,22 @@ def test_decode_frames_non_jpeg_units_emit_null_dims(spark):
         assert r["width"] is None and r["height"] is None
         assert r["mean_luma"] is None
         assert r["frame_bytes"] > 0
+
+
+def test_frame_samplers_validate_every_n(spark):
+    from nifi_dicom_spark.functions.multimodal import decode_frames, sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"))], "media_id long, kind string, payload binary"
+    )
+    with pytest.raises(ValueError, match="every_n"):
+        decode_frames(df, every_n=0)
+    with pytest.raises(ValueError, match="every_n"):
+        decode_frames(df, every_n=-1)
+    meta_df = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
+    )
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(meta_df, every_n=0)

@@ -401,3 +401,14 @@ def test_multimodal_layer2_real_decode(spark):
     dec, _ = ma.decode_layer2(l2)
     expect = codecs.audio_energy_features(dec, 4)
     assert np.allclose(row["feature"], expect, rtol=1e-5)
+
+
+def test_layer2_bitrate_mode_restrictions():
+    # ISO 11172-3: 32/48/56/80 kbps are single_channel-only; 224+ kbps are
+    # two-channel-only. The encoder must never emit a forbidden combo.
+    sig = _tone(2304)
+    st = np.stack([sig, 0.5 * sig], axis=1)
+    h = mp3._parse_header(ma.encode_layer2(st, 48000, levels=3, coded_bands=1), 0)
+    assert h.bitrate_kbps not in (32, 48, 56, 80)
+    h = mp3._parse_header(ma.encode_layer2(sig, 32000, levels=3, coded_bands=1), 0)
+    assert h.bitrate_kbps < 224
