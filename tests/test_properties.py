@@ -386,3 +386,87 @@ def test_zvalue_matches_python_morton_reference(spark, seed, bits, n_cols):
     # float rounding at exact bin edges may flip a bin by one — allow a
     # tiny tolerance on edge collisions, none elsewhere
     assert mismatch <= n // 50, f"{mismatch} z-value mismatches"
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    levels=st.sampled_from([3, 5, 9]),
+)
+@settings(max_examples=40, deadline=None)
+def test_layer2_grouped_quantizer_error_bound(seed: int, levels: int):
+    """Mid-tread grouped quantizer: dequant(quant(y)) stays within half a
+    step (1/(levels-1)) of y for y in [-1, 1], and the grouped base-L
+    code split/join is an exact bijection."""
+    from nifi_dicom_spark.functions import mpeg_audio as ma
+
+    rng = np.random.default_rng(seed)
+    y = rng.uniform(-1, 1, 3 * 50)
+    q = ma._quantize_grouped(y, levels)
+    assert q.min() >= 0 and q.max() <= levels - 1
+    back = ma._dequantize_grouped(q, levels)
+    assert np.abs(back - y).max() <= 1.0 / (levels - 1) + 1e-12
+    # base-L triplet grouping is exact
+    tri = q.reshape(-1, 3)
+    code = tri[:, 0] + levels * tri[:, 1] + levels * levels * tri[:, 2]
+    assert (code < levels**3).all()
+    split = np.stack([code % levels, (code // levels) % levels, code // levels**2], 1)
+    assert (split == tri).all()
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 300))
+@settings(max_examples=40, deadline=None)
+def test_pack_bits_take_var_roundtrip_property(seed: int, n: int):
+    """_take_var is the exact inverse of _pack_bits for any width mix in
+    the Layer II range (2..16 bits)."""
+    from nifi_dicom_spark.functions import mpeg_audio as ma
+
+    rng = np.random.default_rng(seed)
+    widths = rng.integers(2, 17, size=n)
+    values = np.array([int(rng.integers(0, 1 << w)) for w in widths], dtype=np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(ma._pack_bits(values, widths.astype(np.int64)), np.uint8)
+    )
+    got, pos = ma._take_var(bits, 0, widths.astype(np.int64))
+    assert pos == int(widths.sum()) and (got == values).all()
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    levels=st.sampled_from([5, 9, 15, 63, 255]),
+    nch=st.sampled_from([1, 2]),
+    sr=st.sampled_from([32000, 44100, 48000]),
+)
+@settings(max_examples=15, deadline=None)
+def test_layer2_roundtrip_property(seed: int, levels: int, nch: int, sr: int):
+    """Any bandlimited signal x encodes to a parseable legal-header stream
+    that decodes with bounded error: ||dec - x||_inf <= scalefactor-step
+    envelope (loose bound: max|x| * 2/(min_levels-1) + filterbank floor)."""
+    from nifi_dicom_spark.functions import mp3, mpeg_audio as ma
+
+    rng = np.random.default_rng(seed)
+    n = 1152 * int(rng.integers(1, 3))
+    t = np.arange(n) / sr
+    x = 0.6 * np.sin(2 * np.pi * rng.uniform(100, 2000) * t) * np.linspace(
+        rng.uniform(0.1, 1), 1, n
+    )
+    sig = np.stack([x, 0.5 * x], 1) if nch == 2 else x
+    try:
+        enc = ma.encode_layer2(sig, sr, levels=levels)
+    except ValueError as e:
+        # legal outcome: full-sblimit high-resolution allocations can
+        # exceed the largest LEGAL frame for the channel mode (mono caps
+        # at 192 kbps, stereo needs ~2x the bits of mono) — the encoder
+        # must say so, never emit an illegal header
+        assert "exceeds the largest Layer II frame" in str(e)
+        assert levels >= 63 and sr > 32000
+        return
+    h = mp3._parse_header(enc, 0)
+    assert h.layer == 2 and h.samples == 1152 and h.channels == nch
+    assert h.bitrate_kbps not in (32, 48, 56, 80) or nch == 1
+    assert h.bitrate_kbps < 224 or nch == 2
+    dec, out_sr = ma.decode_layer2(enc)
+    assert out_sr == sr
+    ref = sig.mean(axis=1) if nch == 2 else sig
+    m = min(len(ref), len(dec))
+    err = np.abs(dec[:m] - ref[:m]).max()
+    assert err < max(np.abs(ref).max(), 1e-6) * (2.0 / min(levels - 1, 62) + 0.35)
