@@ -514,6 +514,41 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed range join (``operators/asof.py interval_join``): every
+    97th event opens a validity interval of 1–3 hours; all events of the
+    same key falling inside any interval match it. The operator turns the
+    BETWEEN theta-join (nested-loop at scale) into a bin-bucketed EQUI-join
+    (sequence+explode, one shuffle); per-interval match counts + min/max
+    matched ids are value-checked against DuckDB's native BETWEEN join."""
+    from nifi_dicom_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    ts_ltz = F.col("ts").cast("timestamp_ltz")  # NTZ-proof (sessionize.py)
+    pts = ev.select(
+        (F.col("user_id") % 50).cast("long").alias("k"),
+        F.col("event_id").alias("pid"),
+        ts_ltz.alias("pts"),
+    )
+    iv = ev.filter(F.col("event_id") % 97 == 0).select(
+        (F.col("user_id") % 50).cast("long").alias("k"),
+        F.col("event_id").alias("iid"),
+        ts_ltz.alias("s"),
+        (
+            ts_ltz
+            + F.make_interval(hours=(F.col("event_id") % 3 + 1).cast("int"))
+        ).alias("e"),
+    )
+    out = interval_join(
+        pts, iv, "pts", "s", "e", on="k", bin_width_s=3600.0, prefix="i_"
+    )
+    return out.groupBy(F.col("i_iid").alias("iid")).agg(
+        F.count("*").alias("n_pts"),
+        F.min("pid").alias("min_pid"),
+        F.max("pid").alias("max_pid"),
+    )
+
+
 def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (n=1) Jaccard near-dup pairs over a keyed subset — the exact
     verification primitive of the dedup family, oracle-checkable."""
@@ -2174,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer1_decode": q_layer1_decode,  # new in r4
         "layer2_decode": q_layer2_decode,  # new in r4
         "mjpeg_frames": q_mjpeg_frames,  # new in r4
+        "interval_join": q_interval_join,  # new in r4
         "change_feed": q_change_feed,
         "stats_json": q_stats_json,
         "pii_redact": q_pii_redact,
@@ -3421,6 +3457,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 300000)
+        """,
+        "interval_join": """
+            WITH p AS (
+              SELECT CAST(user_id % 50 AS BIGINT) AS k,
+                     event_id AS pid, ts AS pts
+              FROM events
+            ),
+            i AS (
+              SELECT CAST(user_id % 50 AS BIGINT) AS k,
+                     event_id AS iid, ts AS s,
+                     ts + (event_id % 3 + 1) * INTERVAL 1 HOUR AS e
+              FROM events WHERE event_id % 97 = 0
+            )
+            SELECT i.iid AS iid, COUNT(*) AS n_pts,
+                   MIN(p.pid) AS min_pid, MAX(p.pid) AS max_pid
+            FROM p JOIN i ON p.k = i.k AND p.pts BETWEEN i.s AND i.e
+            GROUP BY i.iid
         """,
         "asof_join": """
             WITH l AS (

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
 
 
 def asof_join(
@@ -156,4 +156,144 @@ def asof_join(
     out_right = [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload_cols]
     return matched.select(
         *out_left, *out_right, F.col("_m._mts").alias(f"{prefix}matched_ts")
+    )
+
+
+def _bin_expr(col: Column, dtype, bin_width_s: float) -> Column:
+    """Integer bin id for a point: timestamps bin on epoch-microseconds,
+    numerics on the raw value; both via floor division so negative values
+    bin consistently."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        w = int(bin_width_s * 1_000_000)
+        return F.floor(F.unix_micros(col.cast("timestamp_ltz")) / F.lit(w))
+    return F.floor(col / F.lit(bin_width_s)).cast("long")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_start: str = "start",
+    right_end: str = "end",
+    on: list[str] | str | None = None,
+    *,
+    bin_width_s: float = 3600.0,
+    how: str = "inner",
+    end_inclusive: bool = True,
+    prefix: str = "",
+    max_bins_per_interval: int = 10_000,
+) -> DataFrame:
+    """Distributed range join: match point rows (``left_ts``) to interval
+    rows (``[right_start, right_end]``), optionally within equality keys
+    ``on`` — the BETWEEN-join a session/validity lookup needs
+    (reference analog: the datetime-range C-FIND matching of
+    ``operators/match.py`` P4, lifted from a predicate to a JOIN).
+
+    Spark-first shape: a bare ``l.ts BETWEEN r.start AND r.end`` join has no
+    equality key, so Catalyst plans a broadcast-nested-loop / cartesian
+    product — O(|L|x|R|), a scale-killer. This operator makes it an
+    EQUI-join on time bins: each interval explodes into the bins it covers
+    (``sequence(floor(start/W), floor(end/W))``, pure codegen), each point
+    carries its single bin, the join runs shuffle-hash/sort-merge on
+    (bins, *on), and the exact BETWEEN predicate refines inside the join
+    condition. A (point, interval) pair meets in EXACTLY one bin — the
+    point's — so no post-join dedup is needed. Cost: |L| + sum(span/W)
+    rows through one exchange; pick ``bin_width_s`` near the median
+    interval span so most intervals explode into 1-2 bins. Oversized
+    intervals (> ``max_bins_per_interval`` bins, e.g. a corrupt
+    year-9999 end) fail loudly via ``assert_true`` rather than exploding
+    the stage. Hot bins (everything in one hour) are plain join skew —
+    AQE's skew-join splitting applies; keys in ``on`` usually dominate
+    the distribution anyway.
+
+    ``how``: 'inner' or 'left' (unmatched points survive with null right
+    payload). Inverted (end < start) and null-bounded intervals never
+    match. Output: all of ``left``, then ``<prefix><c>`` per right payload
+    column, plus ``<prefix>matched_start`` / ``<prefix>matched_end``.
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if bin_width_s <= 0:
+        raise ValueError("bin_width_s must be > 0")
+    payload_cols = [
+        c for c in right.columns if c not in (*keys, right_start, right_end)
+    ]
+    out_names = (
+        list(left.columns)
+        + [f"{prefix}{c}" for c in payload_cols]
+        + [f"{prefix}matched_start", f"{prefix}matched_end"]
+    )
+    dups = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dups:
+        raise ValueError(
+            f"interval_join output would contain duplicate column(s) {dups}; "
+            "pass a prefix (e.g. prefix='r_') to disambiguate"
+        )
+
+    sdt = right.schema[right_start].dataType
+    sbin = _bin_expr(F.col(right_start), sdt, bin_width_s)
+    ebin = _bin_expr(F.col(right_end), right.schema[right_end].dataType, bin_width_s)
+    r = (
+        right.filter(
+            F.col(right_start).isNotNull()
+            & F.col(right_end).isNotNull()
+            & (F.col(right_end) >= F.col(right_start))
+        )
+        # the guard is folded into sequence()'s end argument so it MUST
+        # evaluate before the sequence is built — a free-standing
+        # assert_true column can be reordered after the (exploding)
+        # sequence by projection collapse, surfacing as an opaque
+        # "array too big" task failure instead of this message
+        .withColumn(
+            "_ij_bin",
+            F.explode(
+                F.sequence(
+                    sbin,
+                    F.when(
+                        ebin - sbin < F.lit(int(max_bins_per_interval)), ebin
+                    ).otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "interval_join: interval spans more than "
+                                    f"{max_bins_per_interval} bins of "
+                                    f"{bin_width_s}s ("
+                                ),
+                                F.col(right_start).cast("string"),
+                                F.lit(" .. "),
+                                F.col(right_end).cast("string"),
+                                F.lit("); widen bin_width_s or clean the data"),
+                            )
+                        ).cast("long")
+                    ),
+                )
+            ),
+        )
+        .select(
+            "_ij_bin",
+            *keys,
+            F.col(right_start).alias("_ij_s"),
+            F.col(right_end).alias("_ij_e"),
+            *[F.col(c) for c in payload_cols],
+        )
+    )
+    ldt = left.schema[left_ts].dataType
+    l = left.withColumn("_ij_bin", _bin_expr(F.col(left_ts), ldt, bin_width_s))
+
+    refine = F.col(left_ts) >= F.col("_ij_s")
+    refine &= (
+        F.col(left_ts) <= F.col("_ij_e")
+        if end_inclusive
+        else F.col(left_ts) < F.col("_ij_e")
+    )
+    cond = l["_ij_bin"] == r["_ij_bin"]
+    for k in keys:
+        cond &= l[k] == r[k]
+    joined = l.join(r, cond & refine, "inner" if how == "inner" else "left")
+    return joined.select(
+        *[l[c] for c in left.columns],
+        *[r[c].alias(f"{prefix}{c}") for c in payload_cols],
+        r["_ij_s"].alias(f"{prefix}matched_start"),
+        r["_ij_e"].alias(f"{prefix}matched_end"),
     )

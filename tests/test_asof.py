@@ -126,3 +126,91 @@ def test_asof_join_rejects_colliding_output_columns(spark):
     # a prefix disambiguates
     out = asof_join(left, right, on="k", left_ts="ts", prefix="r_")
     assert out.collect()[0]["r_value"] == 9
+
+
+# --- interval (range) join ----------------------------------------------------
+
+
+def _ij_frames(spark):
+    import datetime as dt
+
+    L = spark.createDataFrame(
+        [(i, "c1" if i % 2 else "c2", dt.datetime(2024, 1, 1, 0, 0, i)) for i in range(20)]
+        + [(99, "c1", None)],
+        "id long, conv string, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [
+            ("c1", dt.datetime(2024, 1, 1, 0, 0, 3), dt.datetime(2024, 1, 1, 0, 0, 8), "s1"),
+            ("c2", dt.datetime(2024, 1, 1, 0, 0, 5), dt.datetime(2024, 1, 1, 0, 0, 6), "s2"),
+            ("c1", dt.datetime(2024, 1, 1, 0, 0, 15), dt.datetime(2024, 1, 1, 0, 0, 15), "s3"),
+            ("c1", dt.datetime(2024, 1, 1, 0, 0, 9), dt.datetime(2024, 1, 1, 0, 0, 2), "inverted"),
+            ("c2", None, dt.datetime(2024, 1, 1, 0, 0, 9), "nullstart"),
+        ],
+        "conv string, start timestamp, end timestamp, label string",
+    )
+    return L, R
+
+
+def test_interval_join_semantics(spark):
+    from nifi_dicom_spark.operators.asof import interval_join
+
+    L, R = _ij_frames(spark)
+    out = interval_join(L, R, "ts", "start", "end", on="conv", bin_width_s=4.0, prefix="r_")
+    rows = sorted((r["id"], r["r_label"]) for r in out.collect())
+    # inverted and null-bounded intervals never match; degenerate [15,15]
+    # matches its single point; null left ts matches nothing
+    assert rows == [(3, "s1"), (5, "s1"), (6, "s2"), (7, "s1"), (15, "s3")]
+    # matched bounds surface
+    m = {(r["id"], r["r_label"]): r["r_matched_start"] for r in out.collect()}
+    assert m[(15, "s3")].second == 15
+
+
+def test_interval_join_left_and_exclusive_end(spark):
+    from nifi_dicom_spark.operators.asof import interval_join
+
+    L, R = _ij_frames(spark)
+    out = interval_join(
+        L, R, "ts", "start", "end", on="conv", bin_width_s=4.0, prefix="r_", how="left"
+    )
+    assert out.count() == 21  # every left row exactly once here
+    assert out.filter("r_label is not null").count() == 5
+    out2 = interval_join(
+        L, R, "ts", "start", "end", on="conv", bin_width_s=4.0,
+        prefix="r_", end_inclusive=False,
+    )
+    s = {(r["id"], r["r_label"]) for r in out2.collect()}
+    assert (3, "s1") in s and (15, "s3") not in s  # [15,15) is empty
+
+
+def test_interval_join_numeric_no_keys_and_plan(spark):
+    from nifi_dicom_spark.operators.asof import interval_join
+
+    Ln = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, x double")
+    Rn = spark.createDataFrame(
+        [(2.0, 4.5, "a"), (8.0, 9.0, "b")], "s double, e double, lab string"
+    )
+    out = interval_join(Ln, Rn, "x", "s", "e", bin_width_s=2.0)
+    got = sorted((r["id"], r["lab"]) for r in out.collect())
+    assert got == [(2, "a"), (3, "a"), (4, "a"), (8, "b"), (9, "b")]
+    # the whole point: an EQUI-join plan, never nested-loop/cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_oversize_guard_and_validation(spark):
+    import pytest as _pytest
+
+    from nifi_dicom_spark.operators.asof import interval_join
+
+    Ln = spark.createDataFrame([(1, 0.5)], "id long, x double")
+    Rbad = spark.createDataFrame([(0.0, 1e9, "huge")], "s double, e double, lab string")
+    with _pytest.raises(Exception, match="spans more than"):
+        interval_join(Ln, Rbad, "x", "s", "e", bin_width_s=1.0).collect()
+    with _pytest.raises(ValueError, match="bin_width_s"):
+        interval_join(Ln, Rbad, "x", "s", "e", bin_width_s=0)
+    with _pytest.raises(ValueError, match="how"):
+        interval_join(Ln, Rbad, "x", "s", "e", how="full")
+    Rdup = spark.createDataFrame([(0.0, 1.0, 7)], "s double, e double, id long")
+    with _pytest.raises(ValueError, match="duplicate"):
+        interval_join(Ln, Rdup, "x", "s", "e")
