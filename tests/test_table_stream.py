@@ -10,6 +10,7 @@ import os
 import time
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from nifi_dicom_spark.model import CHANGE_EVENTS_SCHEMA
 from nifi_dicom_spark.operators.apply import (
@@ -901,3 +902,110 @@ def test_replication_across_schema_evolution_restart(spark, tmp_path):
         assert ok, replica.read().toPandas().to_dict("records")
     finally:
         q2.stop()
+
+
+def test_rollup_stream_maintains_group_aggregates(spark, tmp_path):
+    """Continuous rollup: COUNT/SUM per group maintained incrementally from
+    the CDF feed — converges to the from-scratch GROUP BY after inserts,
+    a group MIGRATION (update that moves a row between groups), restart
+    with commits applied while the stream was down, and a delete that
+    empties a group (row removed, not left at zero)."""
+    from nifi_dicom_spark.operators.apply import read_final_state
+    from nifi_dicom_spark.streaming.rollup import create_rollup_table, rollup_stream
+
+    def ev(op, conv, seq, role, turn=0):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "offset": seq,
+                        "partition_id": 0,
+                        "op": op,
+                        "op_seq": seq,
+                        "conv_id": conv,
+                        "turn_idx": turn,
+                        "role": role,
+                        "text": "t",
+                        "tool": None,
+                        "ts": pd.Timestamp("2024-01-01"),
+                        "schema_ver": 2,
+                    }
+                ]
+            ),
+            CHANGE_EVENTS_SCHEMA,
+        )
+
+    src = create_transcripts_table(spark, str(tmp_path / "src"), n_buckets=4)
+    v0 = src.current_version()  # BEFORE any data: the feed must see every insert
+    roll = create_rollup_table(
+        spark, str(tmp_path / "roll"), src, group_cols=["role"], sum_cols=["turn_idx"]
+    )
+    ckpt = str(tmp_path / "ck")
+
+    def recompute():
+        return {
+            (r["role"], r["n"], float(r["s"]))
+            for r in read_final_state(src)
+            .groupBy("role")
+            .agg(F.count("*").alias("n"), F.sum("turn_idx").alias("s"))
+            .collect()
+        }
+
+    def state():
+        return {
+            (r["role"], r["n_rows"], float(r["sum_turn_idx"]))
+            for r in roll.read().filter("op != 'delete'").collect()
+        }
+
+    def converged(timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            want, got = recompute(), state()
+            if want == got:
+                return True
+            time.sleep(0.5)
+        raise AssertionError(f"rollup {state()} != recomputed {recompute()}")
+
+    q = rollup_stream(
+        spark, src.path, roll, ckpt, group_cols=["role"],
+        sum_cols=["turn_idx"], starting_version=v0,
+        trigger_interval="300 milliseconds",
+    )
+    try:
+        apply_changes(src, ev("insert", "A", 10, "user"), epoch=0)
+        apply_changes(src, ev("insert", "B", 20, "user", turn=3), epoch=1)
+        apply_changes(src, ev("insert", "C", 30, "tool", turn=5), epoch=2)
+        assert converged()
+        # group migration: A moves user -> assistant in one update
+        apply_changes(src, ev("update", "A", 40, "assistant", turn=7), epoch=3)
+        assert converged()
+        assert ("assistant", 1, 7.0) in state()
+    finally:
+        q.stop()
+
+    # commits while the rollup is DOWN: B deleted (user group shrinks),
+    # then restart resumes from the checkpoint exactly-once
+    apply_changes(src, ev("delete", "B", 50, "user", turn=3), epoch=4)
+    apply_changes(src, ev("delete", "C", 60, "tool", turn=5), epoch=5)
+    q2 = rollup_stream(
+        spark, src.path, roll, ckpt, group_cols=["role"],
+        sum_cols=["turn_idx"], trigger_interval="300 milliseconds",
+    )
+    try:
+        assert converged()
+        # the emptied tool group is a tombstone, not a zero row
+        assert "tool" not in {t[0] for t in state()}
+    finally:
+        q2.stop()
+
+
+def test_create_rollup_table_validation(spark, tmp_path):
+    from nifi_dicom_spark.streaming.rollup import create_rollup_table
+
+    src = create_transcripts_table(spark, str(tmp_path / "s2"), n_buckets=2)
+    import pytest
+
+    with pytest.raises(ValueError, match="not in source schema"):
+        create_rollup_table(spark, str(tmp_path / "r1"), src, ["nope"])
+    with pytest.raises(ValueError, match="version bookkeeping"):
+        create_rollup_table(spark, str(tmp_path / "r2"), src, ["op_seq"])
