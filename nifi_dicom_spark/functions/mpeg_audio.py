@@ -619,7 +619,7 @@ def encode_layer2(
         (l, np.asarray(cols), np.asarray(_bidx_by_level[l]))
         for l, cols in _cols_by_level.items()
     ]
-    field_cols_flat = list(range(_pos))
+    n_sample_fields = _pos
     sample_widths_flat = _gran_widths * _GRANULES_L2
 
     # allocation prefix is frame-invariant too: hoist it out of the loop
@@ -634,7 +634,7 @@ def encode_layer2(
 
     # worst-case frame bits (scfsi may save 6/12 bits per band at runtime —
     # budget for scfsi=0 so every frame fits)
-    alloc_bits = sum(_l2_class(sb)[0] for sb in range(SBLIMIT_L2)) * nch
+    alloc_bits = sum(alloc_widths)
     scf_bits = len(band_alloc) * nch * (2 + 3 * 6)
     sample_bits = _GRANULES_L2 * nch * sum(_l2_code_bits(l) for _sb, _ix, l in band_alloc)
     need_bytes = (32 + alloc_bits + scf_bits + sample_bits + 7) // 8
@@ -708,7 +708,7 @@ def encode_layer2(
         # One (12, fields_per_granule) code matrix, filled per quantizer
         # class, then flattened granule-major — identical field order to
         # the scalar loop this replaces.
-        code_mat = np.zeros((_GRANULES_L2, len(field_cols_flat)), dtype=np.uint64)
+        code_mat = np.zeros((_GRANULES_L2, n_sample_fields), dtype=np.uint64)
         for l, cols, bidx in field_groups:
             yb = y[:, :, bidx, :]  # (12, 3, k, nch)
             if l in _GROUP_BITS:

@@ -281,11 +281,11 @@ def interval_join(
     ldt = left.schema[left_ts].dataType
     l = left.withColumn("_ij_bin", _bin_expr(F.col(left_ts), ldt, bin_width_s))
 
-    refine = F.col(left_ts) >= F.col("_ij_s")
+    # qualify both sides: an unqualified left_ts is ambiguous whenever the
+    # right payload carries a same-named column (legal with a prefix)
+    refine = l[left_ts] >= r["_ij_s"]
     refine &= (
-        F.col(left_ts) <= F.col("_ij_e")
-        if end_inclusive
-        else F.col(left_ts) < F.col("_ij_e")
+        l[left_ts] <= r["_ij_e"] if end_inclusive else l[left_ts] < r["_ij_e"]
     )
     cond = l["_ij_bin"] == r["_ij_bin"]
     for k in keys:

@@ -143,10 +143,11 @@ def rollup_stream(
             raise ValueError(
                 f"unexpected _change_type {bad[0]['_change_type']!r} in rollup feed"
             )
-        nullg = batch_df
-        for g in group_cols:
-            nullg = nullg.filter(F.col(g).isNull())
-        if nullg.limit(1).collect():
+        # reject a null in ANY group column (docstring contract)
+        pred = F.col(group_cols[0]).isNull()
+        for g in group_cols[1:]:
+            pred = pred | F.col(g).isNull()
+        if batch_df.filter(pred).limit(1).collect():
             raise ValueError(
                 f"null value in group column(s) {group_cols}; coalesce to a "
                 "sentinel upstream (null keys cannot be bucket-placed)"
