@@ -1939,6 +1939,59 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rebucket_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-layout evolution (``lake/snapshot_table.rebucket``, the
+    partition-spec-evolution analog): events LWW-merge into a 4-bucket
+    table, the table is rebucketed to 16 murmur3 buckets (full rewrite,
+    ledger + declared clustering carried over), and the post-rebucket read
+    must still be exactly the LWW winners — value-checked against the SQL
+    window replay."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="rebk-") + "/t",
+        schema,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=4,
+    )
+    table.merge(ev, op_col="op", policy="versioned_upsert", commit_keys=[(0, 0)])
+    table.rebucket(16)
+    return (
+        table.read()
+        .filter(F.col("op") != "delete")
+        .select(
+            "conv_id", "turn_idx", "op_seq", F.round("value", 4).alias("value"), "ts"
+        )
+    )
+
+
 def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-form change feed (Delta-CDF shape, ``operators/diff.py
     change_feed``): two CDC epochs land as two commits, then the feed
@@ -2210,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer2_decode": q_layer2_decode,  # new in r4
         "mjpeg_frames": q_mjpeg_frames,  # new in r4
         "interval_join": q_interval_join,  # new in r4
+        "rebucket_read": q_rebucket_read,  # new in r4
         "change_feed": q_change_feed,
         "stats_json": q_stats_json,
         "pii_redact": q_pii_redact,
@@ -3324,6 +3378,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND op <> 'delete'
               AND ts BETWEEN TIMESTAMP '2024-01-25 00:00:00'
                          AND TIMESTAMP '2024-02-01 00:00:00'
+        """,
+        "rebucket_read": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 5 AS INT) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq, event_id AS "offset", value, ts
+              FROM events
+            ), w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY op_seq DESC, "offset" DESC) AS rn
+              FROM ev
+            )
+            SELECT conv_id, turn_idx, op_seq, round(value, 4) AS value, ts
+            FROM w
+            WHERE rn = 1 AND op <> 'delete'
         """,
         "zorder_scan": """
             WITH ev AS (
