@@ -38,7 +38,7 @@ cores case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -229,6 +229,18 @@ def interval_join(
         raise ValueError(
             f"interval_join output would contain duplicate column(s) {dups}; "
             "pass a prefix (e.g. prefix='r_') to disambiguate"
+        )
+    reserved = {"_ij_bin", "_ij_s", "_ij_e"}
+    clash = sorted(
+        (set(left.columns) | set(right.columns)) & reserved
+    )
+    if clash:
+        # a left '_ij_bin' would be silently OVERWRITTEN by the working
+        # column; right-side clashes become ambiguous references — both
+        # corrupt or confuse, so reject up front like the dup check above
+        raise ValueError(
+            f"interval_join reserves internal column name(s) {clash}; "
+            "rename them before joining"
         )
 
     sdt = right.schema[right_start].dataType

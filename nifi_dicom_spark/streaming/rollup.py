@@ -117,8 +117,29 @@ def rollup_stream(
     admit it — the engine's bucket placement hashes the first key column,
     and a null key never equi-joins, so null groups are REJECTED here
     (fail loudly at batch time) rather than silently misplaced. Coalesce
-    nulls to a sentinel upstream if you need a null bucket."""
+    nulls to a sentinel upstream if you need a null bucket.
+
+    NULL metric semantics: null ``sum_cols`` values contribute 0.0, so a
+    group whose metric values are ALL null stores ``sum_<c> = 0.0`` where
+    SQL's ``SUM(c)`` would be NULL — the one documented divergence from
+    the from-scratch GROUP BY (COUNT is unaffected)."""
     sum_cols = list(sum_cols or [])
+    if list(group_cols) != rollup.key_cols():
+        # bucket placement and the LWW merge are keyed by the TABLE's key
+        # columns; a differing/reordered group list would prune the wrong
+        # buckets and silently overwrite accumulated totals with
+        # delta-only rows — reject instead
+        raise ValueError(
+            f"group_cols {list(group_cols)} must equal the rollup table's "
+            f"key columns {rollup.key_cols()}"
+        )
+    have = set(rollup.schema().fieldNames())
+    need = {"n_rows", *(f"sum_{c}" for c in sum_cols)}
+    if not need <= have:
+        raise ValueError(
+            f"rollup table lacks aggregate column(s) {sorted(need - have)}; "
+            "create it with create_rollup_table(..., sum_cols=...)"
+        )
     spark.dataSource.register(SnapshotCDFDataSource)
     reader = (
         spark.readStream.format("snapshot_cdf")
@@ -136,41 +157,46 @@ def rollup_stream(
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        bad = (
-            batch_df.filter(~F.col("_change_type").isin(*known)).limit(1).collect()
-        )
-        if bad:
-            raise ValueError(
-                f"unexpected _change_type {bad[0]['_change_type']!r} in rollup feed"
-            )
-        # reject a null in ANY group column (docstring contract)
-        pred = F.col(group_cols[0]).isNull()
+        # one fused validation/metadata pass (the micro-batch is uncached;
+        # separate limit(1) probes would re-read the CDF partitions once
+        # per check): row count, newest covered commit (the batch's
+        # deterministic op_seq under replay), unknown-change-type count,
+        # and null-in-ANY-group-column count
+        null_pred = F.col(group_cols[0]).isNull()
         for g in group_cols[1:]:
-            pred = pred | F.col(g).isNull()
-        if batch_df.filter(pred).limit(1).collect():
+            null_pred = null_pred | F.col(g).isNull()
+        stats = batch_df.agg(
+            F.count("*").alias("n"),
+            F.max("_commit_version").alias("v"),
+            F.count(
+                F.when(~F.col("_change_type").isin(*known), F.lit(1))
+            ).alias("bad"),
+            F.count(F.when(null_pred, F.lit(1))).alias("nullg"),
+        ).collect()[0]
+        if stats["n"] == 0:
+            return
+        if stats["bad"]:
+            raise ValueError(
+                f"{stats['bad']} row(s) with an unexpected _change_type in "
+                "the rollup feed"
+            )
+        if stats["nullg"]:
             raise ValueError(
                 f"null value in group column(s) {group_cols}; coalesce to a "
                 "sentinel upstream (null keys cannot be bucket-placed)"
             )
+        seq = int(stats["v"])
         aggs = [F.sum(sign).cast("long").alias("_d_n")]
         aggs += [
             F.sum(sign.cast("double") * F.coalesce(F.col(c).cast("double"), F.lit(0.0))).alias(f"_d_{c}")
             for c in sum_cols
         ]
-        # op_seq for this batch: the newest source commit it covers —
-        # deterministic under replay (same batch id ⇒ same version range)
-        row = batch_df.agg(
-            F.max("_commit_version").alias("v"), F.count("*").alias("n")
-        ).collect()[0]
-        if row["n"] == 0:
-            return
-        seq = int(row["v"])
         delta = batch_df.groupBy(*group_cols).agg(*aggs)
 
         # read-modify-write restricted to touched groups: the rollup read
         # prunes to the delta's buckets; the join is group-key equi
         touched = delta.select(*group_cols)
-        bucket = rollup.bucket_expr(group_cols[0])
+        bucket = rollup.bucket_expr()  # always the manifest's key column
         buckets = sorted(
             r[0] for r in touched.select(bucket.alias("b")).distinct().collect()
         )

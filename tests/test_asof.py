@@ -214,3 +214,18 @@ def test_interval_join_oversize_guard_and_validation(spark):
     Rdup = spark.createDataFrame([(0.0, 1.0, 7)], "s double, e double, id long")
     with _pytest.raises(ValueError, match="duplicate"):
         interval_join(Ln, Rdup, "x", "s", "e")
+
+
+def test_interval_join_rejects_reserved_internal_names(spark):
+    import pytest as _pytest
+
+    from nifi_dicom_spark.operators.asof import interval_join
+
+    L = spark.createDataFrame([(1, 0.5, 9)], "id long, x double, _ij_bin long")
+    R = spark.createDataFrame([(0.0, 1.0, "a")], "s double, e double, lab string")
+    with _pytest.raises(ValueError, match="reserves internal"):
+        interval_join(L, R, "x", "s", "e")
+    L2 = spark.createDataFrame([(1, 0.5)], "id long, x double")
+    R2 = spark.createDataFrame([(0.0, 1.0, "a")], "s double, e double, _ij_s string")
+    with _pytest.raises(ValueError, match="reserves internal"):
+        interval_join(L2, R2, "x", "s", "e")

@@ -976,10 +976,15 @@ def test_rollup_stream_maintains_group_aggregates(spark, tmp_path):
         apply_changes(src, ev("insert", "B", 20, "user", turn=3), epoch=1)
         apply_changes(src, ev("insert", "C", 30, "tool", turn=5), epoch=2)
         assert converged()
-        # group migration: A moves user -> assistant in one update
-        apply_changes(src, ev("update", "A", 40, "assistant", turn=7), epoch=3)
+        # group migration: the EXISTING key ('A', turn 0) moves
+        # user -> assistant in one update, so the feed emits a real
+        # update_preimage/update_postimage pair — the signed-delta path
+        # this module exists for (preimage decrements user, postimage
+        # increments assistant)
+        apply_changes(src, ev("update", "A", 40, "assistant", turn=0), epoch=3)
         assert converged()
-        assert ("assistant", 1, 7.0) in state()
+        assert ("assistant", 1, 0.0) in state()
+        assert ("user", 1, 3.0) in state()  # only B remains under user
     finally:
         q.stop()
 
@@ -1009,3 +1014,18 @@ def test_create_rollup_table_validation(spark, tmp_path):
         create_rollup_table(spark, str(tmp_path / "r1"), src, ["nope"])
     with pytest.raises(ValueError, match="version bookkeeping"):
         create_rollup_table(spark, str(tmp_path / "r2"), src, ["op_seq"])
+
+    # stream-side guards: group_cols must equal the table's key columns,
+    # and every requested sum_<c> must exist in the table
+    from nifi_dicom_spark.streaming.rollup import rollup_stream
+
+    roll = create_rollup_table(
+        spark, str(tmp_path / "r3"), src, ["role", "tool"], sum_cols=["turn_idx"]
+    )
+    with pytest.raises(ValueError, match="key columns"):
+        rollup_stream(spark, src.path, roll, str(tmp_path / "ck3"), ["tool", "role"])
+    with pytest.raises(ValueError, match="lacks aggregate column"):
+        rollup_stream(
+            spark, src.path, roll, str(tmp_path / "ck4"),
+            ["role", "tool"], sum_cols=["schema_ver"],
+        )
