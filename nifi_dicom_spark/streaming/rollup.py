@@ -48,7 +48,7 @@ from pyspark.sql import types as T
 from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
 from nifi_dicom_spark.sources.table_stream import SnapshotCDFDataSource
 
-__all__ = ["create_rollup_table", "rollup_stream"]
+__all__ = ["backfill_rollup", "create_rollup_table", "rollup_stream"]
 
 _VERSION_COLS = ("op", "op_seq", "offset")
 
@@ -88,6 +88,51 @@ def create_rollup_table(
         key_cols=list(group_cols),
         n_buckets=n_buckets,
     )
+
+
+def backfill_rollup(
+    rollup: SnapshotTable,
+    source: SnapshotTable,
+    sum_cols: list[str] | None = None,
+    version: int | None = None,
+) -> int:
+    """Seed ``rollup`` with the from-scratch GROUP BY of ``source`` at
+    ``version`` (default: the current version) and return that SOURCE
+    version — pass it as ``rollup_stream(starting_version=...)`` so the
+    feed begins exactly where the backfill's snapshot ended, the recovery
+    path :func:`rollup_stream`'s docstring prescribes for rollups that
+    cannot start at the source's creation. One aggregate scan of the
+    source; the seed merges as op_seq = the source version, so the first
+    streamed batches (whose op_seq is a later commit version) LWW-win
+    over it exactly when they should."""
+    sum_cols = list(sum_cols or [])
+    group_cols = rollup.key_cols()
+    m = rollup.manifest()
+    if m.get("files") or m.get("delta_files"):
+        # seeding over existing rows would update seen groups but leave
+        # groups absent from the snapshot stale — only an empty rollup can
+        # be backfilled consistently
+        raise ValueError("backfill_rollup requires an empty rollup table")
+    v = int(source.current_version() if version is None else version)
+    state = source.read(version=v)
+    if "op" in state.columns:
+        state = state.filter(F.col("op") != "delete")
+    seed = state.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.coalesce(F.col(c).cast("double"), F.lit(0.0))).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    ).select(
+        *group_cols,
+        "n_rows",
+        *[f"sum_{c}" for c in sum_cols],
+        F.lit("update").alias("op"),
+        F.lit(v).alias("op_seq"),
+        F.lit(v).alias("offset"),
+    )
+    rollup.merge(seed, op_col="op", policy="versioned_upsert")
+    return v
 
 
 def rollup_stream(

@@ -1029,3 +1029,90 @@ def test_create_rollup_table_validation(spark, tmp_path):
             spark, src.path, roll, str(tmp_path / "ck4"),
             ["role", "tool"], sum_cols=["schema_ver"],
         )
+
+
+def test_backfill_rollup_then_stream_handoff(spark, tmp_path):
+    """The documented recovery path: seed the rollup from a snapshot, then
+    start the feed at exactly that snapshot's version — pre-backfill rows
+    are counted once (by the seed), post-backfill commits once (by the
+    stream), and the result still equals the from-scratch GROUP BY."""
+    from nifi_dicom_spark.operators.apply import read_final_state
+    from nifi_dicom_spark.streaming.rollup import (
+        backfill_rollup,
+        create_rollup_table,
+        rollup_stream,
+    )
+
+    def ev(op, conv, seq, role, turn=0):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "offset": seq,
+                        "partition_id": 0,
+                        "op": op,
+                        "op_seq": seq,
+                        "conv_id": conv,
+                        "turn_idx": turn,
+                        "role": role,
+                        "text": "t",
+                        "tool": None,
+                        "ts": pd.Timestamp("2024-01-01"),
+                        "schema_ver": 2,
+                    }
+                ]
+            ),
+            CHANGE_EVENTS_SCHEMA,
+        )
+
+    src = create_transcripts_table(spark, str(tmp_path / "src"), n_buckets=4)
+    # history the stream will NEVER see — only the backfill covers it
+    apply_changes(src, ev("insert", "A", 10, "user", turn=2), epoch=0)
+    apply_changes(src, ev("insert", "B", 20, "tool", turn=5), epoch=1)
+
+    roll = create_rollup_table(
+        spark, str(tmp_path / "roll"), src, ["role"], sum_cols=["turn_idx"]
+    )
+    v = backfill_rollup(roll, src, sum_cols=["turn_idx"])
+    assert {
+        (r["role"], r["n_rows"], float(r["sum_turn_idx"]))
+        for r in roll.read().collect()
+    } == {("user", 1, 2.0), ("tool", 1, 5.0)}
+    # a second backfill must refuse (stale-group hazard)
+    import pytest
+
+    with pytest.raises(ValueError, match="empty rollup"):
+        backfill_rollup(roll, src)
+
+    q = rollup_stream(
+        spark, src.path, roll, str(tmp_path / "ck"), ["role"],
+        sum_cols=["turn_idx"], starting_version=v,
+        trigger_interval="300 milliseconds",
+    )
+    try:
+        # post-backfill commits: an insert and a migration of seeded key A
+        apply_changes(src, ev("insert", "C", 30, "user", turn=1), epoch=2)
+        apply_changes(src, ev("update", "A", 40, "assistant", turn=2), epoch=3)
+        deadline = time.time() + 90
+        want = {("user", 1, 1.0), ("tool", 1, 5.0), ("assistant", 1, 2.0)}
+        got = set()
+        while time.time() < deadline:
+            got = {
+                (r["role"], r["n_rows"], float(r["sum_turn_idx"]))
+                for r in roll.read().filter("op != 'delete'").collect()
+            }
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want, got
+        # and the invariant: equals the from-scratch GROUP BY
+        recomputed = {
+            (r["role"], r["n"], float(r["s"]))
+            for r in read_final_state(src)
+            .groupBy("role")
+            .agg(F.count("*").alias("n"), F.sum("turn_idx").alias("s"))
+            .collect()
+        }
+        assert got == recomputed
+    finally:
+        q.stop()
