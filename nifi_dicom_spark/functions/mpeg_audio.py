@@ -509,6 +509,25 @@ def _l2_code_bits(levels: int) -> int:
     return 3 * int(levels + 1).bit_length() - 3  # 3 x nb, levels = 2^nb - 1
 
 
+def effective_levels(
+    requested: int, coded_bands: int = SBLIMIT_L2
+) -> list[int | None]:
+    """Per-band quantizer resolution ``encode_layer2`` actually uses for a
+    requested ``levels``: the largest level count the band's class offers
+    that is <= requested, or None when the class has nothing that coarse
+    (band left uncoded). Band classes offer different level menus — e.g.
+    class 0 (bands 0-2) has (3, 7, 15, ...) with NO 5-level entry, so a
+    requested levels=5 falls back to the 3-level quantizer there. Error
+    envelopes must therefore be derived from this EFFECTIVE allocation,
+    not from the request (tests/test_properties.py does)."""
+    out: list[int | None] = []
+    for sb in range(coded_bands):
+        _w, lv = _l2_class(sb)
+        cand = [l for l in lv if l <= requested]
+        out.append(cand[-1] if cand else None)
+    return out
+
+
 def _quantize_grouped(y: np.ndarray, levels: int) -> np.ndarray:
     """Mid-tread uniform quantizer for the grouped 3/5/9-level classes:
     y in [-1, 1] -> integer steps in [0, levels-1]."""

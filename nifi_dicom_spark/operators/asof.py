@@ -216,6 +216,16 @@ def interval_join(
         raise ValueError(f"how must be inner|left, got {how!r}")
     if bin_width_s <= 0:
         raise ValueError("bin_width_s must be > 0")
+    if bin_width_s < 1e-6 and isinstance(
+        left.schema[left_ts].dataType, (T.TimestampType, T.TimestampNTZType)
+    ):
+        # the timestamp bin expression works in whole epoch-microseconds;
+        # a sub-microsecond width would floor to w=0 and divide by zero,
+        # yielding null bins (rows silently dropped) instead of an error
+        raise ValueError(
+            "bin_width_s must be >= 1e-6 (one microsecond) for timestamp "
+            f"columns, got {bin_width_s}"
+        )
     payload_cols = [
         c for c in right.columns if c not in (*keys, right_start, right_end)
     ]

@@ -185,6 +185,18 @@ def rollup_stream(
             f"rollup table lacks aggregate column(s) {sorted(need - have)}; "
             "create it with create_rollup_table(..., sum_cols=...)"
         )
+    # exact-match, not subset: the LWW merge conforms missing columns to
+    # null, so streaming FEWER sum_cols than the table carries would
+    # silently null the omitted sum_<c> totals for every touched group
+    table_sums = {
+        f for f in have if f.startswith("sum_") and f not in rollup.key_cols()
+    }
+    if {f"sum_{c}" for c in sum_cols} != table_sums:
+        raise ValueError(
+            f"sum_cols {sorted(sum_cols)} must cover the rollup table's "
+            f"aggregate columns exactly ({sorted(table_sums)}): omitted "
+            "columns would be overwritten with null on every touched group"
+        )
     spark.dataSource.register(SnapshotCDFDataSource)
     reader = (
         spark.readStream.format("snapshot_cdf")

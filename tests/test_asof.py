@@ -209,6 +209,17 @@ def test_interval_join_oversize_guard_and_validation(spark):
         interval_join(Ln, Rbad, "x", "s", "e", bin_width_s=1.0).collect()
     with _pytest.raises(ValueError, match="bin_width_s"):
         interval_join(Ln, Rbad, "x", "s", "e", bin_width_s=0)
+    # sub-microsecond widths on timestamp columns would floor the
+    # microsecond bin divisor to 0 (silent null bins) — rejected up front
+    Lts = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1))], "id long, x timestamp"
+    )
+    Rts = spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 2), "a")],
+        "s timestamp, e timestamp, lab string",
+    )
+    with _pytest.raises(ValueError, match="microsecond"):
+        interval_join(Lts, Rts, "x", "s", "e", bin_width_s=1e-9)
     with _pytest.raises(ValueError, match="how"):
         interval_join(Ln, Rbad, "x", "s", "e", how="full")
     Rdup = spark.createDataFrame([(0.0, 1.0, 7)], "s double, e double, id long")

@@ -1029,6 +1029,13 @@ def test_create_rollup_table_validation(spark, tmp_path):
             spark, src.path, roll, str(tmp_path / "ck4"),
             ["role", "tool"], sum_cols=["schema_ver"],
         )
+    # subset is rejected too: the LWW merge would null the omitted
+    # sum_turn_idx totals on every touched group (ADVICE r4)
+    with pytest.raises(ValueError, match="exactly"):
+        rollup_stream(
+            spark, src.path, roll, str(tmp_path / "ck5"),
+            ["role", "tool"], sum_cols=[],
+        )
 
 
 def test_backfill_rollup_then_stream_handoff(spark, tmp_path):
