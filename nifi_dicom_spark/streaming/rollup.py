@@ -12,9 +12,17 @@ Why CDF images make this exact: an UPDATE arrives as an
 aggregates (COUNT, SUM) are maintained by summing SIGNED contributions —
 preimage/delete subtract, postimage/insert add. A row whose GROUP moves
 (the group column itself was updated) is handled for free: the preimage
-decrements the old group, the postimage increments the new one. Aggregates
-that are not decrementable (MIN/MAX/percentiles) cannot be maintained this
-way and are deliberately out of scope — recompute those from a snapshot.
+decrements the old group, the postimage increments the new one.
+
+MIN/MAX are NOT decrementable; they get a hybrid arm (``max_cols`` /
+``min_cols``): arrivals maintain the extremum incrementally via
+``greatest``/``least``, and only a departure that TIES the stored extremum
+triggers a recompute of that group from the source snapshot at the batch's
+covered version — the reference's per-study max-insertion-time pattern
+(``StudyReceiver.updateStudyMostRecentInsertionTime``, re-derive on
+change) bounded to the groups that actually lost their extremum.
+Percentiles/distinct-counts remain out of scope — recompute from a
+snapshot.
 
 Exactly-once at both ends, same wiring as ``replicate_stream``: stream
 offsets are source versions in the checkpoint; each micro-batch merges
@@ -48,7 +56,7 @@ from pyspark.sql import types as T
 from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
 from nifi_dicom_spark.sources.table_stream import SnapshotCDFDataSource
 
-__all__ = ["backfill_rollup", "create_rollup_table", "rollup_stream"]
+__all__ = ["backfill_rollup", "create_rollup_table", "refresh_rollup", "rollup_stream"]
 
 _VERSION_COLS = ("op", "op_seq", "offset")
 
@@ -60,14 +68,26 @@ def create_rollup_table(
     group_cols: list[str],
     sum_cols: list[str] | None = None,
     n_buckets: int = 8,
+    max_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
 ) -> SnapshotTable:
     """An empty rollup table keyed by ``group_cols`` with a ``n_rows``
-    count and one ``sum_<c>`` per ``sum_cols`` entry (all doubles), plus
-    the engine's version bookkeeping."""
+    count, one ``sum_<c>`` per ``sum_cols`` entry (all doubles), and one
+    ``max_<c>`` / ``min_<c>`` per ``max_cols`` / ``min_cols`` entry
+    (source dtype — MAX of a timestamp is a timestamp), plus the engine's
+    version bookkeeping. MIN/MAX are non-decrementable: deletes that might
+    remove the extremum trigger a recompute of the touched groups from the
+    source snapshot (see :func:`rollup_stream`)."""
     sum_cols = list(sum_cols or [])
+    max_cols = list(max_cols or [])
+    min_cols = list(min_cols or [])
     src = source.schema()
     names = {f.name: f for f in src.fields}
-    missing = [c for c in (*group_cols, *sum_cols) if c not in names]
+    missing = [
+        c
+        for c in (*group_cols, *sum_cols, *max_cols, *min_cols)
+        if c not in names
+    ]
     if missing:
         raise ValueError(f"rollup columns not in source schema: {missing}")
     bad = sorted(set(group_cols) & set(_VERSION_COLS))
@@ -76,6 +96,12 @@ def create_rollup_table(
     fields = [T.StructField(c, names[c].dataType, True) for c in group_cols]
     fields.append(T.StructField("n_rows", T.LongType(), True))
     fields += [T.StructField(f"sum_{c}", T.DoubleType(), True) for c in sum_cols]
+    fields += [
+        T.StructField(f"max_{c}", names[c].dataType, True) for c in max_cols
+    ]
+    fields += [
+        T.StructField(f"min_{c}", names[c].dataType, True) for c in min_cols
+    ]
     fields += [
         T.StructField("op", T.StringType(), True),
         T.StructField("op_seq", T.LongType(), False),
@@ -95,6 +121,8 @@ def backfill_rollup(
     source: SnapshotTable,
     sum_cols: list[str] | None = None,
     version: int | None = None,
+    max_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
 ) -> int:
     """Seed ``rollup`` with the from-scratch GROUP BY of ``source`` at
     ``version`` (default: the current version) and return that SOURCE
@@ -106,6 +134,8 @@ def backfill_rollup(
     streamed batches (whose op_seq is a later commit version) LWW-win
     over it exactly when they should."""
     sum_cols = list(sum_cols or [])
+    max_cols = list(max_cols or [])
+    min_cols = list(min_cols or [])
     group_cols = rollup.key_cols()
     m = rollup.manifest()
     if m.get("files") or m.get("delta_files"):
@@ -123,10 +153,14 @@ def backfill_rollup(
             F.sum(F.coalesce(F.col(c).cast("double"), F.lit(0.0))).alias(f"sum_{c}")
             for c in sum_cols
         ],
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        *[F.min(c).alias(f"min_{c}") for c in min_cols],
     ).select(
         *group_cols,
         "n_rows",
         *[f"sum_{c}" for c in sum_cols],
+        *[f"max_{c}" for c in max_cols],
+        *[f"min_{c}" for c in min_cols],
         F.lit("update").alias("op"),
         F.lit(v).alias("op_seq"),
         F.lit(v).alias("offset"),
@@ -144,6 +178,8 @@ def rollup_stream(
     sum_cols: list[str] | None = None,
     starting_version: int | None = None,
     trigger_interval: str = "1 second",
+    max_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
 ):
     """Start (and return) the streaming query maintaining ``rollup`` from
     ``source_path``'s change feed. Stop via ``query.stop()``; restarting
@@ -169,6 +205,8 @@ def rollup_stream(
     SQL's ``SUM(c)`` would be NULL — the one documented divergence from
     the from-scratch GROUP BY (COUNT is unaffected)."""
     sum_cols = list(sum_cols or [])
+    max_cols = list(max_cols or [])
+    min_cols = list(min_cols or [])
     if list(group_cols) != rollup.key_cols():
         # bucket placement and the LWW merge are keyed by the TABLE's key
         # columns; a differing/reordered group list would prune the wrong
@@ -179,24 +217,33 @@ def rollup_stream(
             f"key columns {rollup.key_cols()}"
         )
     have = set(rollup.schema().fieldNames())
-    need = {"n_rows", *(f"sum_{c}" for c in sum_cols)}
+    need = {
+        "n_rows",
+        *(f"sum_{c}" for c in sum_cols),
+        *(f"max_{c}" for c in max_cols),
+        *(f"min_{c}" for c in min_cols),
+    }
     if not need <= have:
         raise ValueError(
             f"rollup table lacks aggregate column(s) {sorted(need - have)}; "
             "create it with create_rollup_table(..., sum_cols=...)"
         )
     # exact-match, not subset: the LWW merge conforms missing columns to
-    # null, so streaming FEWER sum_cols than the table carries would
-    # silently null the omitted sum_<c> totals for every touched group
-    table_sums = {
-        f for f in have if f.startswith("sum_") and f not in rollup.key_cols()
-    }
-    if {f"sum_{c}" for c in sum_cols} != table_sums:
-        raise ValueError(
-            f"sum_cols {sorted(sum_cols)} must cover the rollup table's "
-            f"aggregate columns exactly ({sorted(table_sums)}): omitted "
-            "columns would be overwritten with null on every touched group"
-        )
+    # null, so streaming FEWER aggregate cols than the table carries would
+    # silently null the omitted totals for every touched group
+    keys = set(rollup.key_cols())
+    for pfx, req in (("sum_", sum_cols), ("max_", max_cols), ("min_", min_cols)):
+        table_aggs = {f for f in have if f.startswith(pfx) and f not in keys}
+        if {f"{pfx}{c}" for c in req} != table_aggs:
+            raise ValueError(
+                f"{pfx.rstrip('_')}_cols {sorted(req)} must cover the rollup "
+                f"table's aggregate columns exactly ({sorted(table_aggs)}): "
+                "omitted columns would be overwritten with null on every "
+                "touched group"
+            )
+    src_table = (
+        SnapshotTable.load(spark, source_path) if (max_cols or min_cols) else None
+    )
     spark.dataSource.register(SnapshotCDFDataSource)
     reader = (
         spark.readStream.format("snapshot_cdf")
@@ -207,85 +254,16 @@ def rollup_stream(
         reader = reader.option("startingVersion", starting_version)
     feed = reader.load()
 
-    known = ("insert", "update_preimage", "update_postimage", "delete")
-    sign = (
-        F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
-        .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
-    )
-
     def apply_batch(batch_df, batch_id: int) -> None:
-        # one fused validation/metadata pass (the micro-batch is uncached;
-        # separate limit(1) probes would re-read the CDF partitions once
-        # per check): row count, newest covered commit (the batch's
-        # deterministic op_seq under replay), unknown-change-type count,
-        # and null-in-ANY-group-column count
-        null_pred = F.col(group_cols[0]).isNull()
-        for g in group_cols[1:]:
-            null_pred = null_pred | F.col(g).isNull()
-        stats = batch_df.agg(
-            F.count("*").alias("n"),
-            F.max("_commit_version").alias("v"),
-            F.count(
-                F.when(~F.col("_change_type").isin(*known), F.lit(1))
-            ).alias("bad"),
-            F.count(F.when(null_pred, F.lit(1))).alias("nullg"),
-        ).collect()[0]
-        if stats["n"] == 0:
-            return
-        if stats["bad"]:
-            raise ValueError(
-                f"{stats['bad']} row(s) with an unexpected _change_type in "
-                "the rollup feed"
-            )
-        if stats["nullg"]:
-            raise ValueError(
-                f"null value in group column(s) {group_cols}; coalesce to a "
-                "sentinel upstream (null keys cannot be bucket-placed)"
-            )
-        seq = int(stats["v"])
-        aggs = [F.sum(sign).cast("long").alias("_d_n")]
-        aggs += [
-            F.sum(sign.cast("double") * F.coalesce(F.col(c).cast("double"), F.lit(0.0))).alias(f"_d_{c}")
-            for c in sum_cols
-        ]
-        delta = batch_df.groupBy(*group_cols).agg(*aggs)
-
-        # read-modify-write restricted to touched groups: the rollup read
-        # prunes to the delta's buckets; the join is group-key equi
-        touched = delta.select(*group_cols)
-        bucket = rollup.bucket_expr()  # always the manifest's key column
-        buckets = sorted(
-            r[0] for r in touched.select(bucket.alias("b")).distinct().collect()
-        )
-        cur = rollup.read(buckets=buckets).filter(F.col("op") != "delete")
-        cur = cur.join(touched, on=group_cols, how="left_semi")
-        merged = cur.select(
-            *group_cols,
-            F.col("n_rows"),
-            *[F.col(f"sum_{c}") for c in sum_cols],
-        ).join(delta, on=group_cols, how="full_outer")
-        new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(
-            F.col("_d_n"), F.lit(0)
-        )
-        ev = merged.select(
-            *group_cols,
-            new_n.alias("n_rows"),
-            *[
-                (
-                    F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
-                    + F.coalesce(F.col(f"_d_{c}"), F.lit(0.0))
-                ).alias(f"sum_{c}")
-                for c in sum_cols
-            ],
-            F.when(new_n <= 0, "delete").otherwise("update").alias("op"),
-            F.lit(seq).alias("op_seq"),
-            F.lit(seq).alias("offset"),
-        )
-        rollup.merge(
-            ev,
-            op_col="op",
-            policy="versioned_upsert",
+        _apply_cdf_images(
+            rollup,
+            batch_df,
+            group_cols,
+            sum_cols,
             commit_keys=[(int(batch_id), 0)],
+            source=src_table,
+            max_cols=max_cols,
+            min_cols=min_cols,
         )
 
     return (
@@ -293,4 +271,237 @@ def rollup_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=trigger_interval)
         .start()
+    )
+
+
+def _apply_cdf_images(
+    rollup: SnapshotTable,
+    batch_df,
+    group_cols: list[str],
+    sum_cols: list[str],
+    commit_keys: list[tuple[int, int]] | None,
+    source: SnapshotTable | None = None,
+    max_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+) -> None:
+    """Apply one batch of CDF images (``_change_type`` + payload rows) to
+    the rollup via the signed-delta read-modify-write — the shared core of
+    the streaming path (:func:`rollup_stream`) and the batch refresh
+    (:func:`refresh_rollup`).
+
+    MIN/MAX (non-decrementable) arm: arrivals maintain the extremum
+    incrementally (``greatest(stored, incoming)``), but a DEPARTURE
+    (delete / update_preimage) whose value ties the stored extremum may
+    have been the last row holding it — those groups are RECOMPUTED from
+    the source snapshot at the batch's covered version (reference analog:
+    ``StudyReceiver.updateStudyMostRecentInsertionTime`` re-derives the
+    study max on arrivals; deletes force the full re-derivation). Cost:
+    a predicate-pushed source scan restricted to the recomputed groups —
+    only groups that lost their extremum pay it, arrivals stay O(delta)."""
+    max_cols = list(max_cols or [])
+    min_cols = list(min_cols or [])
+    if (max_cols or min_cols) and source is None:
+        raise ValueError("max_cols/min_cols require the source table (recompute arm)")
+    known = ("insert", "update_preimage", "update_postimage", "delete")
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+    )
+    # one fused validation/metadata pass (the micro-batch is uncached;
+    # separate limit(1) probes would re-read the CDF partitions once
+    # per check): row count, newest covered commit (the batch's
+    # deterministic op_seq under replay), unknown-change-type count,
+    # and null-in-ANY-group-column count
+    null_pred = F.col(group_cols[0]).isNull()
+    for g in group_cols[1:]:
+        null_pred = null_pred | F.col(g).isNull()
+    stats = batch_df.agg(
+        F.count("*").alias("n"),
+        F.max("_commit_version").alias("v"),
+        F.count(
+            F.when(~F.col("_change_type").isin(*known), F.lit(1))
+        ).alias("bad"),
+        F.count(F.when(null_pred, F.lit(1))).alias("nullg"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return
+    if stats["bad"]:
+        raise ValueError(
+            f"{stats['bad']} row(s) with an unexpected _change_type in "
+            "the rollup feed"
+        )
+    if stats["nullg"]:
+        raise ValueError(
+            f"null value in group column(s) {group_cols}; coalesce to a "
+            "sentinel upstream (null keys cannot be bucket-placed)"
+        )
+    seq = int(stats["v"])
+    aggs = [F.sum(sign).cast("long").alias("_d_n")]
+    aggs += [
+        F.sum(sign.cast("double") * F.coalesce(F.col(c).cast("double"), F.lit(0.0))).alias(f"_d_{c}")
+        for c in sum_cols
+    ]
+    # arrivals' extrema (incremental candidates) and departures' extrema
+    # (recompute triggers) per group, computed in the same single pass
+    aggs += [
+        F.max(F.when(sign > 0, F.col(c))).alias(f"_imax_{c}") for c in max_cols
+    ]
+    aggs += [
+        F.max(F.when(sign < 0, F.col(c))).alias(f"_dmax_{c}") for c in max_cols
+    ]
+    aggs += [
+        F.min(F.when(sign > 0, F.col(c))).alias(f"_imin_{c}") for c in min_cols
+    ]
+    aggs += [
+        F.min(F.when(sign < 0, F.col(c))).alias(f"_dmin_{c}") for c in min_cols
+    ]
+    delta = batch_df.groupBy(*group_cols).agg(*aggs)
+
+    # read-modify-write restricted to touched groups: the rollup read
+    # prunes to the delta's buckets; the join is group-key equi
+    touched = delta.select(*group_cols)
+    bucket = rollup.bucket_expr()  # always the manifest's key column
+    buckets = sorted(
+        r[0] for r in touched.select(bucket.alias("b")).distinct().collect()
+    )
+    cur = rollup.read(buckets=buckets).filter(F.col("op") != "delete")
+    cur = cur.join(touched, on=group_cols, how="left_semi")
+    merged = cur.select(
+        *group_cols,
+        F.col("n_rows"),
+        *[F.col(f"sum_{c}") for c in sum_cols],
+        *[F.col(f"max_{c}") for c in max_cols],
+        *[F.col(f"min_{c}") for c in min_cols],
+    ).join(delta, on=group_cols, how="full_outer")
+    new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(
+        F.col("_d_n"), F.lit(0)
+    )
+    # a departure can only have removed the stored extremum if it TIES it
+    # (>= / <=); strictly-inside departures leave the extremum standing and
+    # stay on the O(delta) incremental path
+    needs_rc = F.lit(False)
+    for c in max_cols:
+        needs_rc = needs_rc | (
+            F.col(f"_dmax_{c}").isNotNull()
+            & (F.col(f"max_{c}").isNull() | (F.col(f"_dmax_{c}") >= F.col(f"max_{c}")))
+        )
+    for c in min_cols:
+        needs_rc = needs_rc | (
+            F.col(f"_dmin_{c}").isNotNull()
+            & (F.col(f"min_{c}").isNull() | (F.col(f"_dmin_{c}") <= F.col(f"min_{c}")))
+        )
+    ev = merged.select(
+        *group_cols,
+        new_n.alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0.0))
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+        *[
+            F.greatest(F.col(f"max_{c}"), F.col(f"_imax_{c}")).alias(f"max_{c}")
+            for c in max_cols
+        ],
+        *[
+            F.least(F.col(f"min_{c}"), F.col(f"_imin_{c}")).alias(f"min_{c}")
+            for c in min_cols
+        ],
+        (needs_rc & (new_n > 0)).alias("_needs_rc"),
+        F.when(new_n <= 0, "delete").otherwise("update").alias("op"),
+        F.lit(seq).alias("op_seq"),
+        F.lit(seq).alias("offset"),
+    )
+    if max_cols or min_cols:
+        # recompute arm: re-derive the extrema of flagged groups from the
+        # source state AS OF the batch's covered version (exactly the
+        # post-batch state — later commits belong to later batches)
+        ev_c = ev.cache()  # consumed twice (flag split); bounded by touched groups
+        try:
+            ev = ev_c
+            rc_keys = ev.filter(F.col("_needs_rc")).select(*group_cols)
+            if rc_keys.limit(1).count():
+                state = source.read(version=seq)
+                if "op" in state.columns:
+                    state = state.filter(F.col("op") != "delete")
+                rc = (
+                    state.join(
+                        F.broadcast(rc_keys), on=group_cols, how="left_semi"
+                    )
+                    .groupBy(*group_cols)
+                    .agg(
+                        *[F.max(c).alias(f"_rc_max_{c}") for c in max_cols],
+                        *[F.min(c).alias(f"_rc_min_{c}") for c in min_cols],
+                    )
+                )
+                ev = ev.join(rc, on=group_cols, how="left").select(
+                    *group_cols,
+                    "n_rows",
+                    *[f"sum_{c}" for c in sum_cols],
+                    *[
+                        F.when(F.col("_needs_rc"), F.col(f"_rc_max_{c}"))
+                        .otherwise(F.col(f"max_{c}"))
+                        .alias(f"max_{c}")
+                        for c in max_cols
+                    ],
+                    *[
+                        F.when(F.col("_needs_rc"), F.col(f"_rc_min_{c}"))
+                        .otherwise(F.col(f"min_{c}"))
+                        .alias(f"min_{c}")
+                        for c in min_cols
+                    ],
+                    "op",
+                    "op_seq",
+                    "offset",
+                )
+            else:
+                ev = ev.drop("_needs_rc")
+            rollup.merge(
+                ev, op_col="op", policy="versioned_upsert", commit_keys=commit_keys
+            )
+        finally:
+            ev_c.unpersist()
+    else:
+        ev = ev.drop("_needs_rc")
+        rollup.merge(ev, op_col="op", policy="versioned_upsert", commit_keys=commit_keys)
+
+
+def refresh_rollup(
+    rollup: SnapshotTable,
+    source: SnapshotTable,
+    from_version: int,
+    sum_cols: list[str] | None = None,
+    commit_keys: list[tuple[int, int]] | None = None,
+    max_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+) -> None:
+    """Batch (pull) refresh: apply ``source``'s change feed AFTER
+    ``from_version`` to the rollup in one signed-delta pass — the same
+    maintenance arithmetic as :func:`rollup_stream`, for callers that
+    refresh on demand instead of tailing continuously (materialized-view
+    REFRESH). Pair with :func:`backfill_rollup`: seed at version v, then
+    ``refresh_rollup(..., from_version=v)`` covers everything exactly once.
+
+    ``commit_keys`` makes the refresh replay-safe under the rollup's
+    ledger; it shares the (epoch, partition) namespace with a
+    ``rollup_stream`` checkpoint's batch ids, so don't mix ledgered
+    refreshes and a stream on one rollup without a disjoint numbering.
+    Default None = unledgered merge (caller owns idempotency, like
+    :func:`backfill_rollup`)."""
+    from nifi_dicom_spark.operators.diff import change_feed
+
+    sum_cols = list(sum_cols or [])
+    if int(source.current_version()) == int(from_version):
+        return  # nothing committed since the seed
+    feed = change_feed(source, from_version=int(from_version))
+    _apply_cdf_images(
+        rollup,
+        feed,
+        rollup.key_cols(),
+        sum_cols,
+        commit_keys=commit_keys,
+        source=source,
+        max_cols=max_cols,
+        min_cols=min_cols,
     )

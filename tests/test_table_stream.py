@@ -1004,6 +1004,116 @@ def test_rollup_stream_maintains_group_aggregates(spark, tmp_path):
         q2.stop()
 
 
+def test_rollup_minmax_recompute_and_batch_refresh(spark, tmp_path):
+    """MIN/MAX (non-decrementable) rollup arm + the batch refresh path:
+    arrivals maintain max_ts/min_turn_idx incrementally, a delete that
+    removes the row HOLDING the max forces the recompute-touched-groups
+    fallback (reference analog: StudyReceiver.updateStudyMostRecentInsertionTime
+    re-derived per arrival; deletes re-derive from state), and after every
+    refresh the rollup equals the from-scratch GROUP BY — including an
+    emptied group becoming a tombstone."""
+    from nifi_dicom_spark.operators.apply import read_final_state
+    from nifi_dicom_spark.streaming.rollup import (
+        create_rollup_table,
+        refresh_rollup,
+    )
+
+    def ev(op, conv, seq, role, turn=0, ts="2024-01-01"):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "offset": seq,
+                        "partition_id": 0,
+                        "op": op,
+                        "op_seq": seq,
+                        "conv_id": conv,
+                        "turn_idx": turn,
+                        "role": role,
+                        "text": "t",
+                        "tool": None,
+                        "ts": pd.Timestamp(ts),
+                        "schema_ver": 2,
+                    }
+                ]
+            ),
+            CHANGE_EVENTS_SCHEMA,
+        )
+
+    src = create_transcripts_table(spark, str(tmp_path / "srcmm"), n_buckets=4)
+    roll = create_rollup_table(
+        spark,
+        str(tmp_path / "rollmm"),
+        src,
+        group_cols=["role"],
+        sum_cols=["turn_idx"],
+        max_cols=["ts"],
+        min_cols=["turn_idx"],
+    )
+    # max_ts column carries the SOURCE dtype (timestamp), not double
+    ts_field = {f.name: f for f in roll.schema().fields}["max_ts"]
+    import pyspark.sql.types as T
+
+    assert isinstance(ts_field.dataType, (T.TimestampType, T.TimestampNTZType))
+
+    def recompute():
+        return {
+            (r["role"], r["n"], float(r["s"]), r["mx"], r["mn"])
+            for r in read_final_state(src)
+            .groupBy("role")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("turn_idx").alias("s"),
+                F.max("ts").alias("mx"),
+                F.min("turn_idx").alias("mn"),
+            )
+            .collect()
+        }
+
+    def state():
+        return {
+            (r["role"], r["n_rows"], float(r["sum_turn_idx"]), r["max_ts"], r["min_turn_idx"])
+            for r in roll.read().filter("op != 'delete'").collect()
+        }
+
+    v = src.current_version()
+    # arrivals: A holds user's max ts, B an earlier ts; C alone under tool
+    apply_changes(src, ev("insert", "A", 10, "user", turn=2, ts="2024-03-01"), epoch=0)
+    apply_changes(src, ev("insert", "B", 20, "user", turn=5, ts="2024-01-15"), epoch=1)
+    apply_changes(src, ev("insert", "C", 30, "tool", turn=1, ts="2024-02-01"), epoch=2)
+    refresh_rollup(roll, src, from_version=v, sum_cols=["turn_idx"],
+                   max_cols=["ts"], min_cols=["turn_idx"])
+    assert state() == recompute()
+
+    # strictly-inside departure: B (NOT the max holder, NOT the min turn)
+    # leaves — incremental path, no recompute needed, still exact
+    v = src.current_version()
+    apply_changes(src, ev("delete", "B", 40, "user", turn=5, ts="2024-01-15"), epoch=3)
+    refresh_rollup(roll, src, from_version=v, sum_cols=["turn_idx"],
+                   max_cols=["ts"], min_cols=["turn_idx"])
+    assert state() == recompute()
+
+    # re-insert B then delete A — A HOLDS user's max ts (2024-03-01), so
+    # the departure ties the stored max and forces the recompute arm; the
+    # max must FALL BACK to B's ts, which greatest() alone can never do
+    v = src.current_version()
+    apply_changes(src, ev("insert", "B", 50, "user", turn=5, ts="2024-01-15"), epoch=4)
+    apply_changes(src, ev("delete", "A", 60, "user", turn=2, ts="2024-03-01"), epoch=5)
+    refresh_rollup(roll, src, from_version=v, sum_cols=["turn_idx"],
+                   max_cols=["ts"], min_cols=["turn_idx"])
+    assert state() == recompute()
+    got = {t[0]: t for t in state()}
+    assert got["user"][3] == pd.Timestamp("2024-01-15")  # recomputed, not kept
+
+    # empty the tool group: tombstone, not a zero row with stale max
+    v = src.current_version()
+    apply_changes(src, ev("delete", "C", 70, "tool", turn=1, ts="2024-02-01"), epoch=6)
+    refresh_rollup(roll, src, from_version=v, sum_cols=["turn_idx"],
+                   max_cols=["ts"], min_cols=["turn_idx"])
+    assert state() == recompute()
+    assert "tool" not in {t[0] for t in state()}
+
+
 def test_create_rollup_table_validation(spark, tmp_path):
     from nifi_dicom_spark.streaming.rollup import create_rollup_table
 
