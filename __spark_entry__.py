@@ -1102,6 +1102,79 @@ def _layer2_decode_oracle() -> str:
     """
 
 
+def q_layer3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III spectral decode through the multimodal path:
+    the deterministic two-tone signal per doc is encoded as Layer III
+    (``functions/mpeg_audio.py encode_layer3`` — per-band MDCT/TDAC,
+    4/3-power requantization under global_gain, engine-canonical Huffman
+    pairs + linbits escapes + count1 quads, spec mono frame/side-info
+    layout), then ``extract_features`` entropy-decodes the payload, runs
+    the IMDCT + synthesis filterbank, and the RMS-energy features OF THE
+    LOSSY DECODE plus the container size are value-checked against a
+    Python-replayed oracle. Reference analog: decompress-on-read of
+    encapsulated bulk data (``apps/DeidentifyAndRedact.java:271``)."""
+    from nifi_dicom_spark.functions.multimodal import extract_features
+
+    @F.pandas_udf("binary")
+    def make_l3(ids: pd.Series) -> pd.Series:
+        from nifi_dicom_spark.functions.mpeg_audio import encode_layer3
+
+        return pd.Series(
+            [
+                encode_layer3(_layer1_signal(int(i)), 32000, quality=1500)
+                for i in ids
+            ]
+        )
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        make_l3("doc_id").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+        )
+        .alias("meta"),
+    )
+    feats = extract_features(media, dim=4)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("band0"),
+        F.round(F.element_at("feature", 4).cast("double"), 6).alias("band3"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def _layer3_decode_oracle() -> str:
+    """Replay the synthesize→encode→decode→feature pipeline in Python with
+    the same Layer III codec over the same doc_ids and inline the rows."""
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions.codecs import audio_energy_features
+    from nifi_dicom_spark.functions.mpeg_audio import decode_layer3, encode_layer3
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for i in ids:
+        payload = encode_layer3(_layer1_signal(int(i)), 32000, quality=1500)
+        pcm, _sr = decode_layer3(payload)
+        feat = audio_energy_features(pcm, 4)
+        rows.append(f"({int(i)}, {float(feat[0])!r}, {float(feat[3])!r}, {len(payload)})")
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, round(band0, 6) AS band0, round(band3, 6) AS band3,
+               CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES {values}) AS t(media_id, band0, band3, n_bytes)
+    """
+
+
 def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
     """Deterministic (kind, payload) per doc cycling all 9 container
     formats — the single source of truth for both the Spark pandas_udf and
@@ -2380,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_range": q_datetime_range,
         # --- new this round (r5) ----------------------------------------
         "rollup_state": q_rollup_state,
+        "layer3_decode": q_layer3_decode,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -3217,6 +3291,7 @@ def oracle_sql() -> dict[str, str]:
         "png_decode": _png_decode_oracle(),
         "layer1_decode": _layer1_decode_oracle(),
         "layer2_decode": _layer2_decode_oracle(),
+        "layer3_decode": _layer3_decode_oracle(),
         "mjpeg_frames": _mjpeg_frames_oracle(),
         "jpeg_decode": _jpeg_decode_oracle(),
         "redact_regions": _redact_regions_oracle(),

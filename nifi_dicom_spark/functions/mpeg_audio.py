@@ -880,6 +880,398 @@ def is_layer2(payload: bytes | None) -> bool:
     return h is not None and h.layer == 2 and h.version == "1"
 
 
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer III (ISO 11172-3 2.4.1.7 / 2.4.3.4) — the spectral layer:
+# 32-band filterbank output is further transformed per band by an 18-point
+# MDCT (36-sample sine window, 50% TDAC overlap) into 576 spectral lines
+# per granule, nonlinearly quantized (q = round((|x|/step)^(3/4)),
+# step = 2^((global_gain-210)/4) — the spec's requantization law run
+# backwards), and entropy-coded: a big-values region of Huffman PAIRS with
+# 13-bit linbits escapes, then a count1 region of ±1 QUADS, then the rzero
+# run of trailing zeros. Frame layout is the spec's mono shape bit for bit:
+# 4-byte header (layer bits 01), 17-byte side info (9-bit main_data_begin,
+# 5 private, 4 scfsi, then per granule part2_3_length/big_values/
+# global_gain/scalefac_compress/window-switching/table_select/regions/
+# preflag/scalefac_scale/count1table_select = 59 bits), main data,
+# CBR padding. Scope: MPEG-1, mono, CBR, long blocks,
+# scalefac_compress=0 (zero scalefactor bits — a legal encoder choice;
+# resolution rides on global_gain alone), main_data_begin=0 (no bit
+# reservoir — each frame self-contained, also legal).
+#
+# Documented deviations, same embed-or-derive policy as the filterbank
+# prototype and the Layer II grouped quantizer: (a) the Huffman code
+# TABLES are engine-canonical — deterministic canonical Huffman codes
+# built from a fixed Zipf frequency model over pair/quad symbols — because
+# ISO Annex B's 34 printed code tables are non-derivable table data;
+# encoder and decoder build the identical tables, so streams are exactly
+# self-consistent (third-party streams parse at the header/side-info level
+# via probe_media but not at the spectral level); (b) the alias-reduction
+# butterflies and frequency inversion are omitted on BOTH sides — they
+# compensate conventions of the standard's reference filterbank, and this
+# engine's analyze/synthesize pair is already its own exact inverse.
+# Reference analog: decompress-on-read of encapsulated payloads
+# (apps/DeidentifyAndRedact.java:271, AttributeList.setDecompressPixelData).
+# ---------------------------------------------------------------------------
+
+SAMPLES_PER_FRAME_L3 = 1152  # 2 granules x 576 spectral lines
+_GRANULES_L3 = 2
+_L3_LINES = 576
+_L3_ESC = 15
+_L3_LINBITS = 13
+_L3_QMAX = _L3_ESC + (1 << _L3_LINBITS) - 1  # 8206
+
+
+def _l3_kernel() -> tuple[np.ndarray, np.ndarray]:
+    n = np.arange(36)
+    k = np.arange(18)
+    win = np.sin(np.pi / 36.0 * (n + 0.5))  # Princen-Bradley sine window
+    cos = np.cos(np.pi / 72.0 * np.outer(2 * k + 1, 2 * n + 1 + 18))
+    return win, cos
+
+
+_L3_WIN, _L3_COS = _l3_kernel()
+
+
+def _l3_mdct(z: np.ndarray) -> np.ndarray:
+    """(36, bands) windowed time block -> (18, bands) spectral lines."""
+    return _L3_COS @ (_L3_WIN[:, None] * z)
+
+
+def _l3_imdct(X: np.ndarray) -> np.ndarray:
+    """(18, bands) -> (36, bands); overlap-add of consecutive halves is
+    the exact inverse (verified to 1e-12 in tests)."""
+    return (4.0 / 36.0) * _L3_WIN[:, None] * (_L3_COS.T @ X)
+
+
+def _canonical_huffman(weights: list) -> dict:
+    """Deterministic canonical Huffman code: ``[(symbol, int_weight)]`` ->
+    ``{symbol: (code, length)}``. Ties break on insertion order, then
+    canonical codes are assigned in (length, symbol) order, so encoder and
+    decoder derive identical tables from the shared frequency model."""
+    import heapq
+
+    heap = [(w, i, [s]) for i, (s, w) in enumerate(weights)]
+    heapq.heapify(heap)
+    depth = {s: 0 for s, _ in weights}
+    tick = len(weights)
+    while len(heap) > 1:
+        w1, _, s1 = heapq.heappop(heap)
+        w2, _, s2 = heapq.heappop(heap)
+        for s in s1:
+            depth[s] += 1
+        for s in s2:
+            depth[s] += 1
+        heapq.heappush(heap, (w1 + w2, tick, s1 + s2))
+        tick += 1
+    code = 0
+    prev = 0
+    out = {}
+    for s, ln in sorted(depth.items(), key=lambda kv: (kv[1], kv[0])):
+        code <<= ln - prev
+        prev = ln
+        out[s] = (code, ln)
+        code += 1
+    return out
+
+
+_L3_TABLES: tuple | None = None
+
+
+def _l3_tables() -> tuple[dict, dict, dict, dict, int, int]:
+    """(pair_enc, pair_dec, quad_enc, quad_dec, pair_maxlen, quad_maxlen).
+    Frequency model: Zipf over magnitudes — pair (a,b) weighted
+    1/((a+1)(b+1))^1.7, quad by popcount — matching the empirical decay of
+    quantized MDCT lines, so common symbols get short codes."""
+    global _L3_TABLES
+    if _L3_TABLES is None:
+        pw = [
+            ((a, b), max(1, round(1e12 / (((a + 1) * (b + 1)) ** 1.7))))
+            for a in range(16)
+            for b in range(16)
+        ]
+        qw = [
+            (
+                (v, w, x, y),
+                1 << (4 * (4 - (v + w + x + y))),
+            )
+            for v in range(2)
+            for w in range(2)
+            for x in range(2)
+            for y in range(2)
+        ]
+        pe = _canonical_huffman(pw)
+        qe = _canonical_huffman(qw)
+        pd = {(ln, code): s for s, (code, ln) in pe.items()}
+        qd = {(ln, code): s for s, (code, ln) in qe.items()}
+        _L3_TABLES = (
+            pe,
+            pd,
+            qe,
+            qd,
+            max(ln for _, ln in pe.values()),
+            max(ln for _, ln in qe.values()),
+        )
+    return _L3_TABLES
+
+
+def _l3_encode_granule(
+    lines: np.ndarray, quality: int, max_bits: int
+) -> tuple[int, int, list[int], list[int]]:
+    """Quantize + entropy-code one granule's 576 lines. Returns
+    (global_gain, big_value_pairs, bit values, bit widths); widths sum to
+    the granule's part2_3_length. Retries with a coarser global_gain until
+    the payload fits ``max_bits``."""
+    pe, _pd, qe, _qd, _pm, _qm = _l3_tables()
+    amax = float(np.abs(lines).max())
+    if amax <= 0.0:
+        return 0, 0, [], []
+    target = float(min(quality, _L3_QMAX))
+    gg = int(np.ceil(210 + 4 * np.log2(amax / target ** (4.0 / 3.0))))
+    gg = max(0, min(255, gg))
+    while True:
+        step = 2.0 ** ((gg - 210) / 4.0)
+        q = np.rint((np.abs(lines) / step) ** 0.75).astype(np.int64)
+        q = np.minimum(q, _L3_QMAX)
+        neg = lines < 0
+        nz = np.nonzero(q)[0]
+        values: list[int] = []
+        widths: list[int] = []
+        if len(nz):
+            last = int(nz[-1])
+            big = np.nonzero(q > 1)[0]
+            big_pairs = (int(big[-1]) + 2) // 2 if len(big) else 0
+            if big_pairs % 2:
+                big_pairs += 1  # keep the quad region 4-aligned within 576
+            big_end = 2 * big_pairs
+            quad_end = big_end + 4 * max(0, -(-(last + 1 - big_end) // 4))
+            for i in range(big_pairs):
+                a, b = int(q[2 * i]), int(q[2 * i + 1])
+                ca, cb = min(a, _L3_ESC), min(b, _L3_ESC)
+                code, ln = pe[(ca, cb)]
+                values.append(code)
+                widths.append(ln)
+                # spec field order: linbits_x, sign_x, linbits_y, sign_y
+                if ca == _L3_ESC:
+                    values.append(a - _L3_ESC)
+                    widths.append(_L3_LINBITS)
+                if a:
+                    values.append(int(neg[2 * i]))
+                    widths.append(1)
+                if cb == _L3_ESC:
+                    values.append(b - _L3_ESC)
+                    widths.append(_L3_LINBITS)
+                if b:
+                    values.append(int(neg[2 * i + 1]))
+                    widths.append(1)
+            for j in range(big_end, quad_end, 4):
+                quad = tuple(int(v) for v in q[j : j + 4])
+                code, ln = qe[quad]
+                values.append(code)
+                widths.append(ln)
+                for t in range(4):
+                    if quad[t]:
+                        values.append(int(neg[j + t]))
+                        widths.append(1)
+        else:
+            big_pairs = 0
+        nbits = sum(widths)
+        if nbits <= max_bits:
+            return gg, big_pairs, values, widths
+        if gg >= 255:
+            raise ValueError("Layer III granule cannot fit the frame budget")
+        gg = min(255, gg + 4)
+
+
+def encode_layer3(
+    samples: np.ndarray, sample_rate: int = 32000, *, quality: int = 1500
+) -> bytes:
+    """Encode mono PCM (float, [-1, 1]) as an MPEG-1 Layer III CBR stream
+    (see the section comment for scope + documented deviations).
+    ``quality`` caps the per-granule quantized magnitude — higher = finer
+    spectral resolution = more bits."""
+    if sample_rate not in _MPEG1_RATES:
+        raise ValueError(f"sample_rate must be one of {_MPEG1_RATES}")
+    if not 1 <= quality <= _L3_QMAX:
+        raise ValueError(f"quality must be 1..{_L3_QMAX}")
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2 and x.shape[1] == 1:
+        x = x[:, 0]
+    if x.ndim != 1:
+        raise ValueError("Layer III scope is mono: samples must be (n,)")
+    x = np.concatenate([x, np.zeros(_DELAY)])
+    pad = (-len(x)) % _L3_LINES  # rows come in 18s: 576 samples
+    if pad:
+        x = np.concatenate([x, np.zeros(pad)])
+    sub = analyze(x)  # (rows, 32), rows % 18 == 0
+    rows = sub.shape[0]
+    n_gran = rows // 18
+    n_blocks = n_gran + 1  # TDAC needs one flush block past the signal
+    if n_blocks % 2:
+        n_blocks += 1
+    # per-granule Huffman budget: the 12-bit part2_3_length cap AND half
+    # of the largest legal frame's main-data capacity at this sample rate
+    cap_bytes = SAMPLES_PER_FRAME_L3 // 8 * 320 * 1000 // sample_rate
+    max_bits = min(4095, (cap_bytes - 21) * 8 // 2)
+    grans = []
+    for g in range(n_blocks):
+        lo = 18 * (g - 1)
+        z = np.zeros((36, N_BANDS))
+        s_lo, s_hi = max(lo, 0), min(lo + 36, rows)
+        if s_hi > s_lo:
+            z[s_lo - lo : s_hi - lo] = sub[s_lo:s_hi]
+        lines = _l3_mdct(z).T.reshape(-1)  # line = sb*18 + k
+        grans.append(_l3_encode_granule(lines, quality, max_bits))
+
+    need = max(
+        21 + (sum(grans[2 * f][3]) + sum(grans[2 * f + 1][3]) + 7) // 8
+        for f in range(n_blocks // 2)
+    )
+    rate = next(
+        (
+            r
+            for r in mp3._BITRATES[(1, 3)][1:]
+            if SAMPLES_PER_FRAME_L3 // 8 * r * 1000 // sample_rate >= need
+        ),
+        None,
+    )
+    if rate is None:  # pragma: no cover — max_bits keeps need <= cap_bytes
+        raise ValueError("Layer III frame budget exceeded")
+    frame_len = SAMPLES_PER_FRAME_L3 // 8 * rate * 1000 // sample_rate
+    header = bytes(
+        [
+            0xFF,
+            0xFB,  # sync + MPEG-1 + Layer III (bits 01) + no CRC
+            (mp3._BR_INDEX[(1, 3)][rate] << 4) | (mp3._SR_INDEX[3][sample_rate] << 2),
+            3 << 6,  # single_channel
+        ]
+    )
+    frames = []
+    for f in range(n_blocks // 2):
+        values = [0, 0, 0]  # main_data_begin, private, scfsi
+        widths = [9, 5, 4]
+        for g in (2 * f, 2 * f + 1):
+            gg, big_pairs, _v, w = grans[g]
+            values += [sum(w), big_pairs, gg, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0]
+            widths += [12, 9, 8, 4, 1, 5, 5, 5, 4, 3, 1, 1, 1]
+        for g in (2 * f, 2 * f + 1):
+            values += grans[g][2]
+            widths += grans[g][3]
+        body = _pack_bits(
+            np.asarray(values, dtype=np.uint64), np.asarray(widths, dtype=np.int64)
+        )
+        frame = header + body
+        if len(frame) > frame_len:  # pragma: no cover
+            raise AssertionError("Layer III frame overflow (budget bug)")
+        frames.append(frame + b"\x00" * (frame_len - len(frame)))
+    return b"".join(frames)
+
+
+def _l3_read_code(bits: np.ndarray, pos: int, table: dict, maxlen: int):
+    code = 0
+    for ln in range(1, maxlen + 1):
+        if pos >= len(bits):
+            raise ValueError("Layer III main data truncated")
+        code = (code << 1) | int(bits[pos])
+        pos += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym, pos
+    raise ValueError("invalid Layer III Huffman code")
+
+
+def decode_layer3(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an MPEG-1 Layer III mono stream produced by
+    :func:`encode_layer3`: side-info parse, Huffman (pair + quad) entropy
+    decode, requantization ``sign * q^(4/3) * 2^((gg-210)/4)``, per-band
+    IMDCT with TDAC overlap-add, synthesis filterbank. Returns
+    (float64 samples, sample_rate)."""
+    _pe, pd, _qe, qd, pm, qm = _l3_tables()
+    frames = mp3.frame_table(payload)
+    if not frames:
+        raise ValueError("no MPEG frames found")
+    first = mp3._parse_header(payload, frames[0].offset)
+    if first is None or first.layer != 3 or first.version != "1":
+        raise ValueError("not an MPEG-1 Layer III stream")
+    if first.channels != 1:
+        raise ValueError("Layer III scope is mono (single_channel)")
+    sr = first.sample_rate
+    prev = np.zeros((18, N_BANDS))
+    out_rows = []
+    first_block = True
+    for fr in frames:
+        h = mp3._parse_header(payload, fr.offset)
+        if h is None or h.layer != 3:
+            continue
+        skip = 4 + (2 if h.has_crc else 0)
+        body = payload[fr.offset + skip : fr.offset + fr.size]
+        bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8))
+        _mdb_priv_scfsi, pos = _take_var(bits, 0, np.asarray([9, 5, 4]))
+        side = []
+        for _g in range(_GRANULES_L3):
+            f_, pos = _take_var(
+                bits, pos, np.asarray([12, 9, 8, 4, 1, 5, 5, 5, 4, 3, 1, 1, 1])
+            )
+            side.append((int(f_[0]), int(f_[1]), int(f_[2])))  # p23, big, gg
+        for p23, big_pairs, gg in side:
+            start = pos
+            q = np.zeros(_L3_LINES, dtype=np.float64)
+            for i in range(big_pairs):
+                (ca, cb), pos = _l3_read_code(bits, pos, pd, pm)
+                a, b = float(ca), float(cb)
+                if ca == _L3_ESC:
+                    lin, pos = _take_var(bits, pos, np.asarray([_L3_LINBITS]))
+                    a += int(lin[0])
+                if ca:
+                    a = -a if int(bits[pos]) else a
+                    pos += 1
+                if cb == _L3_ESC:
+                    lin, pos = _take_var(bits, pos, np.asarray([_L3_LINBITS]))
+                    b += int(lin[0])
+                if cb:
+                    b = -b if int(bits[pos]) else b
+                    pos += 1
+                q[2 * i] = a
+                q[2 * i + 1] = b
+            line = 2 * big_pairs
+            while pos - start < p23 and line + 4 <= _L3_LINES:
+                quad, pos = _l3_read_code(bits, pos, qd, qm)
+                for t in range(4):
+                    if quad[t]:
+                        s = int(bits[pos]); pos += 1
+                        q[line + t] = -1.0 if s else 1.0
+                line += 4
+            if pos - start > p23:
+                raise ValueError("Layer III granule overran part2_3_length")
+            pos = start + p23
+            step = 2.0 ** ((gg - 210) / 4.0)
+            X = np.sign(q) * (np.abs(q) ** (4.0 / 3.0)) * step
+            y = _l3_imdct(X.reshape(N_BANDS, 18).T)
+            if first_block:
+                first_block = False  # TDAC warm-up chunk: no predecessor
+            else:
+                out_rows.append(prev + y[:18])
+            prev = y[18:]
+    if not out_rows:
+        return np.zeros(0), sr
+    rows = np.concatenate(out_rows, axis=0)
+    out = synthesize(rows)
+    n = rows.shape[0] * HOP
+    return out[_DELAY : _DELAY + n], sr
+
+
+def is_layer3(payload: bytes | None) -> bool:
+    """MPEG-1 Layer III sniff: a valid Layer III MPEG-1 header at offset 0
+    (after any ID3v2 tag) — anchored, not a resync scan, same policy as
+    ``is_layer1``/``is_layer2``."""
+    if not payload:
+        return False
+    try:
+        h = mp3._parse_header(payload, mp3._id3v2_len(payload))
+    except Exception:
+        return False
+    return h is not None and h.layer == 3 and h.version == "1"
+
+
 __all__ = [
     "SCALEFACTORS",
     "analyze",
@@ -890,5 +1282,8 @@ __all__ = [
     "encode_layer2",
     "decode_layer2",
     "is_layer2",
+    "encode_layer3",
+    "decode_layer3",
+    "is_layer3",
     "roundtrip_snr_db",
 ]

@@ -76,10 +76,10 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB for the remaining undecodable *bitstreams* (MPEG Layer III
-    and H.264 spectral payloads — their entropy/transform stacks are
-    genuinely out of scope without external libs;
-    WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I/Layer-II decode for real, and
+    """STUB for the remaining undecodable *bitstreams* (H.264 video and
+    AAC audio payloads — their entropy/transform stacks are genuinely out
+    of scope without external libs;
+    WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I/II/III decode for real, and
     MP3/MP4 containers demux for real via probe_media / sample_frames).
 
     Deterministic fake: sha256-seeded pseudo-feature so tests are stable.
@@ -94,13 +94,13 @@ def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
 def _decode_feature(
     payload: bytes, dim: int = 16
 ) -> tuple[np.ndarray, int | None, int | None]:
-    """Real decode for WAV/MPEG-Layer-I/Layer-II/BMP/PNG/JPEG payloads
+    """Real decode for WAV/MPEG-Layer-I/II/III/BMP/PNG/JPEG payloads
     (pure-stdlib+numpy codecs); deterministic stub otherwise. Returns
     (feature, width, height) — dims non-null only when a real image
     decode ran. Magic bytes only gate the ATTEMPT — unsupported variants
-    (float WAV, Layer III streams, compressed/odd-bpp BMP,
-    16-bit/interlaced PNG, truncated files) fall back to the stub rather
-    than crashing the whole Spark job on one bad row."""
+    (float WAV, third-party Layer III spectral data, compressed/odd-bpp
+    BMP, 16-bit/interlaced PNG, truncated files) fall back to the stub
+    rather than crashing the whole Spark job on one bad row."""
 
     try:
         if codecs.is_wav(payload):
@@ -111,6 +111,9 @@ def _decode_feature(
             return codecs.audio_energy_features(samples, dim), None, None
         if mpeg_audio.is_layer2(payload):
             samples, _sr = mpeg_audio.decode_layer2(payload)
+            return codecs.audio_energy_features(samples, dim), None, None
+        if mpeg_audio.is_layer3(payload):
+            samples, _sr = mpeg_audio.decode_layer3(payload)
             return codecs.audio_energy_features(samples, dim), None, None
         if codecs.is_bmp(payload):
             img = codecs.decode_bmp(payload)

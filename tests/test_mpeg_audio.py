@@ -412,3 +412,129 @@ def test_layer2_bitrate_mode_restrictions():
     assert h.bitrate_kbps not in (32, 48, 56, 80)
     h = mp3._parse_header(ma.encode_layer2(sig, 32000, levels=3, coded_bands=1), 0)
     assert h.bitrate_kbps < 224
+
+
+# --- Layer III ----------------------------------------------------------------
+
+
+def test_layer3_roundtrip_snr_and_header():
+    sig = _tone(4608)
+    enc = ma.encode_layer3(sig, 32000, quality=1500)
+    h = mp3._parse_header(enc, 0)
+    assert h.layer == 3 and h.version == "1" and h.channels == 1
+    assert h.samples == 1152 and h.sample_rate == 32000
+    dec, sr = ma.decode_layer3(enc)
+    assert sr == 32000
+    assert ma.roundtrip_snr_db(sig, dec[: len(sig)]) > 40
+    # quality staircase: coarser global_gain floor = lower fidelity,
+    # fewer bytes
+    lo = ma.encode_layer3(sig, 32000, quality=50)
+    dlo, _ = ma.decode_layer3(lo)
+    assert len(lo) < len(enc)
+    assert 25 < ma.roundtrip_snr_db(sig, dlo[: len(sig)]) < ma.roundtrip_snr_db(
+        sig, dec[: len(sig)]
+    )
+
+
+def test_layer3_mdct_tdac_perfect_reconstruction():
+    """The 18-point MDCT / IMDCT pair with the sine window is exactly
+    invertible under 50%-overlap-add (Princen-Bradley TDAC), including the
+    zero-padded edge blocks."""
+    rng = np.random.default_rng(7)
+    rows = 18 * 6
+    s = rng.standard_normal((rows, 32))
+    prev = np.zeros((18, 32))
+    out = []
+    n_blocks = rows // 18 + 1
+    for g in range(n_blocks):
+        lo = 18 * (g - 1)
+        z = np.zeros((36, 32))
+        s_lo, s_hi = max(lo, 0), min(lo + 36, rows)
+        if s_hi > s_lo:
+            z[s_lo - lo : s_hi - lo] = s[s_lo:s_hi]
+        y = ma._l3_imdct(ma._l3_mdct(z))
+        if g > 0:
+            out.append(prev + y[:18])
+        prev = y[18:]
+    got = np.concatenate(out, axis=0)
+    assert np.abs(got - s).max() < 1e-10
+
+
+def test_layer3_huffman_tables_prefix_free_and_inverse():
+    pe, pd, qe, qd, pm, qm = ma._l3_tables()
+    for enc, dec in ((pe, pd), (qe, qd)):
+        codes = sorted((ln, code) for code, ln in enc.values())
+        # canonical codes are prefix-free: no code is a prefix of a longer one
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1 :]:
+                assert not (l2 > l1 and (c2 >> (l2 - l1)) == c1), (l1, c1, l2, c2)
+        assert len(dec) == len(enc)
+        for sym, (code, ln) in enc.items():
+            assert dec[(ln, code)] == sym
+    # common symbols get short codes (the Zipf model orders lengths)
+    assert pe[(0, 0)][1] <= pe[(5, 5)][1] <= pe[(15, 15)][1]
+    assert qe[(0, 0, 0, 0)][1] <= qe[(1, 1, 1, 1)][1]
+
+
+def test_layer3_encode_deterministic_and_linbits_escape():
+    sig = _tone(2304)
+    assert ma.encode_layer3(sig, 44100) == ma.encode_layer3(sig, 44100)
+    # a near-full-scale click drives big spectral lines through the
+    # 13-bit linbits escape path; the roundtrip must still be sane
+    click = np.zeros(1152)
+    click[100:110] = 0.95
+    enc = ma.encode_layer3(click, 32000, quality=8206)
+    dec, _ = ma.decode_layer3(enc)
+    assert np.abs(dec[:1152] - click).max() < 0.2
+
+
+def test_layer3_rejections_and_dispatch():
+    sig = _tone(1152)
+    with pytest.raises(ValueError, match="mono"):
+        ma.encode_layer3(np.stack([sig, sig], 1), 32000)
+    with pytest.raises(ValueError, match="quality"):
+        ma.encode_layer3(sig, 32000, quality=0)
+    with pytest.raises(ValueError, match="sample_rate"):
+        ma.encode_layer3(sig, 44000)
+    with pytest.raises(ValueError, match="Layer III"):
+        ma.decode_layer3(ma.encode_layer2(sig, 32000))
+    enc = ma.encode_layer3(sig, 32000)
+    assert ma.is_layer3(enc) and not ma.is_layer2(enc) and not ma.is_layer1(enc)
+    assert not ma.is_layer3(ma.encode_layer2(sig, 32000))
+    assert not ma.is_layer3(b"") and not ma.is_layer3(None)
+    # stereo third-party Layer III parses at the header level but is out
+    # of decode scope
+    st = mp3.write_mp3(3, seed=b"x")
+    assert ma.is_layer3(st)
+    with pytest.raises(ValueError, match="mono"):
+        ma.decode_layer3(st)
+
+
+def test_layer3_main_data_corruption_raises_or_degrades():
+    """Flipping bits in the Huffman region must never crash with anything
+    but ValueError/IndexError (the multimodal kernel catches those), and
+    header-only truncation still yields whole frames."""
+    sig = _tone(2304)
+    enc = bytearray(ma.encode_layer3(sig, 32000))
+    enc[30] ^= 0xFF  # inside granule 0 main data
+    try:
+        dec, _ = ma.decode_layer3(bytes(enc))
+        assert len(dec) % 576 == 0
+    except (ValueError, IndexError):
+        pass
+
+
+def test_multimodal_layer3_real_decode(spark):
+    from nifi_dicom_spark.functions.multimodal import extract_features
+
+    sig = _tone(2304)
+    l3 = ma.encode_layer3(sig, 32000, quality=1500)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(l3), None)],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
+    )
+    row = extract_features(df, dim=4).collect()[0]
+    dec, _ = ma.decode_layer3(l3)
+    expect = codecs.audio_energy_features(dec, 4)
+    assert np.allclose(row["feature"], expect, rtol=1e-5)
