@@ -2367,6 +2367,40 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bench_incremental_dedup_split(spark: SparkSession, sf_dir: str) -> dict:
+    """Bench-only decomposition of ``q_incremental_dedup`` (the CORRECTNESS
+    query is unchanged): the timed query's cost is dominated by CREATING
+    and committing the durable signature store (multi-commit table setup),
+    not by the probe — which is the part that runs per-batch at 10^10
+    scale. Returns {"setup_sec", "probe_sec"} so BENCH_r{N} records the
+    split; the driver-facing number to compare across rounds is probe_sec."""
+    import time
+
+    import tempfile
+
+    from nifi_dicom_spark.operators.incremental_dedup import (
+        create_signature_store,
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    t0 = time.monotonic()
+    store = create_signature_store(
+        spark, tempfile.mkdtemp(prefix="sigstore_") + "/sigs"
+    )
+    incremental_dedup(
+        store, docs.filter(F.col("doc_id") % 10 == 0), "text", "doc_id"
+    )
+    t1 = time.monotonic()
+    out = incremental_dedup(
+        store, docs.filter(F.col("doc_id") % 10 == 1), "text", "doc_id"
+    )
+    out.write.format("noop").mode("overwrite").save()
+    t2 = time.monotonic()
+    return {"setup_sec": round(t1 - t0, 3), "probe_sec": round(t2 - t1, 3)}
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (doc_id % 10 != 0) that
     SimHash-near-dup a heldout doc (doc_id % 10 == 0). The heldout banded

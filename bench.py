@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    load_start = os.getloadavg()[0]  # co-tenant noise attribution (r4 lesson)
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -127,6 +128,15 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # incremental_dedup decomposition (VERDICT r4 #8): the query's number is
+    # dominated by signature-store setup; record the setup/probe split so
+    # the probe — the per-batch cost at 10^10 scale — is comparable across
+    # rounds. Untimed relative to the suite total (separate run).
+    dedup_split = None
+    if hasattr(entry_mod, "bench_incremental_dedup_split"):
+        spark.catalog.clearCache()
+        dedup_split = entry_mod.bench_incremental_dedup_split(spark, sf_dir)
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -143,6 +153,9 @@ def main() -> None:
                     "replay_final_rows": n_final,
                     "cpus": cpus,
                     "session_conf": session_conf,
+                    "incremental_dedup_split": dedup_split,
+                    "ambient_load_1m_start": round(load_start, 2),
+                    "ambient_load_1m_end": round(os.getloadavg()[0], 2),
                 },
             }
         )

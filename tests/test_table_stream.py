@@ -1233,3 +1233,139 @@ def test_backfill_rollup_then_stream_handoff(spark, tmp_path):
         assert got == recomputed
     finally:
         q.stop()
+
+
+def test_restart_backlog_bounded_by_partition_diff_bytes(spark, tmp_path):
+    """Restart-with-backlog memory bound (ADVICE r3 #2 / VERDICT r4 #9):
+    the Python Data Source API gives ``latestOffset(self)`` no view of the
+    checkpointed start offset, so ``maxVersionsPerBatch`` cannot pace the
+    FIRST batch after a restart — the whole outstanding backlog lands in
+    one batch (documented in the module docstring). The bound that DOES
+    hold across restarts is ``maxPartitionDiffBytes``: it is derived
+    per-partition from on-disk file sizes, stateless. This test builds a
+    multi-version backlog while the stream is down, then asserts (a) at
+    the reader level the whole-backlog batch is key-hash split so no
+    split's referenced bytes exceed the cap (up to the documented 64-way
+    clamp), and (b) the restarted stream drains the backlog completely."""
+    import hashlib
+    import os as _os
+
+    spark.dataSource.register(SnapshotCDFDataSource)
+    table = create_transcripts_table(spark, str(tmp_path / "tb"), n_buckets=2)
+    apply_changes(table, _ev(spark, conv="seed", seq=1, text="s"), epoch=0)
+    v0 = table.current_version()
+    ckpt, out = str(tmp_path / "ckb"), str(tmp_path / "outb")
+
+    def start():
+        return (
+            spark.readStream.format("snapshot_cdf")
+            .option("path", table.path)
+            .option("startingVersion", v0)
+            .option("maxVersionsPerBatch", 1)
+            .option("maxPartitionDiffBytes", 16384)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    def big_batch(epoch: int, n: int = 250):
+        rows = []
+        for i in range(n):
+            # incompressible-ish text so parquet bytes track logical bytes
+            blob = "".join(
+                hashlib.sha256(f"{epoch}:{i}:{j}".encode()).hexdigest()
+                for j in range(24)
+            )
+            rows.append(
+                {
+                    "offset": epoch * 100_000 + i,
+                    "partition_id": 0,
+                    "op": "insert",
+                    "op_seq": epoch * 100_000 + i,
+                    "conv_id": f"c{epoch}_{i}",
+                    "turn_idx": 0,
+                    "role": "user",
+                    "text": blob,
+                    "tool": None,
+                    "ts": pd.Timestamp("2024-01-01"),
+                    "schema_ver": 2,
+                }
+            )
+        return spark.createDataFrame(pd.DataFrame(rows), CHANGE_EVENTS_SCHEMA)
+
+    q = start()
+    try:
+        apply_changes(table, _ev(spark, conv="live", seq=2, text="l"), epoch=1)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    v_stop = table.current_version()
+
+    # ---- backlog while the stream is DOWN -----------------------------
+    n_backlog = 0
+    for e in range(2, 6):
+        apply_changes(table, big_batch(e), epoch=e)
+        n_backlog += 250
+    v_end = table.current_version()
+
+    # (a) reader-level: whole-backlog batch splits honor the byte cap
+    from nifi_dicom_spark.sources.table_stream import _CDFStreamReader
+
+    feed_schema = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table.path)
+        .load()
+        .schema
+    )
+    cap = 16384
+    rdr = _CDFStreamReader(
+        {"path": table.path, "maxpartitiondiffbytes": str(cap)}, feed_schema
+    )
+    parts = rdr.partitions({"version": v_stop}, {"version": v_end})
+    assert len(parts) > 2  # the backlog really did split
+    groups: dict[tuple, list] = {}
+    for p in parts:
+        groups.setdefault((tuple(p.old_files), tuple(p.new_files)), []).append(p)
+    for (old, new), ps in groups.items():
+        total = sum(
+            _os.path.getsize(_os.path.join(table.path, "data", rel))
+            for rel in {*old, *new}
+        )
+        n_splits = ps[0].split[1]
+        assert len(ps) == n_splits
+        assert n_splits == min(64, max(1, -(-total // cap))), (total, n_splits)
+
+    # (b) end-to-end: the restarted stream drains the whole backlog
+    q2 = start()
+    try:
+        deadline = time.time() + 180
+        got = 0
+        while time.time() < deadline:
+            if q2.exception():
+                raise AssertionError(f"stream died: {q2.exception()}")
+            try:
+                got = (
+                    spark.read.parquet(out)
+                    .filter("_change_type = 'insert'")
+                    .count()
+                )
+            except Exception:
+                got = 0
+            # + 1: the 'live' insert; the seed commit predates the
+            # startingVersion baseline so it is not in the feed
+            if got >= n_backlog + 1:
+                break
+            time.sleep(0.5)
+        assert got >= n_backlog + 1, got
+    finally:
+        q2.stop()
