@@ -1369,3 +1369,82 @@ def test_restart_backlog_bounded_by_partition_diff_bytes(spark, tmp_path):
         assert got >= n_backlog + 1, got
     finally:
         q2.stop()
+
+
+def test_rollup_stream_minmax_live(spark, tmp_path):
+    """MIN/MAX arm through the LIVE stream (not just refresh_rollup): the
+    stream opens the source table itself for the recompute fallback; a
+    delete of the max-holding row while streaming must lower max_ts to the
+    survivor's value."""
+    from nifi_dicom_spark.operators.apply import read_final_state
+    from nifi_dicom_spark.streaming.rollup import (
+        create_rollup_table,
+        rollup_stream,
+    )
+
+    def ev(op, conv, seq, role, turn=0, ts="2024-01-01"):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "offset": seq,
+                        "partition_id": 0,
+                        "op": op,
+                        "op_seq": seq,
+                        "conv_id": conv,
+                        "turn_idx": turn,
+                        "role": role,
+                        "text": "t",
+                        "tool": None,
+                        "ts": pd.Timestamp(ts),
+                        "schema_ver": 2,
+                    }
+                ]
+            ),
+            CHANGE_EVENTS_SCHEMA,
+        )
+
+    src = create_transcripts_table(spark, str(tmp_path / "srcls"), n_buckets=4)
+    v0 = src.current_version()
+    roll = create_rollup_table(
+        spark, str(tmp_path / "rollls"), src,
+        group_cols=["role"], max_cols=["ts"],
+    )
+
+    def state():
+        return {
+            (r["role"], r["n_rows"], r["max_ts"])
+            for r in roll.read().filter("op != 'delete'").collect()
+        }
+
+    def recompute():
+        return {
+            (r["role"], r["n"], r["mx"])
+            for r in read_final_state(src)
+            .groupBy("role")
+            .agg(F.count("*").alias("n"), F.max("ts").alias("mx"))
+            .collect()
+        }
+
+    def converged(timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if recompute() == state():
+                return True
+            time.sleep(0.5)
+        raise AssertionError(f"rollup {state()} != recomputed {recompute()}")
+
+    q = rollup_stream(
+        spark, src.path, roll, str(tmp_path / "ckls"), ["role"],
+        max_cols=["ts"], starting_version=v0,
+        trigger_interval="300 milliseconds",
+    )
+    try:
+        apply_changes(src, ev("insert", "A", 10, "user", ts="2024-03-01"), epoch=0)
+        apply_changes(src, ev("insert", "B", 20, "user", ts="2024-01-15"), epoch=1)
+        assert converged()
+        apply_changes(src, ev("delete", "A", 30, "user", ts="2024-03-01"), epoch=2)
+        assert converged()
+        assert state() == {("user", 1, pd.Timestamp("2024-01-15"))}
+    finally:
+        q.stop()
