@@ -375,9 +375,9 @@ round-1 review named.
 ## Large-scale final-state equality
 
 One 20.4M-event replay (the full 19.2M scaling input + warm-up epoch,
-5 epochs, local[32]) applied in 24.6 s = 829k ev/s (round-4-close run;
-round 3: 31.9 s, round-3 close: 26.5 s = 769k ev/s, round 2: 30.8 s —
-EQUAL every time); the
+5 epochs, local[32]) applied in 27.0 s = 755k ev/s (round-5-close run;
+round-4 close: 24.6 s = 829k ev/s, round 3: 31.9 s, round-3 close: 26.5 s
+= 769k ev/s, round 2: 30.8 s — EQUAL every time); the
 resulting 6,139,291-row final table compared EQUAL to the pure-pandas
 reference replayer over the concatenated log — per-turn text equality under
 stable (conv_id, turn_idx) ordering, the BASELINE.json invariant, at
