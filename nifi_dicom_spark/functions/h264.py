@@ -1,0 +1,661 @@
+"""MPEG-4 AVC / H.264 baseline intra codec — from scratch, spec-conformant
+bitstream layer (ITU-T H.264 / ISO 14496-10).
+
+What is REAL here (written against the published spec, no external libs):
+
+* Annex-B byte-stream framing: start-code scan, NAL header parse,
+  emulation-prevention three-byte escape/unescape (clause 7.4.1.1) — the
+  raw-sample payload routinely contains ``00 00 0x`` runs, so this path is
+  exercised on every stream, not just in a corner test.
+* Exp-Golomb entropy coding, ``ue(v)``/``se(v)`` (clause 9.1).
+* Sequence / picture parameter sets: full SPS parse including the
+  high-profile chroma-format branch, all three ``pic_order_cnt_type``
+  layouts, frame cropping (clause 7.3.2.1); full PPS parse (7.3.2.2).
+* IDR slice headers (7.3.3) incl. ``dec_ref_pic_marking`` and the
+  macroblock layer of I slices (7.3.5).
+* Pixel reconstruction: 4:2:0 plane assembly from macroblock rasters,
+  crop-window application, chroma upsample and JFIF full-range BT.601
+  YCbCr→RGB (same convention as :mod:`nifi_dicom_spark.functions.jpeg`).
+
+Macroblock coverage — the honest boundary: slices carry **I_PCM**
+macroblocks (``mb_type`` 25 in I slices — the spec's raw-sample lossless
+mode, clause 7.4.5 table 7-11 + 8.3.5). Every emitted bit is standard
+H.264; a conformant third-party decoder plays these streams. What this
+module does NOT decode is entropy-coded residual data — CAVLC/CABAC
+coefficient parsing for I_4x4/I_16x16/inter macroblocks needs the spec's
+large Huffman code tables, which stay a declared stub
+(:func:`nifi_dicom_spark.functions.multimodal._fake_decode_feature`);
+such macroblocks raise :class:`UnsupportedH264` and the feature path
+falls back to the clearly-marked stub rather than fabricating pixels.
+
+Reference analog: decompress-on-read of encapsulated video pixel data
+(``apps/DeidentifyAndRedact.java:271`` decompresses on import when the
+transfer syntax requires it) — here an H.264 access unit pulled out of an
+MP4 sample table decodes to genuine pixels the same way MJPEG does.
+
+Scale shape: one access unit is self-contained, so decode parallelises
+per row / per sampled frame inside Arrow-batched ``mapInPandas`` — no
+cross-row state, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "UnsupportedH264",
+    "is_annexb",
+    "encode_h264",
+    "encode_h264_aus",
+    "encode_h264_yuv",
+    "decode_h264",
+    "decode_h264_yuv",
+    "parse_h264",
+]
+
+NAL_SLICE = 1
+NAL_IDR = 5
+NAL_SEI = 6
+NAL_SPS = 7
+NAL_PPS = 8
+NAL_AUD = 9
+
+_SLICE_NALS = (NAL_SLICE, NAL_IDR)
+# profiles whose SPS carries the chroma_format/scaling branch (7.3.2.1.1)
+_HIGH_PROFILES = (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+
+class UnsupportedH264(ValueError):
+    """Spec-valid H.264 the codec declares out of scope (CAVLC/CABAC
+    residual macroblocks, interlace, slice groups). Distinct from malformed
+    data so callers can tell 'real stream, undeclared toolset' apart from
+    'not H.264 at all'."""
+
+
+# --------------------------------------------------------------------------
+# bit I/O
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._cur = 0
+        self._nbits = 0
+
+    def u(self, val: int, n: int) -> None:
+        if val < 0 or (n < 64 and val >> n):
+            raise ValueError(f"u({n}) out of range: {val}")
+        for i in range(n - 1, -1, -1):
+            self._cur = (self._cur << 1) | ((val >> i) & 1)
+            self._nbits += 1
+            if self._nbits == 8:
+                self.buf.append(self._cur)
+                self._cur = 0
+                self._nbits = 0
+
+    def ue(self, val: int) -> None:
+        if val < 0:
+            raise ValueError(f"ue out of range: {val}")
+        code = val + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def se(self, val: int) -> None:
+        # 9.1.1: positive k maps to 2k-1, non-positive to -2k
+        self.ue(2 * val - 1 if val > 0 else -2 * val)
+
+    def align_zero(self) -> None:
+        """pcm_alignment_zero_bit padding (7.3.5)."""
+        while self._nbits:
+            self.u(0, 1)
+
+    def write_bytes(self, data: bytes) -> None:
+        if self._nbits:
+            raise ValueError("write_bytes requires byte alignment")
+        self.buf += data
+
+    def rbsp_trailing(self) -> None:
+        self.u(1, 1)
+        while self._nbits:
+            self.u(0, 1)
+
+    def getvalue(self) -> bytes:
+        if self._nbits:
+            raise ValueError("unterminated RBSP (call rbsp_trailing)")
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("bitstream truncated")
+        val = 0
+        pos = self.pos
+        while n:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            shift = avail - take
+            val = (val << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return val
+
+    def ue(self) -> int:
+        lz = 0
+        while self.u(1) == 0:
+            lz += 1
+            if lz > 31:
+                raise ValueError("invalid Exp-Golomb code")
+        return (1 << lz) - 1 + (self.u(lz) if lz else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def read_bytes(self, n: int) -> bytes:
+        if self.pos & 7:
+            raise ValueError("read_bytes requires byte alignment")
+        start = self.pos >> 3
+        if start + n > len(self.data):
+            raise ValueError("bitstream truncated")
+        self.pos += n * 8
+        return self.data[start : start + n]
+
+
+# --------------------------------------------------------------------------
+# NAL framing (Annex B + emulation prevention, 7.4.1.1)
+# --------------------------------------------------------------------------
+
+
+def _escape(rbsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _unescape(ebsp: bytes) -> bytes:
+    if b"\x00\x00\x03" not in ebsp:  # fast path — common for short NALs
+        return ebsp
+    out = bytearray()
+    zeros = 0
+    i = 0
+    n = len(ebsp)
+    while i < n:
+        b = ebsp[i]
+        if zeros >= 2 and b == 3 and (i + 1 == n or ebsp[i + 1] <= 3):
+            zeros = 0  # emulation_prevention_three_byte: drop
+        else:
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def _nal(nal_type: int, ref_idc: int, rbsp: bytes) -> bytes:
+    header = bytes([(ref_idc << 5) | nal_type])
+    return b"\x00\x00\x00\x01" + header + _escape(rbsp)
+
+
+def _iter_nals(payload: bytes):
+    """Yield (nal_type, ref_idc, rbsp) for each NAL in an Annex-B stream."""
+    i = 0
+    n = len(payload)
+    starts = []
+    while True:
+        j = payload.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        starts.append(j + 3)
+        i = j + 3
+    for k, s in enumerate(starts):
+        e = starts[k + 1] - 3 if k + 1 < len(starts) else n
+        # the start-code scan overshoots by the next prefix's leading zeros
+        while e > s and payload[e - 1] == 0 and k + 1 < len(starts):
+            e -= 1
+        if e <= s:
+            continue
+        header = payload[s]
+        if header & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        yield header & 0x1F, (header >> 5) & 3, _unescape(payload[s + 1 : e])
+
+
+def is_annexb(payload: bytes | None) -> bool:
+    """Sniff an Annex-B H.264 elementary stream / access unit: a start code
+    within the first 4 bytes whose first NAL has a clear forbidden bit and
+    a plausible type."""
+    if not payload or len(payload) < 5:
+        return False
+    if payload[:3] == b"\x00\x00\x01":
+        h = payload[3]
+    elif payload[:4] == b"\x00\x00\x00\x01":
+        if len(payload) < 6:
+            return False
+        h = payload[4]
+    else:
+        return False
+    return (h & 0x80) == 0 and (h & 0x1F) in (
+        NAL_SLICE,
+        NAL_IDR,
+        NAL_SEI,
+        NAL_SPS,
+        NAL_PPS,
+        NAL_AUD,
+    )
+
+
+# --------------------------------------------------------------------------
+# parameter sets
+# --------------------------------------------------------------------------
+
+
+def _sps_rbsp(mb_w: int, mb_h: int, width: int, height: int) -> bytes:
+    w = _BitWriter()
+    w.u(66, 8)  # profile_idc: Baseline
+    w.u(0xC0, 8)  # constraint_set0+1 (Constrained Baseline), reserved zero
+    w.u(30, 8)  # level_idc 3.0
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type: order = decode order (all-intra stream)
+    w.ue(0)  # max_num_ref_frames (no inter prediction anywhere)
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    crop_r = (mb_w * 16 - width) // 2  # CropUnitX = 2 for 4:2:0
+    crop_b = (mb_h * 16 - height) // 2
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def _pps_rbsp() -> bytes:
+    w = _BitWriter()
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.u(0, 1)  # entropy_coding_mode_flag: CAVLC
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)  # weighted_pred_flag
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(0, 1)  # deblocking_filter_control_present_flag
+    w.u(0, 1)  # constrained_intra_pred_flag
+    w.u(0, 1)  # redundant_pic_cnt_present_flag
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def _parse_sps(rbsp: bytes) -> dict:
+    r = _BitReader(rbsp)
+    profile = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level = r.u(8)
+    sps_id = r.ue()
+    chroma_format_idc = 1
+    if profile in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):
+            raise UnsupportedH264("seq_scaling_matrix not supported")
+    if chroma_format_idc != 1:
+        raise UnsupportedH264(f"chroma_format_idc {chroma_format_idc} (only 4:2:0)")
+    log2_max_frame_num = r.ue() + 4
+    poc_type = r.ue()
+    log2_max_poc_lsb = 0
+    delta_poc_always_zero = False
+    if poc_type == 0:
+        log2_max_poc_lsb = r.ue() + 4
+    elif poc_type == 1:
+        delta_poc_always_zero = bool(r.u(1))
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):
+            r.se()  # offset_for_ref_frame[i]
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    mb_w = r.ue() + 1
+    mb_h = r.ue() + 1
+    frame_mbs_only = bool(r.u(1))
+    if not frame_mbs_only:
+        raise UnsupportedH264("interlaced (frame_mbs_only_flag=0)")
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # CropUnitX/Y = 2 for 4:2:0 frame pictures (spec 7.4.2.1.1)
+    width = mb_w * 16 - 2 * (crop_l + crop_r)
+    height = mb_h * 16 - 2 * (crop_t + crop_b)
+    return {
+        "sps_id": sps_id,
+        "profile": profile,
+        "level": level,
+        "mb_w": mb_w,
+        "mb_h": mb_h,
+        "width": width,
+        "height": height,
+        "crop": (crop_l, crop_r, crop_t, crop_b),
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
+        "delta_poc_always_zero": delta_poc_always_zero,
+    }
+
+
+def _parse_pps(rbsp: bytes) -> dict:
+    r = _BitReader(rbsp)
+    pps_id = r.ue()
+    sps_id = r.ue()
+    if r.u(1):
+        raise UnsupportedH264("CABAC entropy coding (declared boundary)")
+    bottom_field_poc_present = bool(r.u(1))
+    if r.ue() != 0:
+        raise UnsupportedH264("slice groups (FMO) not supported")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.u(1)  # weighted_pred_flag
+    r.u(2)  # weighted_bipred_idc
+    pic_init_qp = r.se() + 26
+    r.se()  # pic_init_qs_minus26
+    r.se()  # chroma_qp_index_offset
+    deblocking_control = bool(r.u(1))
+    r.u(1)  # constrained_intra_pred_flag
+    redundant_pic_cnt_present = bool(r.u(1))
+    return {
+        "pps_id": pps_id,
+        "sps_id": sps_id,
+        "bottom_field_poc_present": bottom_field_poc_present,
+        "pic_init_qp": pic_init_qp,
+        "deblocking_control": deblocking_control,
+        "redundant_pic_cnt_present": redundant_pic_cnt_present,
+    }
+
+
+# --------------------------------------------------------------------------
+# slice encode (IDR, single slice, all I_PCM)
+# --------------------------------------------------------------------------
+
+
+def _idr_slice_rbsp(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, mb_w: int, mb_h: int, idr_pic_id: int
+) -> bytes:
+    w = _BitWriter()
+    # slice_header (7.3.3)
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type: I (all slices of the picture are I)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(0, 4)  # frame_num (IDR ⇒ 0; log2_max_frame_num = 4)
+    w.ue(idr_pic_id)  # idr_pic_id — alternated so consecutive IDRs differ
+    # poc_type 2 ⇒ no POC fields; I slice ⇒ no ref-idx/pred tables
+    # dec_ref_pic_marking for IDR (7.3.3.3):
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    w.se(0)  # slice_qp_delta
+    # slice_data: raster MB loop, every macroblock I_PCM (mb_type 25)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            w.ue(25)
+            w.align_zero()  # pcm_alignment_zero_bit*
+            yb = y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+            cbb = cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            crb = cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            w.write_bytes(yb.tobytes() + cbb.tobytes() + crb.tobytes())
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def _decode_slice(rbsp: bytes, sps: dict, pps_by_id: dict, idr: bool, ref_idc: int):
+    r = _BitReader(rbsp)
+    if r.ue() != 0:  # first_mb_in_slice
+        raise UnsupportedH264("multi-slice pictures not supported")
+    slice_type = r.ue()
+    if slice_type % 5 != 2:  # 2/7 = I; SI/P/B need residual or inter decode
+        raise UnsupportedH264(f"slice_type {slice_type} (only I slices)")
+    pps_id = r.ue()
+    pps = pps_by_id.get(pps_id)
+    if pps is None:
+        raise ValueError(f"slice references unknown PPS {pps_id}")
+    r.u(sps["log2_max_frame_num"])  # frame_num
+    if idr:
+        r.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        r.u(sps["log2_max_poc_lsb"])
+        if pps["bottom_field_poc_present"]:
+            r.se()
+    elif sps["poc_type"] == 1 and not sps["delta_poc_always_zero"]:
+        r.se()
+        if pps["bottom_field_poc_present"]:
+            r.se()
+    if pps["redundant_pic_cnt_present"]:
+        r.ue()
+    if idr:
+        r.u(1)  # no_output_of_prior_pics_flag
+        r.u(1)  # long_term_reference_flag
+    elif ref_idc:
+        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise UnsupportedH264("adaptive ref pic marking (MMCO)")
+    r.se()  # slice_qp_delta
+    if pps["deblocking_control"]:
+        if r.ue() != 1:
+            r.se()
+            r.se()
+    mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+    y = np.empty((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = np.empty((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = np.empty((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            mb_type = r.ue()
+            if mb_type != 25:
+                raise UnsupportedH264(
+                    f"mb_type {mb_type} needs CAVLC residual decode "
+                    "(declared boundary — only I_PCM macroblocks)"
+                )
+            r.byte_align()
+            raw = r.read_bytes(384)
+            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.frombuffer(
+                raw, dtype=np.uint8, count=256
+            ).reshape(16, 16)
+            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.frombuffer(
+                raw, dtype=np.uint8, count=64, offset=256
+            ).reshape(8, 8)
+            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.frombuffer(
+                raw, dtype=np.uint8, count=64, offset=320
+            ).reshape(8, 8)
+    cl, crr, ct, cbm = sps["crop"]
+    h, wd = sps["height"], sps["width"]
+    y = y[2 * ct : 2 * ct + h, 2 * cl : 2 * cl + wd]
+    cb = cb[ct : ct + h // 2, cl : cl + wd // 2]
+    cr = cr[ct : ct + h // 2, cl : cl + wd // 2]
+    return y, cb, cr
+
+
+# --------------------------------------------------------------------------
+# color / layout helpers (JFIF full-range BT.601, as in functions/jpeg.py)
+# --------------------------------------------------------------------------
+
+
+def _rgb_to_yuv420(frame: np.ndarray):
+    if frame.ndim == 2:  # grayscale: flat chroma
+        y = frame.astype(np.uint8)
+        h, w = y.shape
+        cb = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+        return y, cb, cb.copy()
+    f = frame.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    h, w = y.shape
+    # 2x2 mean chroma subsample
+    cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    to8 = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return to8(y), to8(cb), to8(cr)
+
+
+def _yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    cbf = np.repeat(np.repeat(cb.astype(np.float64), 2, 0), 2, 1) - 128.0
+    crf = np.repeat(np.repeat(cr.astype(np.float64), 2, 0), 2, 1) - 128.0
+    cbf = cbf[: yf.shape[0], : yf.shape[1]]
+    crf = crf[: yf.shape[0], : yf.shape[1]]
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
+    return np.pad(p, ((0, h - p.shape[0]), (0, w - p.shape[1])), mode="edge")
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+
+def encode_h264_yuv(frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]]) -> bytes:
+    """Encode pre-converted 4:2:0 planes (uint8 ``(y, cb, cr)`` per frame,
+    even luma dims, chroma exactly half) into an Annex-B stream: SPS, PPS,
+    then one single-slice IDR picture of I_PCM macroblocks per frame.
+    Bit-exact lossless in the YUV domain — ``decode_h264_yuv`` returns the
+    identical planes."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    y0 = frames[0][0]
+    h, w = y0.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"4:2:0 needs even dimensions, got {w}x{h}")
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    out = bytearray()
+    out += _nal(NAL_SPS, 3, _sps_rbsp(mb_w, mb_h, w, h))
+    out += _nal(NAL_PPS, 3, _pps_rbsp())
+    for i, (y, cb, cr) in enumerate(frames):
+        if y.shape != (h, w) or cb.shape != (h // 2, w // 2) or cr.shape != cb.shape:
+            raise ValueError(f"frame {i}: inconsistent plane shapes")
+        yp = _pad_plane(np.ascontiguousarray(y, dtype=np.uint8), mb_h * 16, mb_w * 16)
+        cbp = _pad_plane(np.ascontiguousarray(cb, dtype=np.uint8), mb_h * 8, mb_w * 8)
+        crp = _pad_plane(np.ascontiguousarray(cr, dtype=np.uint8), mb_h * 8, mb_w * 8)
+        # consecutive IDRs must carry different idr_pic_id (spec 7.4.3)
+        out += _nal(NAL_IDR, 3, _idr_slice_rbsp(yp, cbp, crp, mb_w, mb_h, i & 1))
+    return bytes(out)
+
+
+def encode_h264(frames: list[np.ndarray]) -> bytes:
+    """Encode uint8 RGB (HxWx3) or grayscale (HxW) frames; color conversion
+    is JFIF full-range BT.601 with 2x2 mean chroma subsampling, then the
+    lossless I_PCM path of :func:`encode_h264_yuv`."""
+    return encode_h264_yuv([_rgb_to_yuv420(np.asarray(f)) for f in frames])
+
+
+def encode_h264_aus(frames: list[np.ndarray]) -> list[bytes]:
+    """Per-frame self-contained access units (SPS+PPS+IDR each) for muxing
+    into an MP4 sample table — every sampled AU decodes independently, the
+    shape ``decode_frames(every_n=...)`` needs."""
+    return [encode_h264([f]) for f in frames]
+
+
+def decode_h264_yuv(payload: bytes) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode an Annex-B stream to per-frame cropped 4:2:0 planes.
+
+    Raises :class:`UnsupportedH264` for spec-valid toolsets outside the
+    declared boundary and ``ValueError`` for malformed data."""
+    sps_by_id: dict[int, dict] = {}
+    pps_by_id: dict[int, dict] = {}
+    frames = []
+    for nal_type, ref_idc, rbsp in _iter_nals(payload):
+        if nal_type == NAL_SPS:
+            s = _parse_sps(rbsp)
+            sps_by_id[s["sps_id"]] = s
+        elif nal_type == NAL_PPS:
+            p = _parse_pps(rbsp)
+            if p["sps_id"] not in sps_by_id:
+                raise ValueError(f"PPS references unknown SPS {p['sps_id']}")
+            pps_by_id[p["pps_id"]] = p
+        elif nal_type in _SLICE_NALS:
+            if not sps_by_id:
+                raise ValueError("slice before SPS")
+            # single-SPS streams (what we emit); the active SPS is the one
+            # the slice's PPS points at
+            peek = _BitReader(rbsp)
+            peek.ue()  # first_mb_in_slice
+            peek.ue()  # slice_type
+            pps_id = peek.ue()
+            pps = pps_by_id.get(pps_id)
+            if pps is None:
+                raise ValueError(f"slice references unknown PPS {pps_id}")
+            sps = sps_by_id[pps["sps_id"]]
+            frames.append(
+                _decode_slice(rbsp, sps, pps_by_id, nal_type == NAL_IDR, ref_idc)
+            )
+        # SEI/AUD/filler: skipped
+    if not frames:
+        raise ValueError("no coded pictures in stream")
+    return frames
+
+
+def decode_h264(payload: bytes) -> list[np.ndarray]:
+    """Decode to uint8 RGB frames (BT.601 full-range, nearest chroma
+    upsample) — the inverse of :func:`encode_h264` up to color-conversion
+    rounding; the YUV planes underneath are bit-exact."""
+    return [_yuv420_to_rgb(*f) for f in decode_h264_yuv(payload)]
+
+
+def parse_h264(payload: bytes) -> dict:
+    """Header-only probe (no pixel decode): first SPS dims/profile/level
+    plus the coded-picture count — O(stream scan), used by probe_media."""
+    sps = None
+    n_frames = 0
+    for nal_type, _ref, rbsp in _iter_nals(payload):
+        if nal_type == NAL_SPS and sps is None:
+            sps = _parse_sps(rbsp)
+        elif nal_type in _SLICE_NALS:
+            n_frames += 1
+    if sps is None:
+        raise ValueError("no SPS in stream")
+    return {
+        "width": sps["width"],
+        "height": sps["height"],
+        "profile": sps["profile"],
+        "level": sps["level"],
+        "n_frames": n_frames,
+    }

@@ -11,9 +11,12 @@ ISO bit layout, SNR-verified round trip); they yield genuine features
 and genuine resizes. MP4 and MP3 are REAL at the container/frame level
 (:mod:`..functions.mp4` box/sample-table demux, :mod:`..functions.mp3`
 frame-header/Xing parse — see ``probe_media`` and ``sample_frames``);
-only the remaining compressed *bitstream* payloads (H.264/Layer-II/III
-entropy stacks, genuinely out of scope without external libs) fall back
-to a deterministic, clearly-marked stub in the feature path. The
+Layer II/III audio and H.264 baseline-intra video (I_PCM toolset,
+:mod:`..functions.h264`) decode for real too. Only the remaining
+compressed payloads (AAC audio and H.264 CAVLC/CABAC *residual*
+macroblocks — large entropy code tables, genuinely out of scope without
+external libs) fall back to a deterministic, clearly-marked stub in the
+feature path. The
 Spark-side plumbing is identical and fully tested either way: schema
 (binary payload + typed metadata struct), Arrow-batched ``mapInPandas``
 transforms, partition-size control for fat binary rows.
@@ -37,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nifi_dicom_spark.functions import codecs, jpeg, mp3, mp4, mpeg_audio
+from nifi_dicom_spark.functions import codecs, h264, jpeg, mp3, mp4, mpeg_audio
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -76,11 +79,13 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB for the remaining undecodable *bitstreams* (H.264 video and
-    AAC audio payloads — their entropy/transform stacks are genuinely out
-    of scope without external libs;
-    WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I/II/III decode for real, and
-    MP3/MP4 containers demux for real via probe_media / sample_frames).
+    """STUB for the remaining undecodable *bitstreams* (AAC audio, and
+    H.264 *entropy-coded residual* macroblocks — CAVLC/CABAC coefficient
+    stacks are genuinely out of scope without external libs;
+    WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I/II/III decode for real,
+    H.264 baseline-intra I_PCM streams decode for real via
+    :mod:`..functions.h264`, and MP3/MP4 containers demux for real via
+    probe_media / sample_frames).
 
     Deterministic fake: sha256-seeded pseudo-feature so tests are stable.
     Replace the body with the real decode + model features in production;
@@ -124,6 +129,13 @@ def _decode_feature(
 
         if jpeg.is_jpeg(payload):
             img = jpeg.decode_jpeg(payload)
+            return codecs.image_block_features(img, dim), img.shape[1], img.shape[0]
+        if h264.is_annexb(payload):
+            # REAL H.264 decode (baseline-intra I_PCM toolset); features
+            # from the first coded picture's actual pixels. Streams using
+            # CAVLC/CABAC residual macroblocks raise UnsupportedH264 and
+            # fall through to the declared stub below.
+            img = h264.decode_h264(payload)[0]
             return codecs.image_block_features(img, dim), img.shape[1], img.shape[0]
     except Exception:
         pass  # unsupported variant / corrupt container → stub path
@@ -298,17 +310,20 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 def decode_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     """REAL video frame decode for MJPEG-in-MP4 payloads: the box walker
     demuxes the sample table, every ``every_n``-th access unit is
-    extracted byte-exactly, and units that are baseline JPEG images are
-    decoded by the from-scratch DCT/Huffman codec — true per-frame width,
-    height and mean luma come from the actual pixels. Access units of
-    codecs this repo cannot decode (e.g. H.264 — the declared stub
-    boundary) emit null dims/luma but keep their true byte size, so the
-    real-vs-stub split is visible downstream. Reference analog:
+    extracted byte-exactly, and units that are baseline JPEG images (the
+    from-scratch DCT/Huffman codec) or self-contained H.264 baseline-intra
+    access units (the from-scratch Annex-B/I_PCM codec in
+    :mod:`..functions.h264`) are decoded — true per-frame width, height
+    and mean luma come from the actual pixels. Access units of codecs this
+    repo cannot decode (H.264 entropy-coded residuals, AAC — the declared
+    stub boundary) emit null dims/luma but keep their true byte size, so
+    the real-vs-stub split is visible downstream. Reference analog:
     frame-level decompress-on-read of encapsulated multi-frame pixel data
     (``AttributeList.java:45,231``); at 100 TB this is the
     "decode only the sampled frames, never the whole video" shape — the
     Arrow batch carries containers, the kernel touches ``1/every_n`` of
     the payload bytes."""
+    from nifi_dicom_spark.functions import h264 as h264_mod
     from nifi_dicom_spark.functions import jpeg as jpeg_mod
 
     if every_n < 1:
@@ -330,22 +345,29 @@ def decode_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                     au = mp4.extract_sample(payload, s)
                     w = h = None
                     luma = None
-                    if jpeg_mod.is_jpeg(au):
-                        try:
+                    img = None
+                    try:
+                        if jpeg_mod.is_jpeg(au):
                             img = jpeg_mod.decode_jpeg(au)
-                            h, w = img.shape[0], img.shape[1]
-                            # ITU-R BT.601 luma over the real pixels
-                            rgb = img.astype(np.float64)
-                            luma = float(
-                                (
-                                    0.299 * rgb[..., 0]
-                                    + 0.587 * rgb[..., 1]
-                                    + 0.114 * rgb[..., 2]
-                                ).mean()
-                            )
-                        except Exception:
-                            w = h = None
-                            luma = None
+                        elif h264_mod.is_annexb(au):
+                            # self-contained H.264 access unit (SPS+PPS+IDR)
+                            # — real baseline-intra decode; unsupported
+                            # toolsets (CAVLC residual, inter) keep the
+                            # null-dims stub contract below
+                            img = h264_mod.decode_h264(au)[0]
+                    except Exception:
+                        img = None
+                    if img is not None:
+                        h, w = img.shape[0], img.shape[1]
+                        # ITU-R BT.601 luma over the real pixels
+                        rgb = img.astype(np.float64)
+                        luma = float(
+                            (
+                                0.299 * rgb[..., 0]
+                                + 0.587 * rgb[..., 1]
+                                + 0.114 * rgb[..., 2]
+                            ).mean()
+                        )
                     rows.append(
                         {
                             "media_id": r["media_id"],
@@ -486,6 +508,16 @@ def probe_one(payload: bytes | None) -> dict:
                 n_frames=(track or {}).get("n_samples"),
                 duration_ms=int(meta["duration_s"] * 1000),
             )
+        elif h264.is_annexb(payload):
+            # header-only: SPS dims + coded-picture count, no pixel decode
+            info = h264.parse_h264(payload)
+            out.update(
+                format="h264",
+                codec=f"avc-baseline-p{info['profile']}",
+                width=info["width"],
+                height=info["height"],
+                n_frames=info["n_frames"],
+            )
         elif mp3.is_mp3(payload):
             meta = mp3.parse_mp3(payload)
             out.update(
@@ -513,8 +545,8 @@ def probe_one(payload: bytes | None) -> dict:
 
 def probe_media(media: DataFrame) -> DataFrame:
     """Container identification + header metadata for every payload —
-    WAV/BMP/PNG/JPEG/MP4/MP3 via the from-scratch parsers, 'unknown'
-    otherwise. Header-only (no pixel/PCM/entropy decode), so the kernel is
+    WAV/BMP/PNG/JPEG/MP4/H.264-Annex-B/MP3 via the from-scratch parsers,
+    'unknown' otherwise. Header-only (no pixel/PCM/entropy decode), so the kernel is
     O(header bytes) per row regardless of payload size; Arrow batches move
     the binaries once. Reference analog: NiFi's IdentifyMimeType +
     ExtractDICOMTags metadata-only read path."""

@@ -576,3 +576,195 @@ def test_frame_samplers_validate_every_n(spark):
     )
     with pytest.raises(ValueError, match="every_n"):
         sample_frames(meta_df, every_n=0)
+
+
+# --- H.264 baseline-intra codec ----------------------------------------------
+
+
+def _h264_frames_rgb(n=3, w=20, h=12, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_h264_yuv_roundtrip_bit_exact():
+    """I_PCM is the spec's lossless macroblock mode: the decoded 4:2:0
+    planes must be bit-identical, including an all-zero frame that forces
+    emulation-prevention escapes on every macroblock."""
+    import numpy as np
+
+    from nifi_dicom_spark.functions import h264
+
+    rng = np.random.default_rng(11)
+    yuvs = [
+        (
+            rng.integers(0, 256, (12, 20), dtype=np.uint8),
+            rng.integers(0, 256, (6, 10), dtype=np.uint8),
+            rng.integers(0, 256, (6, 10), dtype=np.uint8),
+        )
+        for _ in range(2)
+    ]
+    yuvs.append(
+        (
+            np.zeros((12, 20), np.uint8),
+            np.zeros((6, 10), np.uint8),
+            np.zeros((6, 10), np.uint8),
+        )
+    )
+    bs = h264.encode_h264_yuv(yuvs)
+    assert h264.is_annexb(bs)
+    out = h264.decode_h264_yuv(bs)
+    assert len(out) == len(yuvs)
+    for (y0, cb0, cr0), (y1, cb1, cr1) in zip(yuvs, out):
+        assert np.array_equal(y0, y1)
+        assert np.array_equal(cb0, cb1)
+        assert np.array_equal(cr0, cr1)
+
+
+def test_h264_rgb_luma_exact_chroma_bounded():
+    import numpy as np
+
+    from nifi_dicom_spark.functions import h264
+
+    frames = _h264_frames_rgb()
+    bs = h264.encode_h264(frames)
+    dec = h264.decode_h264(bs)
+    yuv = h264.decode_h264_yuv(bs)
+    for src, out, (y_dec, _cb, _cr) in zip(frames, dec, yuv):
+        assert out.shape == src.shape
+        # Y is carried losslessly: the decoded Y plane IS the encoder's
+        # quantized BT.601 luma, bit for bit (RGB recomputation can drift
+        # where out-of-gamut chroma clips R/G/B — the plane cannot)
+        f = src.astype(np.float64)
+        y_src = np.clip(
+            np.rint(0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]), 0, 255
+        ).astype(np.uint8)
+        assert np.array_equal(y_dec, y_src)
+    # flat color survives the 4:2:0 trip almost exactly
+    flat = np.full((16, 16, 3), (200, 30, 90), dtype=np.uint8)
+    r = h264.decode_h264(h264.encode_h264([flat]))[0]
+    assert np.abs(r.astype(int) - flat.astype(int)).max() <= 1
+
+
+def test_h264_cropping_and_probe():
+    from nifi_dicom_spark.functions import h264
+    from nifi_dicom_spark.functions.multimodal import probe_one
+
+    frames = _h264_frames_rgb(n=2, w=34, h=18)  # pads to 48x32 mb grid
+    bs = h264.encode_h264(frames)
+    info = h264.parse_h264(bs)
+    assert (info["width"], info["height"], info["n_frames"]) == (34, 18, 2)
+    assert info["profile"] == 66
+    dec = h264.decode_h264(bs)
+    assert all(d.shape == (18, 34, 3) for d in dec)
+    p = probe_one(bs)
+    assert p["format"] == "h264"
+    assert p["codec"] == "avc-baseline-p66"
+    assert (p["width"], p["height"], p["n_frames"]) == (34, 18, 2)
+
+
+def test_h264_rejects_undeclared_toolsets_and_garbage():
+    import numpy as np
+
+    from nifi_dicom_spark.functions import h264
+
+    # CABAC PPS: entropy_coding_mode_flag=1 — spec-valid, declared out of scope
+    w = h264._BitWriter()
+    w.ue(0); w.ue(0); w.u(1, 1); w.u(0, 1); w.ue(0); w.ue(0); w.ue(0)
+    w.u(0, 1); w.u(0, 2); w.se(0); w.se(0); w.se(0); w.u(0, 3)
+    w.rbsp_trailing()
+    sps = h264._nal(h264.NAL_SPS, 3, h264._sps_rbsp(1, 1, 16, 16))
+    cabac_pps = h264._nal(h264.NAL_PPS, 3, w.getvalue())
+    with pytest.raises(h264.UnsupportedH264, match="CABAC"):
+        h264.decode_h264_yuv(sps + cabac_pps)
+
+    # non-I_PCM macroblock type inside an otherwise valid IDR slice
+    frame = np.zeros((16, 16), np.uint8)
+    good = h264.encode_h264([frame])
+    sw = h264._BitWriter()
+    sw.ue(0); sw.ue(7); sw.ue(0); sw.u(0, 4); sw.ue(0)
+    sw.u(0, 1); sw.u(0, 1); sw.se(0)
+    sw.ue(0)  # mb_type 0 = I_NxN -> needs CAVLC residual decode
+    sw.rbsp_trailing()
+    headers = good[: good.rfind(b"\x00\x00\x00\x01")]
+    bad = headers + h264._nal(h264.NAL_IDR, 3, sw.getvalue())
+    with pytest.raises(h264.UnsupportedH264, match="mb_type 0"):
+        h264.decode_h264_yuv(bad)
+
+    # truncation mid-PCM and non-H.264 bytes fail loudly but cleanly
+    with pytest.raises(ValueError):
+        h264.decode_h264_yuv(good[: len(good) - 40])
+    assert not h264.is_annexb(b"not a stream")
+    with pytest.raises(ValueError):
+        h264.decode_h264_yuv(b"\x00\x00\x00\x01\x67")  # SPS header, no body
+
+
+def test_h264_sps_poc_type0_and_high_profile_parse():
+    """The SPS parser handles layouts our encoder never emits: poc_type 0
+    and the high-profile chroma branch (4:2:0 accepted, 4:2:2 refused)."""
+    from nifi_dicom_spark.functions import h264
+
+    def sps_bits(profile, poc_type, chroma=1):
+        w = h264._BitWriter()
+        w.u(profile, 8); w.u(0, 8); w.u(30, 8)
+        w.ue(0)
+        if profile in h264._HIGH_PROFILES:
+            w.ue(chroma); w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1)
+        w.ue(0)
+        w.ue(poc_type)
+        if poc_type == 0:
+            w.ue(2)  # log2_max_pic_order_cnt_lsb_minus4
+        w.ue(1); w.u(0, 1)
+        w.ue(1); w.ue(0)  # 2x1 macroblocks
+        w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+        w.rbsp_trailing()
+        return w.getvalue()
+
+    s = h264._parse_sps(sps_bits(66, 0))
+    assert (s["mb_w"], s["mb_h"], s["poc_type"], s["log2_max_poc_lsb"]) == (2, 1, 0, 6)
+    s = h264._parse_sps(sps_bits(100, 2, chroma=1))
+    assert s["profile"] == 100 and s["width"] == 32
+    with pytest.raises(h264.UnsupportedH264, match="chroma_format_idc 2"):
+        h264._parse_sps(sps_bits(100, 2, chroma=2))
+
+
+def test_decode_frames_h264_real_pixels(spark):
+    import numpy as np
+
+    from nifi_dicom_spark.functions import h264
+    from nifi_dicom_spark.functions.multimodal import decode_frames, extract_features
+
+    w, h = 32, 14  # crop row exercised through the full Spark path
+    imgs = _h264_frames_rgb(n=4, w=w, h=h, seed=9)
+    aus = h264.encode_h264_aus(imgs)
+    payload = mp4.mux_mp4(
+        aus, width=w, height=h, timescale=600, sample_duration=25, codec="avc1"
+    )
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = sorted(
+        decode_frames(df, every_n=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    for r, au_idx in zip(rows, (0, 2)):
+        assert (r["width"], r["height"]) == (w, h)
+        dec = h264.decode_h264(aus[au_idx])[0].astype(np.float64)
+        luma = (
+            0.299 * dec[..., 0] + 0.587 * dec[..., 1] + 0.114 * dec[..., 2]
+        ).mean()
+        assert abs(r["mean_luma"] - round(float(luma), 4)) < 1e-9
+        assert r["frame_bytes"] == len(aus[au_idx])
+
+    # elementary stream through extract_features: real dims, real pixels
+    es = h264.encode_h264(imgs)
+    feats = extract_features(
+        spark.createDataFrame(
+            [(2, "video", bytearray(es), None)],
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
+        )
+    ).collect()
+    assert (feats[0]["width"], feats[0]["height"]) == (w, h)

@@ -575,3 +575,44 @@ def test_layer2_matches_scalar_reference(seed: int, levels: int, sr: int):
     ref = ma2.synthesize(deq.reshape(-1, ma2.N_BANDS))[ma2._DELAY : ma2._DELAY + n]
     m = min(len(dec), len(ref))
     assert np.abs(dec[:m] - ref[:m]).max() < 1e-12
+
+
+# --- H.264 baseline-intra (I_PCM) lossless property --------------------------
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    w=st.integers(1, 20),
+    h=st.integers(1, 12),
+    n=st.integers(1, 3),
+)
+@settings(max_examples=30, deadline=None)
+def test_h264_ipcm_roundtrip_property(seed: int, w: int, h: int, n: int):
+    """I_PCM macroblocks are the spec's raw-sample mode: for ANY frame
+    content (including pathological zero runs that force emulation-
+    prevention escapes) and ANY even geometry, encode→decode returns
+    bit-identical 4:2:0 planes, and the header-only probe agrees with the
+    deep decode on dims and frame count."""
+    from nifi_dicom_spark.functions import h264
+
+    rng = np.random.default_rng(seed)
+    lw, lh = 2 * w, 2 * h  # any even luma geometry, 2x2 .. 40x24
+    yuvs = []
+    for i in range(n):
+        if i == 0 and seed % 3 == 0:
+            y = np.zeros((lh, lw), np.uint8)  # worst case for escaping
+        else:
+            y = rng.integers(0, 256, (lh, lw), dtype=np.uint8)
+        cb = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        cr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        yuvs.append((y, cb, cr))
+    bs = h264.encode_h264_yuv(yuvs)
+    assert h264.is_annexb(bs)
+    info = h264.parse_h264(bs)
+    assert (info["width"], info["height"], info["n_frames"]) == (lw, lh, n)
+    out = h264.decode_h264_yuv(bs)
+    assert len(out) == n
+    for (y0, cb0, cr0), (y1, cb1, cr1) in zip(yuvs, out):
+        assert np.array_equal(y0, y1)
+        assert np.array_equal(cb0, cb1)
+        assert np.array_equal(cr0, cr1)
