@@ -1175,17 +1175,95 @@ def _layer3_decode_oracle() -> str:
     """
 
 
+def q_aac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AAC-LC decode through the multimodal path: the deterministic
+    two-tone signal per doc is encoded as ADTS AAC (``functions/aac.py``
+    — spec-exact ADTS framing + SCE/ICS syntax, 1024-line MDCT/TDAC,
+    per-scalefactor-band 4/3-power requantization, engine-canonical
+    Huffman pairs with the spec's escape sequences), then
+    ``extract_features`` entropy-decodes the payload, runs the IMDCT
+    overlap-add, and the RMS-energy features OF THE LOSSY DECODE plus the
+    container size are value-checked against a Python-replayed oracle.
+    Closes the last declared audio stub; reference analog:
+    decompress-on-read (``apps/DeidentifyAndRedact.java:271``)."""
+    from nifi_dicom_spark.functions.multimodal import extract_features
+
+    @F.pandas_udf("binary")
+    def make_aac(ids: pd.Series) -> pd.Series:
+        from nifi_dicom_spark.functions.aac import encode_aac
+
+        return pd.Series(
+            [encode_aac(_layer1_signal(int(i)), 32000, quality=60) for i in ids]
+        )
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        make_aac("doc_id").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+        )
+        .alias("meta"),
+    )
+    feats = extract_features(media, dim=4)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("band0"),
+        F.round(F.element_at("feature", 4).cast("double"), 6).alias("band3"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+def _aac_decode_oracle() -> str:
+    """Replay the synthesize→encode→decode→feature pipeline in Python with
+    the same AAC codec over the same doc_ids and inline the rows."""
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions.aac import decode_aac, encode_aac
+    from nifi_dicom_spark.functions.codecs import audio_energy_features
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for i in ids:
+        payload = encode_aac(_layer1_signal(int(i)), 32000, quality=60)
+        samples, _sr = decode_aac(payload)
+        feat = audio_energy_features(samples, 4)
+        rows.append(
+            f"({int(i)}, {round(float(feat[0]), 6)!r},"
+            f" {round(float(feat[3]), 6)!r}, {len(payload)})"
+        )
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, round(band0, 6) AS band0, round(band3, 6) AS band3,
+               CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES {values}) AS t(media_id, band0, band3, n_bytes)
+    """
+
+
 def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
-    """Deterministic (kind, payload) per doc cycling all 10 container
+    """Deterministic (kind, payload) per doc cycling all 11 container
     formats — the single source of truth for both the Spark pandas_udf and
     the oracle replay, so probe results are byte-identical by construction."""
     import numpy as np
 
-    from nifi_dicom_spark.functions import codecs, h264, jpeg, mp3, mp4, mpeg_audio
+    from nifi_dicom_spark.functions import aac, codecs, h264, jpeg, mp3, mp4, mpeg_audio
 
     i = int(doc_id)
     w, h = _png_dims(i)
-    slot = i % 10
+    slot = i % 11
+    if slot == 10:
+        # compressed audio that decodes for REAL (AAC-LC in ADTS frames;
+        # the header walk yields true frame count + duration)
+        sig = _layer1_signal(i)[: 1024 * (i % 2 + 1)]
+        return "audio", aac.encode_aac(sig, 32000, quality=60)
     if slot == 9:
         # compressed video that decodes for REAL (H.264 baseline-intra
         # elementary stream; SPS carries the true pre-crop dims)
@@ -2556,11 +2634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation (r5): the driver checks the first 50 dict entries. Round 4
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
-    # row in r3. Those 22 lead now, followed by the 3 queries NEW this
-    # round (rollup_state, layer3_decode, h264_frames), then enough
-    # r4-green entries to fill the window; the r4-green remainder (from
-    # tpch_q1 on) rotates to the tail so every registered query has a
-    # green row dated within the last two rounds. Rotate again next round.
+    # row in r3. Those 22 lead now, followed by the 4 queries NEW this
+    # round (rollup_state, layer3_decode, h264_frames, aac_decode), then
+    # enough r4-green entries to fill the window; the r4-green remainder
+    # (from redact_regions on) rotates to the tail so every registered
+    # query has a green row dated within the last two rounds. Rotate again
+    # next round.
     return {
         # --- last verified r3 (rotated past r4's 50-cap) — first now -----
         "cfind_query": q_cfind_query,
@@ -2589,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_state": q_rollup_state,
         "layer3_decode": q_layer3_decode,
         "h264_frames": q_h264_frames,
+        "aac_decode": q_aac_decode,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -3429,6 +3509,7 @@ def oracle_sql() -> dict[str, str]:
         "layer3_decode": _layer3_decode_oracle(),
         "mjpeg_frames": _mjpeg_frames_oracle(),
         "h264_frames": _h264_frames_oracle(),
+        "aac_decode": _aac_decode_oracle(),
         "jpeg_decode": _jpeg_decode_oracle(),
         "redact_regions": _redact_regions_oracle(),
         "media_probe": _media_probe_oracle(),

@@ -11,12 +11,13 @@ ISO bit layout, SNR-verified round trip); they yield genuine features
 and genuine resizes. MP4 and MP3 are REAL at the container/frame level
 (:mod:`..functions.mp4` box/sample-table demux, :mod:`..functions.mp3`
 frame-header/Xing parse — see ``probe_media`` and ``sample_frames``);
-Layer II/III audio and H.264 baseline-intra video (I_PCM toolset,
-:mod:`..functions.h264`) decode for real too. Only the remaining
-compressed payloads (AAC audio and H.264 CAVLC/CABAC *residual*
-macroblocks — large entropy code tables, genuinely out of scope without
-external libs) fall back to a deterministic, clearly-marked stub in the
-feature path. The
+Layer II/III audio, AAC-LC audio (:mod:`..functions.aac`) and H.264
+baseline-intra video (I_PCM toolset, :mod:`..functions.h264`) decode for
+real too. The deterministic, clearly-marked stub in the feature path now
+covers only out-of-scope *variants* of those formats (H.264 CAVLC/CABAC
+residual macroblocks, stereo/third-party-spectral AAC — the spec's
+printed entropy code tables are non-derivable without external libs) and
+genuinely unknown formats. The
 Spark-side plumbing is identical and fully tested either way: schema
 (binary payload + typed metadata struct), Arrow-batched ``mapInPandas``
 transforms, partition-size control for fat binary rows.
@@ -40,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nifi_dicom_spark.functions import codecs, h264, jpeg, mp3, mp4, mpeg_audio
+from nifi_dicom_spark.functions import aac, codecs, h264, jpeg, mp3, mp4, mpeg_audio
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -79,13 +80,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB for the remaining undecodable *bitstreams* (AAC audio, and
-    H.264 *entropy-coded residual* macroblocks — CAVLC/CABAC coefficient
-    stacks are genuinely out of scope without external libs;
-    WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I/II/III decode for real,
-    H.264 baseline-intra I_PCM streams decode for real via
-    :mod:`..functions.h264`, and MP3/MP4 containers demux for real via
-    probe_media / sample_frames).
+    """STUB for the remaining undecodable *variants* (H.264 entropy-coded
+    residual macroblocks and stereo/third-party-spectral AAC — the spec's
+    printed CAVLC/CABAC/Huffman tables are genuinely out of scope without
+    external libs) and unknown formats. Every format family has a REAL
+    decode path: WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I/II/III, AAC-LC
+    (:mod:`..functions.aac`), H.264 baseline-intra
+    (:mod:`..functions.h264`), and MP3/MP4 containers demux for real via
+    probe_media / sample_frames.
 
     Deterministic fake: sha256-seeded pseudo-feature so tests are stable.
     Replace the body with the real decode + model features in production;
@@ -119,6 +121,12 @@ def _decode_feature(
             return codecs.audio_energy_features(samples, dim), None, None
         if mpeg_audio.is_layer3(payload):
             samples, _sr = mpeg_audio.decode_layer3(payload)
+            return codecs.audio_energy_features(samples, dim), None, None
+        if aac.is_aac(payload):
+            # REAL AAC-LC decode (ADTS mono, engine-canonical Huffman —
+            # see functions/aac.py); out-of-scope toolsets raise and fall
+            # through to the declared stub below
+            samples, _sr = aac.decode_aac(payload)
             return codecs.audio_energy_features(samples, dim), None, None
         if codecs.is_bmp(payload):
             img = codecs.decode_bmp(payload)
@@ -518,6 +526,17 @@ def probe_one(payload: bytes | None) -> dict:
                 height=info["height"],
                 n_frames=info["n_frames"],
             )
+        elif aac.is_aac(payload):
+            # header-only: walk the ADTS frame chain, no spectral decode
+            meta = aac.parse_adts(payload)
+            out.update(
+                format="aac",
+                codec=f"aac-lc-p{meta['profile']}",
+                sample_rate=meta["sample_rate"],
+                channels=meta["channels"],
+                n_frames=meta["n_frames"],
+                duration_ms=int(meta["duration_s"] * 1000),
+            )
         elif mp3.is_mp3(payload):
             meta = mp3.parse_mp3(payload)
             out.update(
@@ -545,8 +564,8 @@ def probe_one(payload: bytes | None) -> dict:
 
 def probe_media(media: DataFrame) -> DataFrame:
     """Container identification + header metadata for every payload —
-    WAV/BMP/PNG/JPEG/MP4/H.264-Annex-B/MP3 via the from-scratch parsers,
-    'unknown' otherwise. Header-only (no pixel/PCM/entropy decode), so the kernel is
+    WAV/BMP/PNG/JPEG/MP4/H.264-Annex-B/AAC-ADTS/MP3 via the from-scratch
+    parsers, 'unknown' otherwise. Header-only (no pixel/PCM/entropy decode), so the kernel is
     O(header bytes) per row regardless of payload size; Arrow batches move
     the binaries once. Reference analog: NiFi's IdentifyMimeType +
     ExtractDICOMTags metadata-only read path."""

@@ -1,0 +1,143 @@
+"""AAC-LC (ADTS) codec: spec-exact framing/syntax checks, lossy round-trip
+quality, escape-sequence coverage, out-of-scope rejection, sniffer
+isolation from the MPEG-audio family, and the multimodal feature path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nifi_dicom_spark.functions import aac
+from nifi_dicom_spark.functions.mpeg_audio import roundtrip_snr_db
+
+
+def _two_tone(n=5000, sr=32000, f1=440.0, f2=2500.0):
+    t = np.arange(n) / sr
+    return 0.4 * np.sin(2 * np.pi * f1 * t) + 0.2 * np.sin(2 * np.pi * f2 * t + 0.3)
+
+
+def test_adts_layout_and_probe():
+    x = _two_tone()
+    bs = aac.encode_aac(x, 32000)
+    # spec-exact fixed header fields, byte level
+    assert bs[0] == 0xFF and (bs[1] & 0xF0) == 0xF0  # syncword
+    assert (bs[1] & 0x06) == 0  # layer == 00
+    assert bs[1] & 0x01  # protection_absent
+    assert (bs[2] >> 6) == 1  # profile: AAC-LC (coded minus 1)
+    assert ((bs[2] >> 2) & 0xF) == aac.SAMPLE_RATES.index(32000)
+    meta = aac.parse_adts(bs)
+    # 5000 samples -> 5 blocks + 1 flush frame
+    assert meta == {
+        "profile": 2,
+        "sample_rate": 32000,
+        "channels": 1,
+        "n_frames": 6,
+        "duration_s": 6 * 1024 / 32000,
+    }
+    # frame chain tiles the payload exactly
+    pos, n = 0, 0
+    while pos < len(bs):
+        h = aac._parse_adts_header(bs, pos)
+        pos += h["frame_len"]
+        n += 1
+    assert pos == len(bs) and n == 6
+
+
+def test_roundtrip_quality_and_determinism():
+    x = _two_tone()
+    bs = aac.encode_aac(x, 32000)
+    assert bs == aac.encode_aac(x, 32000)  # bit-deterministic
+    y, sr = aac.decode_aac(bs)
+    assert sr == 32000
+    assert len(y) == 5 * 1024  # (n_frames - 1) * 1024, covers the input
+    assert roundtrip_snr_db(x, y[: len(x)]) > 30.0
+    # finer quality strictly improves reconstruction
+    y2, _ = aac.decode_aac(aac.encode_aac(x, 32000, quality=400))
+    assert roundtrip_snr_db(x, y2[: len(x)]) > roundtrip_snr_db(x, y[: len(x)])
+
+
+def test_escape_sequences_cover_large_magnitudes():
+    # quality 3000 pushes quantized magnitudes far past the in-codeword cap
+    # of 16, so the spec escape path (N ones, zero, N+4-bit word) is the
+    # hot path here — and must invert exactly
+    x = _two_tone(3000)
+    bs = aac.encode_aac(x, 32000, quality=3000)
+    y, _ = aac.decode_aac(bs)
+    assert roundtrip_snr_db(x, y[: len(x)]) > 55.0
+
+
+def test_silence_and_impulse():
+    z = np.zeros(1500)
+    y, _ = aac.decode_aac(aac.encode_aac(z, 44100))
+    assert float(np.abs(y).max()) == 0.0
+    imp = np.zeros(2048)
+    imp[100] = 0.9
+    y2, _ = aac.decode_aac(aac.encode_aac(imp, 48000))
+    assert roundtrip_snr_db(imp, y2[: len(imp)]) > 30.0
+
+
+def test_sfb_layout_invariants():
+    edges = aac.sfb_layout()
+    widths = edges[1:] - edges[:-1]
+    assert edges[0] == 0 and edges[-1] == aac.FRAME_LEN
+    assert (widths > 0).all() and (widths % 4 == 0).all()
+    assert (np.diff(widths) >= 0).all()  # monotone growth like the spec tables
+
+
+def test_out_of_scope_and_malformed_rejection():
+    x = _two_tone(1500)
+    bs = aac.encode_aac(x, 32000)
+    # stereo channel_configuration: spec-valid, declared out of scope
+    stereo = bytearray(bs)
+    stereo[2] = (stereo[2] & 0xFE) | 0x00
+    stereo[3] = (stereo[3] & 0x3F) | 0x80  # channel_configuration 1 -> 2
+    with pytest.raises(ValueError, match="mono"):
+        aac.decode_aac(bytes(stereo))
+    with pytest.raises(ValueError):
+        aac.decode_aac(b"\x00" * 32)  # not ADTS at all
+    with pytest.raises(ValueError):
+        aac.decode_aac(bs[:6])  # shorter than one header
+    with pytest.raises(ValueError):
+        aac.encode_aac(x, 12345)  # non-table sample rate
+    with pytest.raises(ValueError):
+        aac.encode_aac(np.array([]), 32000)
+
+
+def test_sniffer_isolation_from_mpeg_family():
+    from nifi_dicom_spark.functions import mpeg_audio
+
+    x = _two_tone(2000)
+    adts = aac.encode_aac(x, 32000)
+    l1 = mpeg_audio.encode_layer1(x[:1920], 32000, bits=6)
+    l3 = mpeg_audio.encode_layer3(x[:2304], 32000)
+    assert aac.is_aac(adts)
+    # ADTS carries layer bits 00 (reserved in the MPEG-ES header), so the
+    # MPEG sniffers must refuse it — and vice versa
+    assert not mpeg_audio.is_layer1(adts)
+    assert not mpeg_audio.is_layer2(adts)
+    assert not mpeg_audio.is_layer3(adts)
+    # mp3.is_mp3 is a deliberate resync SCANNER (junk-tolerant) and may
+    # catch a spurious sync inside compressed payload bytes; the probe
+    # dispatch checks is_aac first, so classification stays correct —
+    # asserted in test_multimodal_feature_and_probe_paths
+    assert not aac.is_aac(l1)
+    assert not aac.is_aac(l3)
+    assert not aac.is_aac(None)
+    assert not aac.is_aac(b"")
+
+
+def test_multimodal_feature_and_probe_paths():
+    from nifi_dicom_spark.functions.codecs import audio_energy_features
+    from nifi_dicom_spark.functions.multimodal import _decode_feature, probe_one
+
+    x = _two_tone(3000)
+    bs = aac.encode_aac(x, 32000)
+    feat, w, h = _decode_feature(bs, dim=4)
+    samples, _sr = aac.decode_aac(bs)
+    assert w is None and h is None
+    assert np.allclose(feat, audio_energy_features(samples, 4))
+    p = probe_one(bs)
+    assert p["format"] == "aac"
+    assert p["codec"] == "aac-lc-p2"
+    assert (p["sample_rate"], p["channels"], p["n_frames"]) == (32000, 1, 4)
+    assert p["duration_ms"] == int(4 * 1024 / 32000 * 1000)

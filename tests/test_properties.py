@@ -616,3 +616,41 @@ def test_h264_ipcm_roundtrip_property(seed: int, w: int, h: int, n: int):
         assert np.array_equal(y0, y1)
         assert np.array_equal(cb0, cb1)
         assert np.array_equal(cr0, cr1)
+
+
+# --- AAC-LC round-trip quality property ---------------------------------------
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(64, 4000),
+    sr_idx=st.integers(0, 11),
+    quality=st.sampled_from([30, 60, 150, 400]),
+)
+@settings(max_examples=20, deadline=None)
+def test_aac_roundtrip_snr_property(seed: int, n: int, sr_idx: int, quality: int):
+    """For ANY band-limited signal, length, table sample rate and quality
+    tier, the AAC encode→decode trip must (a) parse back frame-exactly,
+    (b) reconstruct with SNR above a generous envelope (the per-band
+    scalefactors keep quantization error proportional to band energy —
+    an SNR bound, deliberately not an inf-norm one), and (c) be
+    bit-deterministic."""
+    from nifi_dicom_spark.functions import aac
+    from nifi_dicom_spark.functions.mpeg_audio import roundtrip_snr_db
+
+    rng = np.random.default_rng(seed)
+    sr = aac.SAMPLE_RATES[sr_idx]
+    t = np.arange(n) / sr
+    x = np.zeros(n)
+    for _ in range(rng.integers(1, 4)):
+        f = rng.uniform(50.0, 0.35 * sr)
+        x += rng.uniform(0.05, 0.3) * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+    bs = aac.encode_aac(x, sr, quality=quality)
+    assert bs == aac.encode_aac(x, sr, quality=quality)
+    meta = aac.parse_adts(bs)
+    n_blocks = -(-n // aac.FRAME_LEN)
+    assert meta["n_frames"] == n_blocks + 1
+    assert meta["sample_rate"] == sr
+    y, sr2 = aac.decode_aac(bs)
+    assert sr2 == sr and len(y) == n_blocks * aac.FRAME_LEN
+    assert roundtrip_snr_db(x, y[:n]) > 22.0
