@@ -1193,7 +1193,7 @@ def q_aac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from nifi_dicom_spark.functions.aac import encode_aac
 
         return pd.Series(
-            [encode_aac(_layer1_signal(int(i)), 32000, quality=60) for i in ids]
+            [encode_aac(_layer1_signal(int(i)), 32000, quality=12) for i in ids]
         )
 
     docs = _t(spark, sf_dir, "documents").repartition(
@@ -1233,7 +1233,7 @@ def _aac_decode_oracle() -> str:
     )
     rows = []
     for i in ids:
-        payload = encode_aac(_layer1_signal(int(i)), 32000, quality=60)
+        payload = encode_aac(_layer1_signal(int(i)), 32000, quality=12)
         samples, _sr = decode_aac(payload)
         feat = audio_energy_features(samples, 4)
         rows.append(
@@ -1263,7 +1263,7 @@ def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
         # compressed audio that decodes for REAL (AAC-LC in ADTS frames;
         # the header walk yields true frame count + duration)
         sig = _layer1_signal(i)[: 1024 * (i % 2 + 1)]
-        return "audio", aac.encode_aac(sig, 32000, quality=60)
+        return "audio", aac.encode_aac(sig, 32000, quality=12)
     if slot == 9:
         # compressed video that decodes for REAL (H.264 baseline-intra
         # elementary stream; SPS carries the true pre-crop dims)

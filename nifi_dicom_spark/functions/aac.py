@@ -102,18 +102,22 @@ def _kernel() -> tuple[np.ndarray, np.ndarray]:
         cos = np.cos(
             np.pi / (2 * _WIN_LEN) * np.outer(2 * k + 1, 2 * n + 1 + FRAME_LEN)
         )
-        _KERNEL = (win, cos)
+        # float32 transform: ~2x faster matmul; kernel rounding sits ~120 dB
+        # under the payload, far below any quantizer operating point
+        _KERNEL = (win.astype(np.float32), cos.astype(np.float32))
     return _KERNEL
 
 
 def _mdct(z: np.ndarray) -> np.ndarray:
     win, cos = _kernel()
-    return cos @ (win * z)
+    return (cos @ (win * z.astype(np.float32))).astype(np.float64)
 
 
 def _imdct(X: np.ndarray) -> np.ndarray:
     win, cos = _kernel()
-    return (4.0 / _WIN_LEN) * win * (cos.T @ X)
+    return ((4.0 / _WIN_LEN) * win * (cos.T @ X.astype(np.float32))).astype(
+        np.float64
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -182,11 +186,16 @@ def _tables() -> tuple[dict, dict, dict, dict, int, int]:
 
 
 def _read_code(r: _BitReader, dec: dict, maxlen: int):
+    # one windowed read + integer shifts instead of a per-bit reader call
+    n = min(maxlen, len(r.data) * 8 - r.pos)
+    window = r.u(n)
     code = 0
-    for ln in range(1, maxlen + 1):
-        code = (code << 1) | r.u(1)
-        hit = dec.get((ln, code))
+    get = dec.get
+    for ln in range(1, n + 1):
+        code = (code << 1) | ((window >> (n - ln)) & 1)
+        hit = get((ln, code))
         if hit is not None:
+            r.pos -= n - ln  # give back the unconsumed tail of the window
             return hit
     raise ValueError("invalid AAC Huffman code")
 
@@ -426,13 +435,16 @@ def _encode_frame(lines: np.ndarray, quality: int) -> bytes:
 
 
 def encode_aac(
-    samples: np.ndarray, sample_rate: int = 32000, *, quality: int = 60
+    samples: np.ndarray, sample_rate: int = 32000, *, quality: int = 12
 ) -> bytes:
     """Encode mono PCM (float, [-1, 1]) as an ADTS AAC-LC stream (see the
     module doc for scope + documented deviations). ``quality`` targets the
-    per-band quantized magnitude — higher = finer = larger frames; the
-    default lands ~9-14 bits/sample at ~40 dB SNR (VBR: rate follows the
-    signal, the ADTS frame-length field carries it).
+    per-band quantized magnitude — higher = finer = larger frames (VBR:
+    rate follows the signal, the ADTS frame-length field carries it).
+    The default sits just under the in-codeword magnitude cap of 16, so
+    pairs Huffman-code without escape sequences (~5-7 bits/sample at
+    ~30 dB SNR); quality > ~20 shifts the stream escape-heavy, buying
+    SNR at ~2x the rate.
     Frames cover 1024 new samples each with one leading+trailing flush
     frame, so ``decode_aac`` returns ``(n_frames - 1) * 1024`` samples;
     the first 1024 decoded samples align with the first 1024 inputs."""

@@ -88,13 +88,14 @@ class _BitWriter:
     def u(self, val: int, n: int) -> None:
         if val < 0 or (n < 64 and val >> n):
             raise ValueError(f"u({n}) out of range: {val}")
-        for i in range(n - 1, -1, -1):
-            self._cur = (self._cur << 1) | ((val >> i) & 1)
-            self._nbits += 1
-            if self._nbits == 8:
-                self.buf.append(self._cur)
-                self._cur = 0
-                self._nbits = 0
+        # O(n/8) arithmetic append (hot path for entropy-coded payloads)
+        cur = (self._cur << n) | val
+        nbits = self._nbits + n
+        while nbits >= 8:
+            nbits -= 8
+            self.buf.append((cur >> nbits) & 0xFF)
+        self._cur = cur & ((1 << nbits) - 1)
+        self._nbits = nbits
 
     def ue(self, val: int) -> None:
         if val < 0:
