@@ -176,6 +176,6 @@ def test_debezium_parse_is_streaming_safe(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    q.awaitTermination()  # availableNow: terminates deterministically
     got = spark.sql("select * from dbz_stream").collect()
     assert len(got) == 1 and got[0].conv_id == "s1" and got[0].op == "insert"

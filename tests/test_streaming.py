@@ -402,7 +402,7 @@ def test_gap_timeout_conversation_completeness(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow: terminates deterministically
     all_rows = spark.sql("select * from completions").collect()
     by_conv: dict = {}
     for r in all_rows:
@@ -443,7 +443,7 @@ def test_gap_timeout_conversation_completeness(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q2.awaitTermination(120)
+        q2.awaitTermination()  # availableNow: terminates deterministically
         la_rows = spark.sql("select * from completions_la").collect()
         la_by_conv: dict = {}
         for r in la_rows:

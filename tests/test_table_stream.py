@@ -43,10 +43,17 @@ def _ev(spark, op="insert", conv="A", seq=10, text="x", tool=None):
     )
 
 
-def _drain(spark, view, want, timeout=150):
+def _drain(spark, q, view, want, timeout=60):
+    # Deterministic: block until every available micro-batch has committed
+    # (the source table is static while we drain), then read the sink.
+    if q.exception():
+        raise AssertionError(f"stream died: {q.exception()}")
+    q.processAllAvailable()
     deadline = time.time() + timeout
     rows = []
     while time.time() < deadline:
+        if q.exception():
+            raise AssertionError(f"stream died: {q.exception()}")
         rows = spark.sql(f"select * from {view}").collect()
         if len(rows) >= want:
             break
@@ -91,7 +98,15 @@ def test_snapshot_cdf_stream_tail_and_restart(spark, tmp_path):
             .start()
         )
 
-    def sink_rows(q, want, timeout=180):
+    def sink_rows(q, want, timeout=60):
+        # Deterministic drain: the table is static between apply_changes
+        # calls, so processAllAvailable() terminates once every paced
+        # micro-batch (maxVersionsPerBatch=1) has committed — no wall-clock
+        # race under host load. The short poll after it only covers sink
+        # file visibility.
+        if q.exception():
+            raise AssertionError(f"stream died: {q.exception()}")
+        q.processAllAvailable()
         deadline = time.time() + timeout
         rows = []
         while time.time() < deadline:
@@ -173,7 +188,7 @@ def test_snapshot_cdf_batch_parity(spark, tmp_path):
         .start()
     )
     try:
-        rows = _drain(spark, "cdf_parity", 3)
+        rows = _drain(spark, q, "cdf_parity", 3)
     finally:
         q.stop()
 
@@ -209,7 +224,7 @@ def test_snapshot_cdf_stream_across_rebucket(spark, tmp_path):
     try:
         table.rebucket(8)  # content-neutral layout change
         apply_changes(table, _ev(spark, conv="D", seq=60, text="d1"), epoch=1)
-        rows = _drain(spark, "cdf_rb", 1)
+        rows = _drain(spark, q, "cdf_rb", 1)
     finally:
         q.stop()
     assert {(r["conv_id"], r["_change_type"], r["text"]) for r in rows} == {
@@ -234,7 +249,12 @@ def test_replication_pipeline_exactly_once(spark, tmp_path):
     replica = create_replica_table(spark, str(tmp_path / "dst"), src)
     ckpt = str(tmp_path / "ck")
 
-    def converged(want_rows, timeout=90):
+    def converged(query, want_rows, timeout=60):
+        # Deterministic: drain every available micro-batch first; the poll
+        # after only covers replica-read visibility.
+        if query.exception():
+            raise AssertionError(f"stream died: {query.exception()}")
+        query.processAllAvailable()
         deadline = time.time() + timeout
         while time.time() < deadline:
             got = {
@@ -251,7 +271,7 @@ def test_replication_pipeline_exactly_once(spark, tmp_path):
         apply_changes(src, _ev(spark, conv="B", seq=20, text="b1"), epoch=1)
         apply_changes(src, _ev(spark, conv="A", seq=30, text="a2"), epoch=2)
         want = {("A", 0, "a2"), ("B", 0, "b1")}
-        assert converged(want) == want
+        assert converged(q, want) == want
     finally:
         q.stop()
 
@@ -261,7 +281,7 @@ def test_replication_pipeline_exactly_once(spark, tmp_path):
     q2 = replicate_stream(spark, src.path, replica, ckpt)
     try:
         want = {("A", 0, "a2"), ("C", 0, "c1")}
-        assert converged(want) == want
+        assert converged(q2, want) == want
     finally:
         q2.stop()
 
@@ -311,7 +331,7 @@ def test_snapshot_cdf_upserts_mode(spark, tmp_path):
             table, _ev(spark, op="delete", conv="B", seq=40, text=None), epoch=3
         )
         table.compact()  # content-neutral: contributes nothing
-        rows = _drain(spark, "ups", 3)
+        rows = _drain(spark, q, "ups", 3)
     finally:
         q.stop()
     got = {(r["conv_id"], r["_change_type"], r["text"]) for r in rows}
@@ -414,7 +434,7 @@ def test_cdf_key_hash_splits_preserve_content(spark, tmp_path):
             .start()
         )
         try:
-            rows = _drain(spark, name, 8)
+            rows = _drain(spark, q, name, 8)
         finally:
             q.stop()
         return sorted(
@@ -470,7 +490,7 @@ def test_stream_across_added_int_column_arrow_nulls(spark, tmp_path):
         .start()
     )
     try:
-        rows = _drain(spark, "ev_int", 2)
+        rows = _drain(spark, q, "ev_int", 2)
     finally:
         q.stop()
     got = {(r["k"], r["_change_type"]): r["score"] for r in rows}
@@ -502,7 +522,8 @@ def test_replication_in_upserts_mode(spark, tmp_path):
         starting_version=0, mode="upserts",
     )
     try:
-        deadline = time.time() + 120
+        q.processAllAvailable()  # deterministic drain; poll covers visibility
+        deadline = time.time() + 60
         want = {("A", 0, "a2")}
         got = None
         while time.time() < deadline:
