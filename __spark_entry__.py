@@ -2403,6 +2403,82 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_replication_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming table→table CDC replication end-to-end
+    (``streaming/replicate.py``): events LWW-merge into a source table in
+    two commits, and the REAL streaming query (``snapshot_cdf`` feed →
+    exactly-once versioned merge into a replica) relays them — the first
+    drain replicates epoch 0's inserts, the second replicates epoch 1's
+    updates AND deletes as collapsed CDF images. Drains use
+    ``processAllAvailable`` (the source is static between commits), so the
+    result is deterministic. Oracle: DuckDB recomputes the source's global
+    LWW final state from scratch — replica convergence means the streamed
+    state equals it exactly.
+
+    Closes the last pytest-only streaming surface (rollup got its oracle
+    row via ``rollup_state``). Reference analog: the core nifi-dicom
+    deployment ``ListenDICOM → PutDICOM`` relay (``ListenDICOM.java``,
+    ``PutDICOM.java``) — continuous PACS→PACS replication."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from nifi_dicom_spark.streaming.replicate import (
+        create_replica_table,
+        replicate_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 3).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("value"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="repl-")
+    src = SnapshotTable.create(
+        spark, base + "/src", schema, key_cols=["conv_id", "turn_idx"], n_buckets=8
+    )
+    src.merge(
+        ev.filter(F.col("op_seq") % 2 == 0),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(0, 0)],
+    )
+    replica = create_replica_table(spark, base + "/dst", src)
+    q = replicate_stream(spark, src.path, replica, base + "/ckpt", starting_version=0)
+    try:
+        q.processAllAvailable()  # replica ← epoch-0 state
+        src.merge(
+            ev.filter(F.col("op_seq") % 2 == 1),
+            op_col="op",
+            policy="versioned_upsert",
+            commit_keys=[(1, 0)],
+        )
+        q.processAllAvailable()  # replica applies epoch-1 updates + deletes
+    finally:
+        q.stop()
+    return (
+        replica.read()
+        .filter(F.col("op") != "delete")
+        .select("conv_id", "turn_idx", F.round("value", 4).alias("value"))
+    )
+
+
 def q_stats_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: metrics serialized as JSON rows (``LogCacheStatistics.java:50-60``
     → ``F.to_json(F.struct(...))``)."""
@@ -2634,12 +2710,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation (r5): the driver checks the first 50 dict entries. Round 4
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
-    # row in r3. Those 22 lead now, followed by the 4 queries NEW this
-    # round (rollup_state, layer3_decode, h264_frames, aac_decode), then
-    # enough r4-green entries to fill the window; the r4-green remainder
-    # (from redact_regions on) rotates to the tail so every registered
-    # query has a green row dated within the last two rounds. Rotate again
-    # next round.
+    # row in r3. Those 22 lead now, followed by the 5 queries NEW this
+    # round (rollup_state, replication_state, layer3_decode, h264_frames,
+    # aac_decode), then enough r4-green entries to fill the window; the
+    # r4-green remainder (from encrypt_roundtrip on) rotates to the tail so
+    # every registered query has a green row dated within the last two
+    # rounds. Rotate again next round.
     return {
         # --- last verified r3 (rotated past r4's 50-cap) — first now -----
         "cfind_query": q_cfind_query,
@@ -2666,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_range": q_datetime_range,
         # --- new this round (r5) ----------------------------------------
         "rollup_state": q_rollup_state,
+        "replication_state": q_replication_state,
         "layer3_decode": q_layer3_decode,
         "h264_frames": q_h264_frames,
         "aac_decode": q_aac_decode,
@@ -3796,6 +3873,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp, COUNT(*) AS n_rows,
                    round(SUM(COALESCE(value, 0.0)), 4) AS sum_value
             FROM final GROUP BY grp
+        """,
+        "replication_state": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 3 AS INT) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq, value
+              FROM events
+            ), w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY op_seq DESC) AS rn
+              FROM ev
+            )
+            SELECT conv_id, turn_idx, round(value, 4) AS value
+            FROM w WHERE rn = 1 AND op <> 'delete'
         """,
         "rebucket_read": """
             WITH ev AS (
