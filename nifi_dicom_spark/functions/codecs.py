@@ -156,12 +156,26 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Exception classes that can only escape the parser on out-of-bounds /
+# malformed input: translated to ValueError at the public boundary.
+_MALFORMED_EXC = (IndexError, KeyError, struct.error, zlib.error)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG → (H, W, 3) uint8 RGB.
 
     Color types: 0 gray (replicated to RGB), 2 RGB, 3 palette (PLTE
     lookup), 4 gray+alpha, 6 RGBA (alpha dropped). Multiple IDAT chunks are
-    concatenated per spec before one zlib inflate."""
+    concatenated per spec before one zlib inflate. Malformed/truncated
+    payloads raise ``ValueError`` (never a raw IndexError/struct.error/
+    zlib.error from the chunk parser)."""
+    try:
+        return _decode_png(payload)
+    except _MALFORMED_EXC as e:
+        raise ValueError(f"malformed PNG ({type(e).__name__}: {e})") from e
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
     if not is_png(payload):
         raise ValueError("not a PNG payload")
     pos, n = 8, len(payload)

@@ -252,8 +252,24 @@ def is_jpeg(payload: bytes | None) -> bool:
     return payload is not None and len(payload) >= 4 and payload[:2] == b"\xff\xd8"
 
 
+# Exception classes that can only escape the parser on out-of-bounds /
+# malformed input (never on caller API misuse): translated to ValueError at
+# the public boundary so callers get one clean error contract.
+_MALFORMED_EXC = (IndexError, KeyError, StopIteration, struct.error)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF → (H, W, 3) uint8 RGB (grayscale replicated)."""
+    """Baseline JFIF → (H, W, 3) uint8 RGB (grayscale replicated).
+
+    Malformed/truncated payloads raise ``ValueError`` (never a raw
+    IndexError/KeyError/struct.error from the bit-level parser)."""
+    try:
+        return _decode_jpeg(payload)
+    except _MALFORMED_EXC as e:
+        raise ValueError(f"malformed JPEG ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if not is_jpeg(payload):
         raise ValueError("not a JPEG payload")
     pos = 2

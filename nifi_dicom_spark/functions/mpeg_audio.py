@@ -1179,6 +1179,14 @@ def _l3_read_code(bits: np.ndarray, pos: int, table: dict, maxlen: int):
     raise ValueError("invalid Layer III Huffman code")
 
 
+def _l3_sign_bit(bits: np.ndarray, pos: int) -> tuple[int, int]:
+    """Read one sign bit with a bounds check: truncated main data must be
+    a clean bitstream ValueError, not a raw IndexError."""
+    if pos >= len(bits):
+        raise ValueError("Layer III main data truncated")
+    return int(bits[pos]), pos + 1
+
+
 def decode_layer3(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode an MPEG-1 Layer III mono stream produced by
     :func:`encode_layer3`: side-info parse, Huffman (pair + quad) entropy
@@ -1213,6 +1221,14 @@ def decode_layer3(payload: bytes) -> tuple[np.ndarray, int]:
             )
             side.append((int(f_[0]), int(f_[1]), int(f_[2])))  # p23, big, gg
         for p23, big_pairs, gg in side:
+            # big_values is a 9-bit side-info field (<= 511 pairs = 1022
+            # lines) but a granule only has _L3_LINES (576) spectral lines;
+            # a corrupted stream can claim more, which must be a clean
+            # bitstream error, not an index crash.
+            if 2 * big_pairs > _L3_LINES:
+                raise ValueError(
+                    "Layer III big_values region exceeds granule spectrum"
+                )
             start = pos
             q = np.zeros(_L3_LINES, dtype=np.float64)
             for i in range(big_pairs):
@@ -1222,14 +1238,14 @@ def decode_layer3(payload: bytes) -> tuple[np.ndarray, int]:
                     lin, pos = _take_var(bits, pos, np.asarray([_L3_LINBITS]))
                     a += int(lin[0])
                 if ca:
-                    a = -a if int(bits[pos]) else a
-                    pos += 1
+                    s, pos = _l3_sign_bit(bits, pos)
+                    a = -a if s else a
                 if cb == _L3_ESC:
                     lin, pos = _take_var(bits, pos, np.asarray([_L3_LINBITS]))
                     b += int(lin[0])
                 if cb:
-                    b = -b if int(bits[pos]) else b
-                    pos += 1
+                    s, pos = _l3_sign_bit(bits, pos)
+                    b = -b if s else b
                 q[2 * i] = a
                 q[2 * i + 1] = b
             line = 2 * big_pairs
@@ -1237,7 +1253,7 @@ def decode_layer3(payload: bytes) -> tuple[np.ndarray, int]:
                 quad, pos = _l3_read_code(bits, pos, qd, qm)
                 for t in range(4):
                     if quad[t]:
-                        s = int(bits[pos]); pos += 1
+                        s, pos = _l3_sign_bit(bits, pos)
                         q[line + t] = -1.0 if s else 1.0
                 line += 4
             if pos - start > p23:

@@ -768,3 +768,74 @@ def test_decode_frames_h264_real_pixels(spark):
         )
     ).collect()
     assert (feats[0]["width"], feats[0]["height"]) == (w, h)
+
+
+# --- codec decoder robustness: malformed input is a clean ValueError ---------
+#
+# The public decode_* contract across every from-scratch codec: corrupted,
+# truncated, or garbage payloads raise ValueError — never a raw IndexError /
+# KeyError / StopIteration / struct.error / zlib.error from the bit-level
+# parsers. (Engine UDF call sites tolerate any exception, but the library
+# surface promises one clean error class; a fuzz pass in round 5 found
+# decode_layer3 overflowing its 576-line granule on a corrupt 9-bit
+# big_values field, and decode_jpeg/decode_png leaking parser internals.)
+
+
+def _codec_fixtures():
+    import numpy as np
+
+    from nifi_dicom_spark.functions import aac, codecs, h264, jpeg
+    from nifi_dicom_spark.functions import mpeg_audio as ma
+
+    x = (0.4 * np.sin(2 * np.pi * 440 * np.arange(4608) / 32000)).astype(
+        np.float64
+    )
+    img = (np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3) * 7 % 256).astype(
+        np.uint8
+    )
+    return {
+        "layer1": (ma.encode_layer1(x, sample_rate=32000), ma.decode_layer1),
+        "layer2": (ma.encode_layer2(x, sample_rate=32000), ma.decode_layer2),
+        "layer3": (ma.encode_layer3(x, sample_rate=32000), ma.decode_layer3),
+        "aac": (aac.encode_aac(x, sample_rate=32000), aac.decode_aac),
+        "h264": (h264.encode_h264([img, img[::-1].copy()]), h264.decode_h264),
+        "jpeg": (jpeg.encode_jpeg(img), jpeg.decode_jpeg),
+        "png": (codecs.encode_png(img), codecs.decode_png),
+    }
+
+
+@pytest.mark.parametrize("codec", ["layer1", "layer2", "layer3", "aac", "h264", "jpeg", "png"])
+def test_decoder_rejects_malformed_input_cleanly(codec):
+    import numpy as np
+
+    enc, dec = _codec_fixtures()[codec]
+    dec(enc)  # the pristine stream must still decode
+
+    # deterministic 3-byte corruptions (includes the round-5 layer3
+    # big_values-overflow reproducer class)
+    for seed in range(150):
+        r = np.random.default_rng(seed)
+        buf = bytearray(enc)
+        for _ in range(3):
+            buf[int(r.integers(0, len(buf)))] = int(r.integers(0, 256))
+        try:
+            dec(bytes(buf))
+        except ValueError:
+            pass  # clean rejection — decoding to *something* is also fine
+
+    # truncations at ~60 evenly-spaced cut points
+    step = max(1, len(enc) // 60)
+    for cut in range(1, len(enc), step):
+        try:
+            dec(enc[:cut])
+        except ValueError:
+            pass
+
+    # pure garbage
+    for seed in range(25):
+        r = np.random.default_rng(10_000 + seed)
+        junk = r.integers(0, 256, size=int(r.integers(1, 1500))).astype(np.uint8)
+        try:
+            dec(junk.tobytes())
+        except ValueError:
+            pass
