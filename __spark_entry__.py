@@ -1236,10 +1236,11 @@ def _aac_decode_oracle() -> str:
         payload = encode_aac(_layer1_signal(int(i)), 32000, quality=12)
         samples, _sr = decode_aac(payload)
         feat = audio_energy_features(samples, 4)
-        rows.append(
-            f"({int(i)}, {round(float(feat[0]), 6)!r},"
-            f" {round(float(feat[3]), 6)!r}, {len(payload)})"
-        )
+        # full-precision floats here, rounding ONCE in SQL — pre-rounding
+        # with Python round() (half-even) can disagree with the Spark
+        # side's single HALF_UP round at 1e-6 ties (matches the
+        # layer1/layer3 oracle convention)
+        rows.append(f"({int(i)}, {float(feat[0])!r}, {float(feat[3])!r}, {len(payload)})")
     values = ",\n".join(rows)
     return f"""
         SELECT media_id, round(band0, 6) AS band0, round(band3, 6) AS band3,
@@ -2770,10 +2771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_ivf": q_ann_ivf,
+        # --- green r4 rows: rotated past the 50-cap this round ------------
+        # (ann_ivf above is entry #50, the last the driver verifies)
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "redact_regions": q_redact_regions,
         "tpch_q1": q_tpch_q1,
-        # --- green r4 rows: rotated past the cap this round --------------
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,

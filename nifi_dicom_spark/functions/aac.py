@@ -448,11 +448,19 @@ def encode_aac(
     Frames cover 1024 new samples each with one leading+trailing flush
     frame, so ``decode_aac`` returns ``(n_frames - 1) * 1024`` samples;
     the first 1024 decoded samples align with the first 1024 inputs."""
-    x = np.asarray(samples, dtype=np.float64).ravel()
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2 and x.shape[1] == 1:
+        x = x[:, 0]
+    if x.ndim != 1:
+        # ravel() here would silently interleave a (n, 2) stereo pair into
+        # one garbled mono stream — scope is mono, reject like Layer III
+        raise ValueError("AAC scope is mono: samples must be (n,)")
     if sample_rate not in SAMPLE_RATES:
         raise ValueError(f"sample_rate must be one of {SAMPLE_RATES}")
     if not len(x):
         raise ValueError("empty signal")
+    if not np.isfinite(x).all():
+        raise ValueError("samples must be finite (no NaN/inf)")
     if quality < 4:
         raise ValueError("quality must be >= 4")
     sr_index = SAMPLE_RATES.index(sample_rate)

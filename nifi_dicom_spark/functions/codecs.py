@@ -265,6 +265,8 @@ def encode_png(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB → 8-bit color-type-2 PNG (filter 0, zlib level 6
     — fixed so output bytes are deterministic for replay)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3 or not img.shape[0] or not img.shape[1]:
+        raise ValueError(f"img must be non-empty (H, W, 3) RGB, got {img.shape}")
     h, w = img.shape[:2]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     scanlines = np.zeros((h, w * 3 + 1), dtype=np.uint8)

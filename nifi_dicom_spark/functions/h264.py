@@ -320,24 +320,44 @@ def _pps_rbsp() -> bytes:
     return w.getvalue()
 
 
+def _skip_scaling_list(r: _BitReader, size: int) -> None:
+    """Walk one scaling_list() (spec 7.3.2.1.1.1) without keeping it —
+    the header probe only needs to keep the bit reader in sync."""
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + r.se() + 256) % 256
+        if nxt != 0:
+            last = nxt
+
+
 def _parse_sps(rbsp: bytes) -> dict:
+    """Parse any spec-valid SPS header (7.3.2.1.1) — scaling matrices are
+    skipped, interlaced and non-4:2:0 streams yield correct dims. This is
+    deliberately NOT where the decode boundary is enforced: probe_media
+    must read dims from third-party streams the pixel decoder declines
+    (:func:`_require_decodable` guards the decode path)."""
     r = _BitReader(rbsp)
     profile = r.u(8)
     r.u(8)  # constraint flags + reserved
     level = r.u(8)
     sps_id = r.ue()
     chroma_format_idc = 1
+    separate_planes = False
+    scaling_matrix = False
     if profile in _HIGH_PROFILES:
         chroma_format_idc = r.ue()
         if chroma_format_idc == 3:
-            r.u(1)  # separate_colour_plane_flag
+            separate_planes = bool(r.u(1))
         r.ue()  # bit_depth_luma_minus8
         r.ue()  # bit_depth_chroma_minus8
         r.u(1)  # qpprime_y_zero_transform_bypass_flag
-        if r.u(1):
-            raise UnsupportedH264("seq_scaling_matrix not supported")
-    if chroma_format_idc != 1:
-        raise UnsupportedH264(f"chroma_format_idc {chroma_format_idc} (only 4:2:0)")
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            scaling_matrix = True
+            n_lists = 8 if chroma_format_idc != 3 else 12
+            for i in range(n_lists):
+                if r.u(1):  # seq_scaling_list_present_flag[i]
+                    _skip_scaling_list(r, 16 if i < 6 else 64)
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
     log2_max_poc_lsb = 0
@@ -353,17 +373,26 @@ def _parse_sps(rbsp: bytes) -> dict:
     r.ue()  # max_num_ref_frames
     r.u(1)  # gaps_in_frame_num_value_allowed_flag
     mb_w = r.ue() + 1
-    mb_h = r.ue() + 1
+    map_units_h = r.ue() + 1
     frame_mbs_only = bool(r.u(1))
+    # FrameHeightInMbs = (2 - frame_mbs_only_flag) * PicHeightInMapUnits
+    mb_h = (2 - int(frame_mbs_only)) * map_units_h
     if not frame_mbs_only:
-        raise UnsupportedH264("interlaced (frame_mbs_only_flag=0)")
+        r.u(1)  # mb_adaptive_frame_field_flag
     r.u(1)  # direct_8x8_inference_flag
     crop_l = crop_r = crop_t = crop_b = 0
     if r.u(1):  # frame_cropping_flag
         crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
-    # CropUnitX/Y = 2 for 4:2:0 frame pictures (spec 7.4.2.1.1)
-    width = mb_w * 16 - 2 * (crop_l + crop_r)
-    height = mb_h * 16 - 2 * (crop_t + crop_b)
+    # Crop units (7.4.2.1.1): ChromaArrayType 0 (mono / separate planes)
+    # crops in luma samples; otherwise in chroma sub-sample units.
+    if chroma_format_idc == 0 or separate_planes:
+        unit_x, unit_y = 1, 2 - int(frame_mbs_only)
+    else:
+        sub_w = {1: 2, 2: 2, 3: 1}[chroma_format_idc]
+        sub_h = {1: 2, 2: 1, 3: 1}[chroma_format_idc]
+        unit_x, unit_y = sub_w, sub_h * (2 - int(frame_mbs_only))
+    width = mb_w * 16 - unit_x * (crop_l + crop_r)
+    height = mb_h * 16 - unit_y * (crop_t + crop_b)
     return {
         "sps_id": sps_id,
         "profile": profile,
@@ -377,7 +406,25 @@ def _parse_sps(rbsp: bytes) -> dict:
         "poc_type": poc_type,
         "log2_max_poc_lsb": log2_max_poc_lsb,
         "delta_poc_always_zero": delta_poc_always_zero,
+        "chroma_format_idc": chroma_format_idc,
+        "frame_mbs_only": frame_mbs_only,
+        "scaling_matrix": scaling_matrix,
     }
+
+
+def _require_decodable(sps: dict) -> None:
+    """The pixel-decode boundary (encode side only ever emits 4:2:0
+    progressive, no scaling matrices): header-parseable but undecodable
+    toolsets raise :class:`UnsupportedH264` here, AFTER the probe has had
+    its chance to read dims."""
+    if sps["chroma_format_idc"] != 1:
+        raise UnsupportedH264(
+            f"chroma_format_idc {sps['chroma_format_idc']} (only 4:2:0)"
+        )
+    if not sps["frame_mbs_only"]:
+        raise UnsupportedH264("interlaced (frame_mbs_only_flag=0)")
+    if sps["scaling_matrix"]:
+        raise UnsupportedH264("seq_scaling_matrix not supported")
 
 
 def _parse_pps(rbsp: bytes) -> dict:
@@ -443,6 +490,7 @@ def _idr_slice_rbsp(
 
 
 def _decode_slice(rbsp: bytes, sps: dict, pps_by_id: dict, idr: bool, ref_idc: int):
+    _require_decodable(sps)
     r = _BitReader(rbsp)
     if r.ue() != 0:  # first_mb_in_slice
         raise UnsupportedH264("multi-slice pictures not supported")
@@ -514,6 +562,16 @@ def _decode_slice(rbsp: bytes, sps: dict, pps_by_id: dict, idr: bool, ref_idc: i
 
 
 def _rgb_to_yuv420(frame: np.ndarray):
+    if frame.ndim not in (2, 3) or (frame.ndim == 3 and frame.shape[2] < 3):
+        raise ValueError(
+            f"frame must be (H, W, 3) RGB or (H, W) grayscale, got {frame.shape}"
+        )
+    if frame.shape[0] % 2 or frame.shape[1] % 2:
+        # enforced here too: the 2x2 chroma mean below needs even dims, and
+        # a reshape error is not a usable message
+        raise ValueError(
+            f"4:2:0 needs even dimensions, got {frame.shape[1]}x{frame.shape[0]}"
+        )
     if frame.ndim == 2:  # grayscale: flat chroma
         y = frame.astype(np.uint8)
         h, w = y.shape
@@ -564,6 +622,8 @@ def encode_h264_yuv(frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]]) -> 
         raise ValueError("need at least one frame")
     y0 = frames[0][0]
     h, w = y0.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty frame (zero width or height)")
     if h % 2 or w % 2:
         raise ValueError(f"4:2:0 needs even dimensions, got {w}x{h}")
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
@@ -595,11 +655,16 @@ def encode_h264_aus(frames: list[np.ndarray]) -> list[bytes]:
     return [encode_h264([f]) for f in frames]
 
 
-def decode_h264_yuv(payload: bytes) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+def decode_h264_yuv(
+    payload: bytes, max_frames: int | None = None
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Decode an Annex-B stream to per-frame cropped 4:2:0 planes.
 
-    Raises :class:`UnsupportedH264` for spec-valid toolsets outside the
-    declared boundary and ``ValueError`` for malformed data."""
+    ``max_frames`` stops after that many coded pictures — the feature
+    kernel wants only the first frame and must not pay full macroblock
+    reconstruction for the rest of the stream. Raises
+    :class:`UnsupportedH264` for spec-valid toolsets outside the declared
+    boundary and ``ValueError`` for malformed data."""
     sps_by_id: dict[int, dict] = {}
     pps_by_id: dict[int, dict] = {}
     frames = []
@@ -628,17 +693,19 @@ def decode_h264_yuv(payload: bytes) -> list[tuple[np.ndarray, np.ndarray, np.nda
             frames.append(
                 _decode_slice(rbsp, sps, pps_by_id, nal_type == NAL_IDR, ref_idc)
             )
+            if max_frames is not None and len(frames) >= max_frames:
+                break
         # SEI/AUD/filler: skipped
     if not frames:
         raise ValueError("no coded pictures in stream")
     return frames
 
 
-def decode_h264(payload: bytes) -> list[np.ndarray]:
+def decode_h264(payload: bytes, max_frames: int | None = None) -> list[np.ndarray]:
     """Decode to uint8 RGB frames (BT.601 full-range, nearest chroma
     upsample) — the inverse of :func:`encode_h264` up to color-conversion
     rounding; the YUV planes underneath are bit-exact."""
-    return [_yuv420_to_rgb(*f) for f in decode_h264_yuv(payload)]
+    return [_yuv420_to_rgb(*f) for f in decode_h264_yuv(payload, max_frames=max_frames)]
 
 
 def parse_h264(payload: bytes) -> dict:

@@ -449,6 +449,8 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
 def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     """(H, W, 3) uint8 RGB → baseline JFIF (4:4:4, standard tables)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3 or not img.shape[0] or not img.shape[1]:
+        raise ValueError(f"img must be non-empty (H, W, 3) RGB, got {img.shape}")
     h, w = img.shape[:2]
     ql, qc = _quality_tables(quality)
     rgb = img.astype(np.float64)

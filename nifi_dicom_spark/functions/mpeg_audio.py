@@ -264,6 +264,8 @@ def encode_layer1(
         x = x[:, None]
     if x.ndim != 2 or x.shape[1] not in (1, 2):
         raise ValueError("samples must be (n,) mono or (n, 1|2) channels")
+    if not np.isfinite(x).all():
+        raise ValueError("samples must be finite (no NaN/inf)")
     nch = x.shape[1]
     # flush: the filterbank cascade needs _DELAY future samples to finish
     # reconstructing the tail, so append that much silence before framing
@@ -589,6 +591,8 @@ def encode_layer2(
         x = x[:, None]
     if x.ndim != 2 or x.shape[1] not in (1, 2):
         raise ValueError("samples must be (n,) mono or (n, 1|2) channels")
+    if not np.isfinite(x).all():
+        raise ValueError("samples must be finite (no NaN/inf)")
     nch = x.shape[1]
     x = np.concatenate([x, np.zeros((_DELAY, nch))])  # filterbank flush
     pad = (-x.shape[0]) % SAMPLES_PER_FRAME_L2
@@ -1098,6 +1102,8 @@ def encode_layer3(
         x = x[:, 0]
     if x.ndim != 1:
         raise ValueError("Layer III scope is mono: samples must be (n,)")
+    if not np.isfinite(x).all():
+        raise ValueError("samples must be finite (no NaN/inf)")
     x = np.concatenate([x, np.zeros(_DELAY)])
     pad = (-len(x)) % _L3_LINES  # rows come in 18s: 576 samples
     if pad:

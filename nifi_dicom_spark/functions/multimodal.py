@@ -143,7 +143,10 @@ def _decode_feature(
             # from the first coded picture's actual pixels. Streams using
             # CAVLC/CABAC residual macroblocks raise UnsupportedH264 and
             # fall through to the declared stub below.
-            img = h264.decode_h264(payload)[0]
+            # max_frames=1: decode ONLY the first coded picture — paying
+            # full macroblock reconstruction for the rest of the stream
+            # just to discard it breaks the per-row cost model
+            img = h264.decode_h264(payload, max_frames=1)[0]
             return codecs.image_block_features(img, dim), img.shape[1], img.shape[0]
     except Exception:
         pass  # unsupported variant / corrupt container → stub path

@@ -216,31 +216,7 @@ def rollup_stream(
             f"group_cols {list(group_cols)} must equal the rollup table's "
             f"key columns {rollup.key_cols()}"
         )
-    have = set(rollup.schema().fieldNames())
-    need = {
-        "n_rows",
-        *(f"sum_{c}" for c in sum_cols),
-        *(f"max_{c}" for c in max_cols),
-        *(f"min_{c}" for c in min_cols),
-    }
-    if not need <= have:
-        raise ValueError(
-            f"rollup table lacks aggregate column(s) {sorted(need - have)}; "
-            "create it with create_rollup_table(..., sum_cols=...)"
-        )
-    # exact-match, not subset: the LWW merge conforms missing columns to
-    # null, so streaming FEWER aggregate cols than the table carries would
-    # silently null the omitted totals for every touched group
-    keys = set(rollup.key_cols())
-    for pfx, req in (("sum_", sum_cols), ("max_", max_cols), ("min_", min_cols)):
-        table_aggs = {f for f in have if f.startswith(pfx) and f not in keys}
-        if {f"{pfx}{c}" for c in req} != table_aggs:
-            raise ValueError(
-                f"{pfx.rstrip('_')}_cols {sorted(req)} must cover the rollup "
-                f"table's aggregate columns exactly ({sorted(table_aggs)}): "
-                "omitted columns would be overwritten with null on every "
-                "touched group"
-            )
+    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols)
     src_table = (
         SnapshotTable.load(spark, source_path) if (max_cols or min_cols) else None
     )
@@ -467,6 +443,42 @@ def _apply_cdf_images(
         rollup.merge(ev, op_col="op", policy="versioned_upsert", commit_keys=commit_keys)
 
 
+def _validate_agg_cols(
+    rollup: SnapshotTable,
+    sum_cols: list[str],
+    max_cols: list[str],
+    min_cols: list[str],
+) -> None:
+    """Require the requested aggregate columns to cover the rollup table's
+    ``sum_*/max_*/min_*`` columns EXACTLY (not a subset): the LWW merge
+    conforms missing columns to null, so maintaining FEWER aggregate cols
+    than the table carries would silently null the omitted totals for every
+    touched group. Shared by :func:`rollup_stream` and
+    :func:`refresh_rollup` — both write through the same merge."""
+    have = set(rollup.schema().fieldNames())
+    need = {
+        "n_rows",
+        *(f"sum_{c}" for c in sum_cols),
+        *(f"max_{c}" for c in max_cols),
+        *(f"min_{c}" for c in min_cols),
+    }
+    if not need <= have:
+        raise ValueError(
+            f"rollup table lacks aggregate column(s) {sorted(need - have)}; "
+            "create it with create_rollup_table(..., sum_cols=...)"
+        )
+    keys = set(rollup.key_cols())
+    for pfx, req in (("sum_", sum_cols), ("max_", max_cols), ("min_", min_cols)):
+        table_aggs = {f for f in have if f.startswith(pfx) and f not in keys}
+        if {f"{pfx}{c}" for c in req} != table_aggs:
+            raise ValueError(
+                f"{pfx.rstrip('_')}_cols {sorted(req)} must cover the rollup "
+                f"table's aggregate columns exactly ({sorted(table_aggs)}): "
+                "omitted columns would be overwritten with null on every "
+                "touched group"
+            )
+
+
 def refresh_rollup(
     rollup: SnapshotTable,
     source: SnapshotTable,
@@ -492,6 +504,12 @@ def refresh_rollup(
     from nifi_dicom_spark.operators.diff import change_feed
 
     sum_cols = list(sum_cols or [])
+    max_cols = list(max_cols or [])
+    min_cols = list(min_cols or [])
+    # same coverage contract as rollup_stream: a refresh that omits an
+    # aggregate column the table carries would null it for every touched
+    # group through the LWW merge
+    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols)
     if int(source.current_version()) == int(from_version):
         return  # nothing committed since the seed
     feed = change_feed(source, from_version=int(from_version))

@@ -725,8 +725,12 @@ def test_h264_sps_poc_type0_and_high_profile_parse():
     assert (s["mb_w"], s["mb_h"], s["poc_type"], s["log2_max_poc_lsb"]) == (2, 1, 0, 6)
     s = h264._parse_sps(sps_bits(100, 2, chroma=1))
     assert s["profile"] == 100 and s["width"] == 32
+    # header parse SUCCEEDS on 4:2:2 (probe_media needs the dims); only the
+    # pixel-decode boundary refuses it
+    s422 = h264._parse_sps(sps_bits(100, 2, chroma=2))
+    assert s422["chroma_format_idc"] == 2 and s422["width"] == 32
     with pytest.raises(h264.UnsupportedH264, match="chroma_format_idc 2"):
-        h264._parse_sps(sps_bits(100, 2, chroma=2))
+        h264._require_decodable(s422)
 
 
 def test_decode_frames_h264_real_pixels(spark):
@@ -839,3 +843,134 @@ def test_decoder_rejects_malformed_input_cleanly(codec):
             dec(junk.tobytes())
         except ValueError:
             pass
+
+
+# --- H.264 header probe vs decode boundary -----------------------------------
+#
+# probe_media's job is reading dims from ANY spec-valid stream; the pixel
+# decoder's job is declining toolsets outside the baseline-intra boundary.
+# Round 5 review: _parse_sps used to conflate the two — scaling matrices,
+# interlaced, and non-4:2:0 SPS raised during HEADER parse, so probe_one
+# reported format='unknown' for real third-party H.264.
+
+
+def _third_party_sps(profile, mb_w, map_h, fmof, chroma=1, scaling=False,
+                     crop=(0, 0, 0, 0)):
+    from nifi_dicom_spark.functions import h264
+    from nifi_dicom_spark.functions.h264 import NAL_SPS, _BitWriter, _nal
+
+    w = _BitWriter()
+    w.u(profile, 8)
+    w.u(0, 8)
+    w.u(30, 8)
+    w.ue(0)
+    if profile in h264._HIGH_PROFILES:
+        w.ue(chroma)
+        if chroma == 3:
+            w.u(0, 1)
+        w.ue(0)
+        w.ue(0)
+        w.u(0, 1)
+        w.u(1 if scaling else 0, 1)
+        if scaling:
+            for _ in range(8 if chroma != 3 else 12):
+                w.u(0, 1)  # no per-list overrides (all defaults)
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # poc_type 2
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)
+    w.ue(mb_w - 1)
+    w.ue(map_h - 1)
+    w.u(1 if fmof else 0, 1)
+    if not fmof:
+        w.u(0, 1)  # mb_adaptive_frame_field_flag
+    w.u(0, 1)  # direct_8x8_inference_flag
+    has_crop = any(crop)
+    w.u(1 if has_crop else 0, 1)
+    if has_crop:
+        for c in crop:
+            w.ue(c)
+    w.rbsp_trailing()
+    return _nal(NAL_SPS, 3, w.getvalue())
+
+
+@pytest.mark.parametrize(
+    "name,kwargs,exp",
+    [
+        # interlaced: FrameHeightInMbs = 2 * map units
+        ("interlaced", dict(profile=66, mb_w=45, map_h=15, fmof=False), (720, 480)),
+        # High profile with a seq_scaling_matrix present (lists defaulted)
+        ("scaling", dict(profile=100, mb_w=20, map_h=15, fmof=True, scaling=True), (320, 240)),
+        # 4:2:2 crop unit: CropUnitY = SubHeightC(=1) * 1 → 4 luma rows
+        ("chroma422", dict(profile=100, mb_w=20, map_h=15, fmof=True, chroma=2, crop=(0, 0, 0, 4)), (320, 236)),
+    ],
+)
+def test_parse_h264_third_party_sps_variants(name, kwargs, exp):
+    from nifi_dicom_spark.functions import h264
+
+    meta = h264.parse_h264(_third_party_sps(**kwargs))
+    assert (meta["width"], meta["height"]) == exp
+    # the decode boundary still declines these toolsets (except bare crop)
+    sps = h264._parse_sps(
+        next(rbsp for t, _r, rbsp in h264._iter_nals(_third_party_sps(**kwargs)))
+    )
+    if name in ("interlaced", "scaling", "chroma422"):
+        with pytest.raises(h264.UnsupportedH264):
+            h264._require_decodable(sps)
+
+
+def test_decode_h264_max_frames_stops_early():
+    import numpy as np
+
+    from nifi_dicom_spark.functions import h264
+
+    fr = (np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3) * 7 % 256).astype(
+        np.uint8
+    )
+    enc = h264.encode_h264([fr, fr[::-1].copy(), fr])
+    assert len(h264.decode_h264(enc)) == 3
+    one = h264.decode_h264(enc, max_frames=1)
+    assert len(one) == 1
+    assert (one[0] == h264.decode_h264(enc)[0]).all()
+
+
+def test_encoder_input_validation():
+    """Encoder entrypoints reject hostile shapes/values with clean
+    ValueErrors: NaN/inf PCM (Layer I/II previously quantized NaN into
+    garbage bits; Layer III/AAC raised numpy's cryptic cast error), stereo
+    into the mono-scope codecs (AAC previously ravel()ed a (n,2) pair into
+    an interleaved mono stream), and empty / 2-D / odd-dim images."""
+    import numpy as np
+
+    from nifi_dicom_spark.functions import aac, codecs, h264, jpeg
+    from nifi_dicom_spark.functions import mpeg_audio as ma
+
+    encoders = [
+        lambda p: ma.encode_layer1(p, 32000),
+        lambda p: ma.encode_layer2(p, 32000),
+        lambda p: ma.encode_layer3(p, 32000),
+        lambda p: aac.encode_aac(p, 32000),
+    ]
+    for enc in encoders:
+        with pytest.raises(ValueError, match="finite"):
+            enc(np.full(2304, np.nan))
+        with pytest.raises(ValueError, match="finite"):
+            enc(np.full(2304, np.inf))
+    for enc in encoders[2:]:  # the mono-scope codecs
+        with pytest.raises(ValueError, match="mono"):
+            enc(np.zeros((1152, 2)))
+    # (n, 1) column vectors are still accepted everywhere
+    for enc in encoders:
+        assert len(enc(np.zeros((1152, 1)))) > 0
+
+    for bad in (np.zeros((0, 0, 3), np.uint8), np.zeros((8, 8), np.uint8)):
+        with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+            jpeg.encode_jpeg(bad)
+        with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+            codecs.encode_png(bad)
+    with pytest.raises(ValueError, match="empty frame"):
+        h264.encode_h264([np.zeros((0, 0, 3), np.uint8)])
+    with pytest.raises(ValueError, match="even dimensions"):
+        h264.encode_h264([np.zeros((7, 9, 3), np.uint8)])
+    # grayscale stays a supported h264 input
+    assert len(h264.encode_h264([np.zeros((16, 16), np.uint8)])) > 0

@@ -1135,6 +1135,40 @@ def test_rollup_minmax_recompute_and_batch_refresh(spark, tmp_path):
     assert "tool" not in {t[0] for t in state()}
 
 
+def test_refresh_rollup_rejects_partial_agg_cols(spark, tmp_path):
+    """refresh_rollup must enforce the same exact-coverage contract as
+    rollup_stream: omitting an aggregate column the table carries would
+    silently null it for every touched group via the LWW merge."""
+    from nifi_dicom_spark.streaming.rollup import (
+        create_rollup_table,
+        refresh_rollup,
+    )
+
+    src = create_transcripts_table(spark, str(tmp_path / "srcg"), n_buckets=2)
+    roll = create_rollup_table(
+        spark,
+        str(tmp_path / "rollg"),
+        src,
+        group_cols=["role"],
+        sum_cols=["turn_idx"],
+        max_cols=["ts"],
+    )
+    import pytest
+
+    # forgotten sum_cols entirely
+    with pytest.raises(ValueError, match="must cover the rollup"):
+        refresh_rollup(roll, src, from_version=0, max_cols=["ts"])
+    # forgotten max_cols
+    with pytest.raises(ValueError, match="must cover the rollup"):
+        refresh_rollup(roll, src, from_version=0, sum_cols=["turn_idx"])
+    # extra column the table does not carry
+    with pytest.raises(ValueError, match="lacks aggregate column"):
+        refresh_rollup(
+            roll, src, from_version=0, sum_cols=["turn_idx", "offset"],
+            max_cols=["ts"],
+        )
+
+
 def test_create_rollup_table_validation(spark, tmp_path):
     from nifi_dicom_spark.streaming.rollup import create_rollup_table
 
