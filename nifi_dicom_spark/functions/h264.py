@@ -19,14 +19,21 @@ What is REAL here (written against the published spec, no external libs):
 
 Macroblock coverage — the honest boundary: slices carry **I_PCM**
 macroblocks (``mb_type`` 25 in I slices — the spec's raw-sample lossless
-mode, clause 7.4.5 table 7-11 + 8.3.5). Every emitted bit is standard
-H.264; a conformant third-party decoder plays these streams. What this
-module does NOT decode is entropy-coded residual data — CAVLC/CABAC
-coefficient parsing for I_4x4/I_16x16/inter macroblocks needs the spec's
-large Huffman code tables, which stay a declared stub
-(:func:`nifi_dicom_spark.functions.multimodal._fake_decode_feature`);
-such macroblocks raise :class:`UnsupportedH264` and the feature path
-falls back to the clearly-marked stub rather than fabricating pixels.
+mode, clause 7.4.5 table 7-11 + 8.3.5) and, since round 5, **CAVLC-coded
+I_16x16** macroblocks (``encode_h264(frames, qp=...)``): real lossy
+compression with all four intra prediction modes, the normative 4x4
+integer transform + DC Hadamard reconstruction, quantization, and CAVLC
+entropy coding (:mod:`.h264_residual`). The I_PCM toolset is bit-exact
+standard H.264 a conformant third-party decoder plays; the CAVLC
+toolset is spec-exact in syntax, transforms and prediction but uses
+engine-canonical VLC code tables (embed-or-derive policy — the spec's
+printed tables 9-5..9-10 are non-derivable table data), so those
+streams carry a spec-legal SEI user-data marker and the decoder only
+attempts entropy decode when it is present. What stays a declared stub:
+third-party CAVLC/CABAC streams, I_4x4 and inter macroblocks — these
+raise :class:`UnsupportedH264` and the feature path falls back to the
+clearly-marked stub (:func:`nifi_dicom_spark.functions.multimodal.
+_fake_decode_feature`) rather than fabricating pixels.
 
 Reference analog: decompress-on-read of encapsulated video pixel data
 (``apps/DeidentifyAndRedact.java:271`` decompresses on import when the
@@ -442,7 +449,7 @@ def _parse_pps(rbsp: bytes) -> dict:
     r.u(2)  # weighted_bipred_idc
     pic_init_qp = r.se() + 26
     r.se()  # pic_init_qs_minus26
-    r.se()  # chroma_qp_index_offset
+    chroma_qp_offset = r.se()
     deblocking_control = bool(r.u(1))
     r.u(1)  # constrained_intra_pred_flag
     redundant_pic_cnt_present = bool(r.u(1))
@@ -451,9 +458,60 @@ def _parse_pps(rbsp: bytes) -> dict:
         "sps_id": sps_id,
         "bottom_field_poc_present": bottom_field_poc_present,
         "pic_init_qp": pic_init_qp,
+        "chroma_qp_offset": chroma_qp_offset,
         "deblocking_control": deblocking_control,
         "redundant_pic_cnt_present": redundant_pic_cnt_present,
     }
+
+
+# --------------------------------------------------------------------------
+# SEI marker for engine CAVLC streams (user_data_unregistered, type 5)
+# --------------------------------------------------------------------------
+
+# CAVLC coefficient VLC tables are engine-canonical (embed-or-derive
+# policy, see functions/h264_residual.py) — a third-party CAVLC stream
+# would mis-decode under them, so the encoder brands its entropy-coded
+# streams with this spec-legal SEI and the decoder only attempts
+# I_16x16 residual decode when the marker is present; unmarked
+# entropy-coded slices raise UnsupportedH264 into the declared stub.
+import hashlib as _hashlib
+
+_CAVLC_SEI_UUID = _hashlib.md5(b"nifi-dicom-spark:cavlc-i16x16:v1").digest()
+
+
+def _sei_marker_rbsp() -> bytes:
+    w = _BitWriter()
+    w.u(5, 8)  # payload_type: user_data_unregistered (D.1.7)
+    w.u(16, 8)  # payload_size: the 16-byte uuid_iso_iec_11578
+    w.write_bytes(_CAVLC_SEI_UUID)
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def _sei_has_marker(rbsp: bytes) -> bool:
+    """Walk sei_message()s (7.3.2.3, ff-extended type/size bytes) looking
+    for the engine's user-data UUID; malformed SEI is just 'no marker'."""
+    i = 0
+    try:
+        while i < len(rbsp) and rbsp[i] != 0x80:
+            pt = 0
+            while rbsp[i] == 255:
+                pt += 255
+                i += 1
+            pt += rbsp[i]
+            i += 1
+            sz = 0
+            while rbsp[i] == 255:
+                sz += 255
+                i += 1
+            sz += rbsp[i]
+            i += 1
+            if pt == 5 and sz >= 16 and rbsp[i : i + 16] == _CAVLC_SEI_UUID:
+                return True
+            i += sz
+    except IndexError:
+        return False
+    return False
 
 
 # --------------------------------------------------------------------------
@@ -489,7 +547,182 @@ def _idr_slice_rbsp(
     return w.getvalue()
 
 
-def _decode_slice(rbsp: bytes, sps: dict, pps_by_id: dict, idr: bool, ref_idc: int):
+def _nc_at(grid: np.ndarray, bx: int, by: int) -> int:
+    """nC for the 4x4 block at grid (bx, by): neighbor TotalCoeffs, raster
+    decode order guarantees in-frame left/above are already known (9.2.1)."""
+    from nifi_dicom_spark.functions.h264_residual import nc_from_neighbors
+
+    na = int(grid[by, bx - 1]) if bx > 0 else None
+    nb = int(grid[by - 1, bx]) if by > 0 else None
+    return nc_from_neighbors(na, nb)
+
+
+def _luma_neighbors(ry: np.ndarray, mx: int, my: int):
+    top = ry[my * 16 - 1, mx * 16 : mx * 16 + 16].astype(np.int64) if my > 0 else None
+    left = ry[my * 16 : my * 16 + 16, mx * 16 - 1].astype(np.int64) if mx > 0 else None
+    corner = int(ry[my * 16 - 1, mx * 16 - 1]) if (mx > 0 and my > 0) else None
+    return top, left, corner
+
+
+def _chroma_neighbors(pl: np.ndarray, mx: int, my: int):
+    top = pl[my * 8 - 1, mx * 8 : mx * 8 + 8].astype(np.int64) if my > 0 else None
+    left = pl[my * 8 : my * 8 + 8, mx * 8 - 1].astype(np.int64) if mx > 0 else None
+    corner = int(pl[my * 8 - 1, mx * 8 - 1]) if (mx > 0 and my > 0) else None
+    return top, left, corner
+
+
+def _idr_slice_cavlc_rbsp(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    mb_w: int,
+    mb_h: int,
+    idr_pic_id: int,
+    qp: int,
+) -> bytes:
+    """One IDR I slice of CAVLC-coded I_16x16 macroblocks: per-MB SAD mode
+    decision over all four luma (and chroma) intra predictions, forward
+    core transform + DC Hadamard, intra quantization at ``qp``, CAVLC
+    residual coding with spec 9.2.1 nC contexts — and lock-step
+    reconstruction through the *decoder's* normative path so prediction
+    neighbors match the decoder bit-exactly."""
+    from nifi_dicom_spark.functions import h264_residual as hr
+
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type: I
+    w.ue(0)  # pic_parameter_set_id
+    w.u(0, 4)  # frame_num
+    w.ue(idr_pic_id)
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    w.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26 in our PPS)
+    qpc = hr.chroma_qp(qp)
+    # decoder-view state
+    ry = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+    rc = [np.zeros((mb_h * 8, mb_w * 8), np.uint8) for _ in range(2)]
+    nnz_l = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+    nnz_c = [np.zeros((mb_h * 2, mb_w * 2), np.int64) for _ in range(2)]
+    src_c = (cb, cr)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            # ---- luma: pick the cheapest available prediction mode
+            orig = y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].astype(np.int64)
+            top, left, corner = _luma_neighbors(ry, mx, my)
+            modes = [2]
+            if top is not None:
+                modes.append(0)
+            if left is not None:
+                modes.append(1)
+            if top is not None and left is not None:
+                modes.append(3)
+            preds = {m: hr.pred_luma16(m, top, left, corner) for m in modes}
+            pm = min(modes, key=lambda m: int(np.abs(orig - preds[m]).sum()))
+            pred = preds[pm]
+            resid = orig - pred
+            w00 = np.zeros((4, 4), np.int64)
+            acs = []
+            for blk in range(16):
+                x4, y4 = hr.blk_xy(blk)
+                w4 = hr.fdct4(resid[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4])
+                w00[y4, x4] = w4[0, 0]
+                z = hr.quant4(w4, qp)
+                z[0, 0] = 0
+                acs.append(hr.scan_block(z, skip_dc=True))
+            dc_q = hr.quant_luma_dc(w00, qp)
+            cbpl = 15 if any(s.any() for s in acs) else 0
+            # ---- chroma: one shared mode for both components (7.4.5)
+            ctl = [_chroma_neighbors(rc[c], mx, my) for c in range(2)]
+            cmodes = [0]
+            if ctl[0][1] is not None:
+                cmodes.append(1)
+            if ctl[0][0] is not None:
+                cmodes.append(2)
+            if ctl[0][0] is not None and ctl[0][1] is not None:
+                cmodes.append(3)
+            corig = [
+                src_c[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].astype(np.int64)
+                for c in range(2)
+            ]
+            cpreds = {
+                m: [hr.pred_chroma8(m, *ctl[c]) for c in range(2)] for m in cmodes
+            }
+            cm = min(
+                cmodes,
+                key=lambda m: sum(
+                    int(np.abs(corig[c] - cpreds[m][c]).sum()) for c in range(2)
+                ),
+            )
+            dcq_c = []
+            acs_c = []
+            for c in range(2):
+                cresid = corig[c] - cpreds[cm][c]
+                w00c = np.zeros((2, 2), np.int64)
+                blocks = []
+                for blk in range(4):
+                    x4, y4 = blk & 1, blk >> 1
+                    w4 = hr.fdct4(cresid[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4])
+                    w00c[y4, x4] = w4[0, 0]
+                    z = hr.quant4(w4, qpc)
+                    z[0, 0] = 0
+                    blocks.append(hr.scan_block(z, skip_dc=True))
+                dcq_c.append(hr.quant_chroma_dc(w00c, qpc))
+                acs_c.append(blocks)
+            any_cac = any(s.any() for blocks in acs_c for s in blocks)
+            any_cdc = any(d.any() for d in dcq_c)
+            cbpc = 2 if any_cac else (1 if any_cdc else 0)
+            # ---- macroblock layer (7.3.5, I_16x16 rows of table 7-11)
+            w.ue(1 + pm + 4 * cbpc + (12 if cbpl else 0))
+            w.ue(cm)  # intra_chroma_pred_mode
+            w.se(0)  # mb_qp_delta (constant QP slice)
+            hr.cavlc_encode_block(
+                w, hr.scan_block(dc_q, skip_dc=False), _nc_at(nnz_l, mx * 4, my * 4)
+            )
+            if cbpl:
+                for blk in range(16):
+                    x4, y4 = hr.blk_xy(blk)
+                    gx, gy = mx * 4 + x4, my * 4 + y4
+                    tc = hr.cavlc_encode_block(w, acs[blk], _nc_at(nnz_l, gx, gy))
+                    nnz_l[gy, gx] = tc
+            else:
+                nnz_l[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+            if cbpc:
+                for c in range(2):
+                    hr.cavlc_encode_block(w, dcq_c[c].reshape(4), -1)
+            if cbpc == 2:
+                for c in range(2):
+                    for blk in range(4):
+                        gx, gy = mx * 2 + (blk & 1), my * 2 + (blk >> 1)
+                        tc = hr.cavlc_encode_block(
+                            w, acs_c[c][blk], _nc_at(nnz_c[c], gx, gy)
+                        )
+                        nnz_c[c][gy, gx] = tc
+            else:
+                for c in range(2):
+                    nnz_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+            # ---- lock-step reconstruction (what the decoder will compute)
+            ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = hr.recon_luma_mb(
+                pred, dc_q, acs if cbpl else None, qp
+            )
+            for c in range(2):
+                rc[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = hr.recon_chroma_mb(
+                    cpreds[cm][c],
+                    dcq_c[c] if cbpc else np.zeros((2, 2), np.int64),
+                    acs_c[c] if cbpc == 2 else None,
+                    qpc,
+                )
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def _decode_slice(
+    rbsp: bytes,
+    sps: dict,
+    pps_by_id: dict,
+    idr: bool,
+    ref_idc: int,
+    cavlc_ok: bool = False,
+):
     _require_decodable(sps)
     r = _BitReader(rbsp)
     if r.ue() != 0:  # first_mb_in_slice
@@ -520,34 +753,112 @@ def _decode_slice(rbsp: bytes, sps: dict, pps_by_id: dict, idr: bool, ref_idc: i
     elif ref_idc:
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise UnsupportedH264("adaptive ref pic marking (MMCO)")
-    r.se()  # slice_qp_delta
+    qp_y = pps["pic_init_qp"] + r.se()  # SliceQPy (7.4.3)
+    if not 0 <= qp_y <= 51:
+        raise ValueError(f"SliceQPy {qp_y} out of range")
     if pps["deblocking_control"]:
         if r.ue() != 1:
             r.se()
             r.se()
+    from nifi_dicom_spark.functions import h264_residual as hr
+
     mb_w, mb_h = sps["mb_w"], sps["mb_h"]
-    y = np.empty((mb_h * 16, mb_w * 16), dtype=np.uint8)
-    cb = np.empty((mb_h * 8, mb_w * 8), dtype=np.uint8)
-    cr = np.empty((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    planes_c = (cb, cr)
+    nnz_l = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+    nnz_c = [np.zeros((mb_h * 2, mb_w * 2), np.int64) for _ in range(2)]
     for my in range(mb_h):
         for mx in range(mb_w):
             mb_type = r.ue()
-            if mb_type != 25:
+            if mb_type == 25:  # I_PCM (8.3.5): raw samples, nC counts 16
+                r.byte_align()
+                raw = r.read_bytes(384)
+                y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.frombuffer(
+                    raw, dtype=np.uint8, count=256
+                ).reshape(16, 16)
+                cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.frombuffer(
+                    raw, dtype=np.uint8, count=64, offset=256
+                ).reshape(8, 8)
+                cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.frombuffer(
+                    raw, dtype=np.uint8, count=64, offset=320
+                ).reshape(8, 8)
+                nnz_l[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+                for c in range(2):
+                    nnz_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+                continue
+            if mb_type > 25:
+                raise ValueError(f"invalid I-slice mb_type {mb_type}")
+            if not cavlc_ok:
                 raise UnsupportedH264(
-                    f"mb_type {mb_type} needs CAVLC residual decode "
-                    "(declared boundary — only I_PCM macroblocks)"
+                    f"mb_type {mb_type} is entropy-coded but the stream has "
+                    "no engine CAVLC SEI marker — third-party CAVLC/CABAC "
+                    "residuals stay the declared boundary"
                 )
-            r.byte_align()
-            raw = r.read_bytes(384)
-            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.frombuffer(
-                raw, dtype=np.uint8, count=256
-            ).reshape(16, 16)
-            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.frombuffer(
-                raw, dtype=np.uint8, count=64, offset=256
-            ).reshape(8, 8)
-            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.frombuffer(
-                raw, dtype=np.uint8, count=64, offset=320
-            ).reshape(8, 8)
+            if mb_type == 0:
+                raise UnsupportedH264(
+                    "I_4x4 macroblocks not supported (engine emits I_16x16)"
+                )
+            # I_16x16 (table 7-11): unpack pred mode and coded block pattern
+            m = mb_type - 1
+            cbpl = 15 if m >= 12 else 0
+            cbpc = (m % 12) // 4
+            pm = m % 4
+            cm = r.ue()  # intra_chroma_pred_mode
+            if cm > 3:
+                raise ValueError(f"invalid intra_chroma_pred_mode {cm}")
+            delta = r.se()
+            if not -26 <= delta <= 25:
+                raise ValueError(f"mb_qp_delta {delta} out of range")
+            qp_y = (qp_y + delta + 52) % 52
+            qpc = hr.chroma_qp(qp_y, pps["chroma_qp_offset"])
+            # residual (7.3.5.3): luma DC, luma AC, chroma DC, chroma AC
+            dc_scan, _tc = hr.cavlc_decode_block(
+                r, _nc_at(nnz_l, mx * 4, my * 4), 16
+            )
+            dc_q = hr.unscan_block(dc_scan, skip_dc=False)
+            acs = None
+            if cbpl:
+                acs = []
+                for blk in range(16):
+                    x4, y4 = hr.blk_xy(blk)
+                    gx, gy = mx * 4 + x4, my * 4 + y4
+                    s, tc = hr.cavlc_decode_block(r, _nc_at(nnz_l, gx, gy), 15)
+                    nnz_l[gy, gx] = tc
+                    acs.append(s)
+            else:
+                nnz_l[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+            dcq_c = [np.zeros((2, 2), np.int64) for _ in range(2)]
+            if cbpc:
+                for c in range(2):
+                    s4, _tc4 = hr.cavlc_decode_block(r, -1, 4)
+                    dcq_c[c] = s4.reshape(2, 2)
+            acs_c = [None, None]
+            if cbpc == 2:
+                for c in range(2):
+                    blocks = []
+                    for blk in range(4):
+                        gx, gy = mx * 2 + (blk & 1), my * 2 + (blk >> 1)
+                        s, tc = hr.cavlc_decode_block(r, _nc_at(nnz_c[c], gx, gy), 15)
+                        nnz_c[c][gy, gx] = tc
+                        blocks.append(s)
+                    acs_c[c] = blocks
+            else:
+                for c in range(2):
+                    nnz_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+            # prediction from reconstructed neighbors, then normative recon
+            top, left, corner = _luma_neighbors(y, mx, my)
+            pred = hr.pred_luma16(pm, top, left, corner)
+            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = hr.recon_luma_mb(
+                pred, dc_q, acs, qp_y
+            )
+            for c in range(2):
+                ctop, cleft, ccorner = _chroma_neighbors(planes_c[c], mx, my)
+                cpred = hr.pred_chroma8(cm, ctop, cleft, ccorner)
+                planes_c[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    hr.recon_chroma_mb(cpred, dcq_c[c], acs_c[c], qpc)
+                )
     cl, crr, ct, cbm = sps["crop"]
     h, wd = sps["height"], sps["width"]
     y = y[2 * ct : 2 * ct + h, 2 * cl : 2 * cl + wd]
@@ -612,14 +923,23 @@ def _pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def encode_h264_yuv(frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]]) -> bytes:
+def encode_h264_yuv(
+    frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]], qp: int | None = None
+) -> bytes:
     """Encode pre-converted 4:2:0 planes (uint8 ``(y, cb, cr)`` per frame,
     even luma dims, chroma exactly half) into an Annex-B stream: SPS, PPS,
-    then one single-slice IDR picture of I_PCM macroblocks per frame.
-    Bit-exact lossless in the YUV domain — ``decode_h264_yuv`` returns the
-    identical planes."""
+    then one single-slice IDR picture per frame.
+
+    ``qp=None`` (default) emits I_PCM macroblocks — bit-exact lossless in
+    the YUV domain. An integer ``qp`` in [0, 51] emits CAVLC-coded
+    I_16x16 macroblocks instead (real lossy compression: intra
+    prediction, 4x4 integer transform + DC Hadamard, quantization at
+    ``qp``, CAVLC entropy coding), branded with the engine SEI marker
+    (see :mod:`.h264_residual` for the embed-or-derive VLC table policy)."""
     if not frames:
         raise ValueError("need at least one frame")
+    if qp is not None and not (isinstance(qp, int) and 0 <= qp <= 51):
+        raise ValueError(f"qp must be an int in [0, 51], got {qp!r}")
     y0 = frames[0][0]
     h, w = y0.shape
     if h == 0 or w == 0:
@@ -630,6 +950,8 @@ def encode_h264_yuv(frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]]) -> 
     out = bytearray()
     out += _nal(NAL_SPS, 3, _sps_rbsp(mb_w, mb_h, w, h))
     out += _nal(NAL_PPS, 3, _pps_rbsp())
+    if qp is not None:
+        out += _nal(NAL_SEI, 0, _sei_marker_rbsp())
     for i, (y, cb, cr) in enumerate(frames):
         if y.shape != (h, w) or cb.shape != (h // 2, w // 2) or cr.shape != cb.shape:
             raise ValueError(f"frame {i}: inconsistent plane shapes")
@@ -637,22 +959,27 @@ def encode_h264_yuv(frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]]) -> 
         cbp = _pad_plane(np.ascontiguousarray(cb, dtype=np.uint8), mb_h * 8, mb_w * 8)
         crp = _pad_plane(np.ascontiguousarray(cr, dtype=np.uint8), mb_h * 8, mb_w * 8)
         # consecutive IDRs must carry different idr_pic_id (spec 7.4.3)
-        out += _nal(NAL_IDR, 3, _idr_slice_rbsp(yp, cbp, crp, mb_w, mb_h, i & 1))
+        if qp is None:
+            rbsp = _idr_slice_rbsp(yp, cbp, crp, mb_w, mb_h, i & 1)
+        else:
+            rbsp = _idr_slice_cavlc_rbsp(yp, cbp, crp, mb_w, mb_h, i & 1, qp)
+        out += _nal(NAL_IDR, 3, rbsp)
     return bytes(out)
 
 
-def encode_h264(frames: list[np.ndarray]) -> bytes:
+def encode_h264(frames: list[np.ndarray], qp: int | None = None) -> bytes:
     """Encode uint8 RGB (HxWx3) or grayscale (HxW) frames; color conversion
     is JFIF full-range BT.601 with 2x2 mean chroma subsampling, then the
-    lossless I_PCM path of :func:`encode_h264_yuv`."""
-    return encode_h264_yuv([_rgb_to_yuv420(np.asarray(f)) for f in frames])
+    lossless I_PCM path of :func:`encode_h264_yuv` (default) or its lossy
+    CAVLC I_16x16 path when ``qp`` is given."""
+    return encode_h264_yuv([_rgb_to_yuv420(np.asarray(f)) for f in frames], qp=qp)
 
 
-def encode_h264_aus(frames: list[np.ndarray]) -> list[bytes]:
+def encode_h264_aus(frames: list[np.ndarray], qp: int | None = None) -> list[bytes]:
     """Per-frame self-contained access units (SPS+PPS+IDR each) for muxing
     into an MP4 sample table — every sampled AU decodes independently, the
     shape ``decode_frames(every_n=...)`` needs."""
-    return [encode_h264([f]) for f in frames]
+    return [encode_h264([f], qp=qp) for f in frames]
 
 
 def decode_h264_yuv(
@@ -668,8 +995,11 @@ def decode_h264_yuv(
     sps_by_id: dict[int, dict] = {}
     pps_by_id: dict[int, dict] = {}
     frames = []
+    cavlc_ok = False
     for nal_type, ref_idc, rbsp in _iter_nals(payload):
-        if nal_type == NAL_SPS:
+        if nal_type == NAL_SEI:
+            cavlc_ok = cavlc_ok or _sei_has_marker(rbsp)
+        elif nal_type == NAL_SPS:
             s = _parse_sps(rbsp)
             sps_by_id[s["sps_id"]] = s
         elif nal_type == NAL_PPS:
@@ -691,7 +1021,9 @@ def decode_h264_yuv(
                 raise ValueError(f"slice references unknown PPS {pps_id}")
             sps = sps_by_id[pps["sps_id"]]
             frames.append(
-                _decode_slice(rbsp, sps, pps_by_id, nal_type == NAL_IDR, ref_idc)
+                _decode_slice(
+                    rbsp, sps, pps_by_id, nal_type == NAL_IDR, ref_idc, cavlc_ok
+                )
             )
             if max_frames is not None and len(frames) >= max_frames:
                 break

@@ -80,13 +80,15 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
-    """STUB for the remaining undecodable *variants* (H.264 entropy-coded
-    residual macroblocks and stereo/third-party-spectral AAC — the spec's
-    printed CAVLC/CABAC/Huffman tables are genuinely out of scope without
-    external libs) and unknown formats. Every format family has a REAL
-    decode path: WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I/II/III, AAC-LC
-    (:mod:`..functions.aac`), H.264 baseline-intra
-    (:mod:`..functions.h264`), and MP3/MP4 containers demux for real via
+    """STUB for the remaining undecodable *variants* (third-party H.264
+    entropy-coded residuals — CABAC, I_4x4/inter, or CAVLC without the
+    engine SEI marker — and stereo/third-party-spectral AAC; foreign
+    entropy tables are genuinely out of scope without external libs) and
+    unknown formats. Every format family has a REAL decode path:
+    WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I/II/III, AAC-LC
+    (:mod:`..functions.aac`), H.264 baseline-intra — both lossless I_PCM
+    and the engine's CAVLC I_16x16 lossy toolset
+    (:mod:`..functions.h264`) — and MP3/MP4 containers demux for real via
     probe_media / sample_frames.
 
     Deterministic fake: sha256-seeded pseudo-feature so tests are stable.

@@ -974,3 +974,217 @@ def test_encoder_input_validation():
         h264.encode_h264([np.zeros((7, 9, 3), np.uint8)])
     # grayscale stays a supported h264 input
     assert len(h264.encode_h264([np.zeros((16, 16), np.uint8)])) > 0
+
+
+# --------------------------------------------------------------------------
+# H.264 CAVLC I_16x16 (round 5: real lossy compressed video)
+# --------------------------------------------------------------------------
+
+
+def _smooth_rgb(w, h, seed=0, phase=0.0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    xs = np.arange(w)[None, :]
+    ys = np.arange(h)[:, None]
+    base = 128 + 64 * np.sin(xs / 5.0 + phase) + 48 * np.cos(ys / 7.0)
+    return np.stack(
+        [
+            np.clip(base, 0, 255),
+            np.clip(base[::-1] * 0.8 + 30, 0, 255),
+            np.clip(255 - base + rng.normal(0, 6, (h, w)), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_h264_cavlc_rate_distortion_knee():
+    """CAVLC I_16x16 is REAL lossy compression: bytes fall and error grows
+    monotonically with QP, qp=0 is near-lossless in YUV (max err <= 2 —
+    DC Hadamard rounding), and every stream still sniffs/probes as H.264."""
+    import numpy as np
+
+    from nifi_dicom_spark.functions import h264
+
+    frames = [_smooth_rgb(48, 32, seed=f, phase=0.6 * f) for f in range(3)]
+    yuvs = [h264._rgb_to_yuv420(f) for f in frames]
+    sizes, errs = [], []
+    for qp in (0, 12, 24, 36, 48):
+        bs = h264.encode_h264_yuv(yuvs, qp=qp)
+        assert h264.is_annexb(bs)
+        assert h264.parse_h264(bs)["n_frames"] == 3
+        dec = h264.decode_h264_yuv(bs)
+        err = max(
+            int(np.abs(p.astype(int) - q.astype(int)).max())
+            for a, b in zip(yuvs, dec)
+            for p, q in zip(a, b)
+        )
+        sizes.append(len(bs))
+        errs.append(err)
+    assert errs[0] <= 2, f"qp=0 must be near-lossless, max err {errs[0]}"
+    assert sizes == sorted(sizes, reverse=True), f"bytes must fall with QP: {sizes}"
+    assert errs == sorted(errs), f"error must grow with QP: {errs}"
+    # the pixel-domain decode at a middle QP is still faithful
+    mid = h264.decode_h264(h264.encode_h264(frames, qp=24))
+    assert min(_psnr(a, b) for a, b in zip(frames, mid)) > 28.0
+
+
+def test_h264_cavlc_pred_modes_normative_recon():
+    """Directional content routes through all intra predictors and the
+    decode matches the encoder's lock-step reconstruction exactly (the
+    stream is its own fixture: any drift in prediction/transform/CAVLC
+    breaks the roundtrip). Also checks the prediction kernels directly."""
+    import numpy as np
+
+    from nifi_dicom_spark.functions import h264
+    from nifi_dicom_spark.functions import h264_residual as hr
+
+    # direct kernel checks (8.3.3 / 8.3.4)
+    top = np.arange(16, dtype=np.int64) * 3 + 10
+    left = np.arange(16, dtype=np.int64) * 5 + 7
+    v = hr.pred_luma16(0, top, None, None)
+    assert (v == np.tile(top, (16, 1))).all()
+    hpred = hr.pred_luma16(1, None, left, None)
+    assert (hpred == np.tile(left[:, None], (1, 16))).all()
+    dc_both = hr.pred_luma16(2, top, left, None)
+    assert (dc_both == (int(top.sum()) + int(left.sum()) + 16) >> 5).all()
+    assert (hr.pred_luma16(2, None, None, None) == 128).all()
+    plane = hr.pred_luma16(3, top, left, int(top[0]))
+    assert plane.min() >= 0 and plane.max() <= 255
+    # chroma DC per-sub-block neighbor rules: (4,0) prefers top, (0,4) left
+    ct = np.full(8, 100, np.int64)
+    cl = np.full(8, 20, np.int64)
+    cdc = hr.pred_chroma8(0, ct, cl, 50)
+    assert cdc[0, 0] == (100 * 4 + 20 * 4 + 4) >> 3
+    assert (cdc[0:4, 4:8] == 100).all() and (cdc[4:8, 0:4] == 20).all()
+    assert cdc[4, 4] == (100 * 4 + 20 * 4 + 4) >> 3
+    # multi-MB frames with strong vertical / horizontal / planar structure
+    xs = np.arange(64)[None, :]
+    ys = np.arange(48)[:, None]
+    vert = np.broadcast_to((xs * 4 % 256), (48, 64)).astype(np.uint8)
+    horiz = np.broadcast_to((ys * 4 % 256), (48, 64)).astype(np.uint8)
+    planar = ((xs * 2 + ys * 3) % 256).astype(np.uint8)
+    for plane_img in (vert, horiz, planar):
+        rgb = np.stack([plane_img] * 3, axis=-1)
+        dec = h264.decode_h264(h264.encode_h264([rgb], qp=16))[0]
+        assert _psnr(rgb, dec) > 34.0
+
+
+def test_h264_cavlc_marker_gate_and_mixed_pcm():
+    """Streams without the engine SEI marker must NOT be entropy-decoded
+    (third-party CAVLC would mis-decode under engine-canonical tables) —
+    they fall to the declared UnsupportedH264 boundary while headers stay
+    probe-able. I_PCM and CAVLC macroblocks coexist in one stream."""
+    import numpy as np
+    import pytest
+
+    from nifi_dicom_spark.functions import h264
+
+    frame = _smooth_rgb(32, 16, seed=2)
+    bs = h264.encode_h264([frame], qp=28)
+    # strip the SEI NAL -> same slice bytes, no marker
+    parts = bs.split(b"\x00\x00\x00\x01")
+    stripped = b"".join(
+        b"\x00\x00\x00\x01" + p
+        for p in parts[1:]
+        if not (p and (p[0] & 0x1F) == h264.NAL_SEI)
+    )
+    with pytest.raises(h264.UnsupportedH264, match="SEI marker"):
+        h264.decode_h264(stripped)
+    assert h264.parse_h264(stripped)["width"] == 32  # probe unaffected
+    # a wrong-uuid SEI is also not a marker
+    fake_sei = h264._nal(h264.NAL_SEI, 0, b"\x05\x10" + b"\x00" * 16 + b"\x80")
+    with pytest.raises(h264.UnsupportedH264, match="SEI marker"):
+        h264.decode_h264(fake_sei + stripped)
+    # mixed stream: CAVLC IDR then an I_PCM IDR under the same SPS/PPS
+    yuv = h264._rgb_to_yuv420(frame)
+    pcm_slice = h264._nal(
+        h264.NAL_IDR, 3, h264._idr_slice_rbsp(yuv[0], yuv[1], yuv[2], 2, 1, 1)
+    )
+    mixed = bs + pcm_slice
+    f_cavlc, f_pcm = h264.decode_h264_yuv(mixed)
+    assert all(np.array_equal(p, q) for p, q in zip(f_pcm, yuv))  # PCM bit-exact
+    assert _psnr(yuv[0], f_cavlc[0]) > 28.0
+
+
+def test_h264_cavlc_malformed_bitstream_contract():
+    """Corrupting or truncating a CAVLC stream must raise ValueError /
+    UnsupportedH264 or decode to frames — never crash with an internal
+    error (IndexError, struct.error, numpy broadcast...)."""
+    import pytest
+
+    from nifi_dicom_spark.functions import h264
+
+    bs = h264.encode_h264([_smooth_rgb(32, 32, seed=4)], qp=20)
+    with pytest.raises(ValueError):
+        h264.decode_h264(bs[: len(bs) - 7])  # truncated mid-slice
+    n_checked = 0
+    for pos in range(len(bs) - 60, len(bs), 3):  # corrupt slice payload bytes
+        corrupted = bytearray(bs)
+        corrupted[pos] ^= 0x5A
+        try:
+            h264.decode_h264(bytes(corrupted))
+        except ValueError:
+            pass  # UnsupportedH264 is a ValueError subclass
+        n_checked += 1
+    assert n_checked > 15
+
+
+def test_h264_cavlc_block_codec_exact():
+    """CAVLC block coding is exact: scan vectors of every density round-trip
+    bit-for-bit through encode/decode in all nC contexts, and every VLC
+    table is a complete prefix code (Kraft sum == 1)."""
+    import numpy as np
+
+    from nifi_dicom_spark.functions import h264_residual as hr
+    from nifi_dicom_spark.functions.h264 import _BitReader, _BitWriter
+
+    rng = np.random.default_rng(77)
+    for trial in range(800):
+        mc = int(rng.choice([16, 15, 4]))
+        nc = -1 if mc == 4 else int(rng.choice([0, 1, 2, 3, 4, 7, 8, 16]))
+        coeffs = np.where(
+            rng.random(mc) < rng.uniform(0, 1),
+            rng.integers(-3000, 3001, mc),
+            0,
+        ).astype(np.int64)
+        w = _BitWriter()
+        tc = hr.cavlc_encode_block(w, coeffs, nc)
+        w.rbsp_trailing()
+        out, tc2 = hr.cavlc_decode_block(_BitReader(w.getvalue()), nc, mc)
+        assert tc == tc2 and np.array_equal(out, coeffs)
+    t = hr._tables()
+    encs = [e for e, _d, _m in t["ct"]] + [t["cdc"][0]]
+    encs += [e for e, _d, _m in t["tz_luma"].values()]
+    encs += [e for e, _d, _m in t["tz_cdc"].values()]
+    encs += [e for e, _d, _m in t["runs"].values()]
+    for enc in encs:
+        assert abs(sum(2.0**-ln for _c, ln in enc.values()) - 1.0) < 1e-12
+
+
+def test_h264_cavlc_level_codec_spec_escapes():
+    """The spec 9.2.2 level coder round-trips every magnitude through all
+    suffixLength regimes, including the prefix-14 four-bit escape, the
+    prefix-15 twelve-bit escape (base 30 when suffixLength is 0 — the
+    spec adds 15 twice there) and the prefix>=16 growing escapes."""
+    from nifi_dicom_spark.functions import h264_residual as hr
+    from nifi_dicom_spark.functions.h264 import _BitReader, _BitWriter
+
+    for sl0 in range(7):
+        for first, t1 in ((True, 0), (True, 3), (False, 0), (False, 3)):
+            lo = 2 if (first and t1 < 3) else 1
+            mags = list(range(lo, 70)) + [255, 2048, 4111, 4112, 9000, 30000]
+            for mag in mags:
+                for lv in (mag, -mag):
+                    w = _BitWriter()
+                    sl1 = hr._encode_level(w, lv, first, t1, sl0)
+                    w.rbsp_trailing()
+                    out, sl2 = hr._decode_level(_BitReader(w.getvalue()), first, t1, sl0)
+                    assert out == lv and sl1 == sl2, (sl0, first, t1, lv, out)

@@ -618,6 +618,47 @@ def test_h264_ipcm_roundtrip_property(seed: int, w: int, h: int, n: int):
         assert np.array_equal(cr0, cr1)
 
 
+# --- H.264 CAVLC I_16x16 lossy-fidelity property ------------------------------
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    w=st.integers(1, 3),
+    h=st.integers(1, 2),
+    qp=st.integers(0, 51),
+)
+@settings(max_examples=25, deadline=None)
+def test_h264_cavlc_roundtrip_property(seed: int, w: int, h: int, qp: int):
+    """For ANY frame content and QP, the CAVLC I_16x16 codec reconstructs
+    within a quantizer-proportional fidelity bound. PSNR (not inf-norm —
+    the Layer II lesson: per-band half-step errors can pile up at one
+    sample) against the quantizer floor: uniform-noise content bottoms
+    out near 10*log10(255^2/(step^2/12)), and the bound keeps ~8 dB of
+    slack below that. A catastrophic decode (wrong reconstruction level,
+    broken prediction neighbor, table drift) lands tens of dB under it."""
+    from nifi_dicom_spark.functions import h264
+
+    rng = np.random.default_rng(seed)
+    lw, lh = 16 * w, 16 * h
+    y = rng.integers(0, 256, (lh, lw), dtype=np.uint8)
+    if seed % 4 == 0:  # smooth content exercises DC/plane paths + cbp=0
+        ys, xs = np.mgrid[0:lh, 0:lw]
+        y = np.clip(120 + 3 * xs + 2 * ys, 0, 255).astype(np.uint8)
+    cb = rng.integers(0, 256, (lh // 2, lw // 2), dtype=np.uint8)
+    cr = rng.integers(0, 256, (lh // 2, lw // 2), dtype=np.uint8)
+    bs = h264.encode_h264_yuv([(y, cb, cr)], qp=qp)
+    y1, cb1, cr1 = h264.decode_h264_yuv(bs)[0]
+    if qp == 0:
+        assert int(np.abs(y.astype(int) - y1.astype(int)).max()) <= 2
+    mse = float(np.mean((y.astype(np.float64) - y1.astype(np.float64)) ** 2))
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+    assert psnr >= 44.0 - 0.8 * qp, f"qp={qp}: Y PSNR {psnr:.1f}"
+    cmse = float(np.mean((cb.astype(np.float64) - cb1.astype(np.float64)) ** 2))
+    cpsnr = 99.0 if cmse == 0 else 10 * np.log10(255.0**2 / cmse)
+    # chroma QP saturates at 39 (table 8-15), so its floor is flat past qp~45
+    assert cpsnr >= 44.0 - 0.8 * min(qp, 45), f"qp={qp}: Cb PSNR {cpsnr:.1f}"
+
+
 # --- AAC-LC round-trip quality property ---------------------------------------
 
 
