@@ -1670,6 +1670,99 @@ def _h264_frames_oracle() -> str:
     """
 
 
+def _synth_h264_cavlc_payload(doc_id: int) -> bytes:
+    """Deterministic CAVLC H.264-in-MP4 per doc: 2..4 I_16x16 access units
+    (SPS+PPS+SEI marker+IDR each) at a per-doc QP sweep 18..42, from the
+    shared test pattern — real lossy compression, shared by the
+    h264_cavlc query and its oracle. Same odd-height geometry as
+    h264_frames so macroblock padding + SPS cropping stay exercised."""
+    from nifi_dicom_spark.functions import h264, mp4
+
+    i = int(doc_id)
+    w, h = 16 * (i % 2 + 1), 2 * (i % 7 + 3)
+    frames = [_synth_rgb(i * 31 + f, w, h) for f in range(i % 3 + 2)]
+    return mp4.mux_mp4(
+        h264.encode_h264_aus(frames, qp=18 + (i % 5) * 6),
+        width=w,
+        height=h,
+        timescale=600,
+        sample_duration=25,
+        codec="avc1",
+        samples_per_chunk=2,
+    )
+
+
+def q_h264_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed H.264 video decode (round 5 — closes the entropy-
+    coding stub): each MP4 access unit carries CAVLC-coded I_16x16
+    macroblocks, and the from-scratch decoder runs the full normative
+    pipeline — intra prediction from reconstructed neighbors (V/H/DC/
+    Plane), CAVLC residual decode with 9.2.1 nC contexts, AC scaling +
+    inverse core transform, DC Hadamard, chroma QP mapping — so per-frame
+    width/height/mean-luma come from genuinely entropy-decoded pixels
+    (engine-canonical VLC tables per the embed-or-derive policy; the
+    stream's SEI marker gates decode, see functions/h264_residual.py).
+    The oracle replays mux→demux→decode in Python. Reference analog:
+    decompress-on-read (`apps/DeidentifyAndRedact.java:271`)."""
+    from nifi_dicom_spark.functions.multimodal import decode_frames
+
+    @F.pandas_udf("binary")
+    def make_cavlc(ids: pd.Series) -> pd.Series:
+        return pd.Series([_synth_h264_cavlc_payload(int(i)) for i in ids])
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        make_cavlc("doc_id").alias("payload"),
+    )
+    return decode_frames(media, every_n=1).select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("mean_luma", 4).alias("mean_luma"),
+        "frame_bytes",
+    )
+
+
+def _h264_cavlc_oracle() -> str:
+    """Replay mux→demux→CAVLC-decode in Python over the same doc_ids."""
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions import h264, mp4
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for i in ids:
+        payload = _synth_h264_cavlc_payload(int(i))
+        for s in mp4.sample_table(payload):
+            au = mp4.extract_sample(payload, s)
+            img = h264.decode_h264(au)[0].astype("float64")
+            luma = float(
+                (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).mean()
+            )
+            rows.append(
+                f"({int(i)}, {s.index}, {img.shape[1]}, {img.shape[0]},"
+                f" {round(luma, 4)!r}, {s.size})"
+            )
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               round(mean_luma, 4) AS mean_luma,
+               CAST(frame_bytes AS INT) AS frame_bytes
+        FROM (VALUES {values})
+        AS t(media_id, frame_idx, width, height, mean_luma, frame_bytes)
+    """
+
+
 def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: documents packed into 512-token shards
     in doc_id order via the distributed prefix sum (range repartition +
@@ -2711,12 +2804,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation (r5): the driver checks the first 50 dict entries. Round 4
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
-    # row in r3. Those 22 lead now, followed by the 5 queries NEW this
+    # row in r3. Those 22 lead now, followed by the 6 queries NEW this
     # round (rollup_state, replication_state, layer3_decode, h264_frames,
-    # aac_decode), then enough r4-green entries to fill the window; the
-    # r4-green remainder (from encrypt_roundtrip on) rotates to the tail so
-    # every registered query has a green row dated within the last two
-    # rounds. Rotate again next round.
+    # aac_decode, h264_cavlc), then enough r4-green entries to fill the
+    # window (ann_ivf, r4-green, moved to the tail to make room for
+    # h264_cavlc); the r4-green remainder (from ann_ivf/encrypt_roundtrip
+    # on) rotates to the tail so every registered query has a green row
+    # dated within the last two rounds. Rotate again next round.
     return {
         # --- last verified r3 (rotated past r4's 50-cap) — first now -----
         "cfind_query": q_cfind_query,
@@ -2747,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer3_decode": q_layer3_decode,
         "h264_frames": q_h264_frames,
         "aac_decode": q_aac_decode,
+        "h264_cavlc": q_h264_cavlc,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -2770,9 +2865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
-        "ann_ivf": q_ann_ivf,
         # --- green r4 rows: rotated past the 50-cap this round ------------
-        # (ann_ivf above is entry #50, the last the driver verifies)
+        # (simhash_near_dup above is entry #50, the last the driver verifies)
+        "ann_ivf": q_ann_ivf,
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "redact_regions": q_redact_regions,
         "tpch_q1": q_tpch_q1,
@@ -3588,6 +3683,7 @@ def oracle_sql() -> dict[str, str]:
         "layer3_decode": _layer3_decode_oracle(),
         "mjpeg_frames": _mjpeg_frames_oracle(),
         "h264_frames": _h264_frames_oracle(),
+        "h264_cavlc": _h264_cavlc_oracle(),
         "aac_decode": _aac_decode_oracle(),
         "jpeg_decode": _jpeg_decode_oracle(),
         "redact_regions": _redact_regions_oracle(),
