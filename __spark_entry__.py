@@ -1682,7 +1682,7 @@ def _synth_h264_cavlc_payload(doc_id: int) -> bytes:
     w, h = 16 * (i % 2 + 1), 2 * (i % 7 + 3)
     frames = [_synth_rgb(i * 31 + f, w, h) for f in range(i % 3 + 2)]
     return mp4.mux_mp4(
-        h264.encode_h264_aus(frames, qp=18 + (i % 5) * 6),
+        h264.encode_h264_aus(frames, qp=18 + (i % 5) * 6, mb_types="auto"),
         width=w,
         height=h,
         timescale=600,
@@ -1695,9 +1695,10 @@ def _synth_h264_cavlc_payload(doc_id: int) -> bytes:
 def q_h264_cavlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed H.264 video decode (round 5 — closes the entropy-
     coding stub): each MP4 access unit carries CAVLC-coded I_16x16
-    macroblocks, and the from-scratch decoder runs the full normative
-    pipeline — intra prediction from reconstructed neighbors (V/H/DC/
-    Plane), CAVLC residual decode with 9.2.1 nC contexts, AC scaling +
+    macroblocks (mb_types="auto": per-MB SAD decision between I_16x16 and
+    nine-mode I_4x4), and the from-scratch decoder runs the full normative
+    pipeline — intra prediction from reconstructed neighbors, CAVLC
+    residual decode with 9.2.1 nC contexts, AC scaling +
     inverse core transform, DC Hadamard, chroma QP mapping — so per-frame
     width/height/mean-luma come from genuinely entropy-decoded pixels
     (engine-canonical VLC tables per the embed-or-derive policy; the

@@ -20,20 +20,22 @@ What is REAL here (written against the published spec, no external libs):
 Macroblock coverage — the honest boundary: slices carry **I_PCM**
 macroblocks (``mb_type`` 25 in I slices — the spec's raw-sample lossless
 mode, clause 7.4.5 table 7-11 + 8.3.5) and, since round 5, **CAVLC-coded
-I_16x16** macroblocks (``encode_h264(frames, qp=...)``): real lossy
-compression with all four intra prediction modes, the normative 4x4
+I_16x16 and I_4x4** macroblocks (``encode_h264(frames, qp=...,
+mb_types="i16"|"i4"|"auto")``): real lossy compression with all four
+Intra_16x16 and all nine Intra_4x4 prediction modes, the normative 4x4
 integer transform + DC Hadamard reconstruction, quantization, and CAVLC
 entropy coding (:mod:`.h264_residual`). The I_PCM toolset is bit-exact
 standard H.264 a conformant third-party decoder plays; the CAVLC
 toolset is spec-exact in syntax, transforms and prediction but uses
-engine-canonical VLC code tables (embed-or-derive policy — the spec's
-printed tables 9-5..9-10 are non-derivable table data), so those
-streams carry a spec-legal SEI user-data marker and the decoder only
-attempts entropy decode when it is present. What stays a declared stub:
-third-party CAVLC/CABAC streams, I_4x4 and inter macroblocks — these
-raise :class:`UnsupportedH264` and the feature path falls back to the
-clearly-marked stub (:func:`nifi_dicom_spark.functions.multimodal.
-_fake_decode_feature`) rather than fabricating pixels.
+engine-canonical VLC code tables and the identity coded_block_pattern
+mapping (embed-or-derive policy — the spec's printed tables 9-4/9-5..
+9-10 are non-derivable table data), so those streams carry a spec-legal
+SEI user-data marker and the decoder only attempts entropy decode when
+it is present. What stays a declared stub: third-party CAVLC/CABAC
+streams and inter macroblocks — these raise :class:`UnsupportedH264`
+and the feature path falls back to the clearly-marked stub
+(:func:`nifi_dicom_spark.functions.multimodal._fake_decode_feature`)
+rather than fabricating pixels.
 
 Reference analog: decompress-on-read of encapsulated video pixel data
 (``apps/DeidentifyAndRedact.java:271`` decompresses on import when the
@@ -571,6 +573,186 @@ def _chroma_neighbors(pl: np.ndarray, mx: int, my: int):
     return top, left, corner
 
 
+def _i4_gorder(gx: int, gy: int, mbs_w: int) -> int:
+    """Global decode-order index of the 4x4 luma block at grid (gx, gy):
+    raster macroblocks, 6.4.3 coding order within each."""
+    x4, y4 = gx & 3, gy & 3
+    quad = (y4 >> 1) * 2 + (x4 >> 1)
+    within = (y4 & 1) * 2 + (x4 & 1)
+    return ((gy >> 2) * mbs_w + (gx >> 2)) * 16 + quad * 4 + within
+
+
+def _i4_neighbors(ry: np.ndarray, gx: int, gy: int, mbs_w: int):
+    """(top8, left4, corner) for Intra_4x4 prediction of the block at grid
+    (gx, gy); the above-right quartet substitutes p[3,-1] when that block
+    is out of frame or later in decode order (8.3.1.2 sample gathering)."""
+    px, py = gx * 4, gy * 4
+    top = None
+    if gy > 0:
+        t4 = ry[py - 1, px : px + 4].astype(np.int64)
+        if gx + 1 < mbs_w * 4 and _i4_gorder(gx + 1, gy - 1, mbs_w) < _i4_gorder(
+            gx, gy, mbs_w
+        ):
+            tr = ry[py - 1, px + 4 : px + 8].astype(np.int64)
+        else:
+            tr = np.full(4, int(ry[py - 1, px + 3]), np.int64)
+        top = np.concatenate([t4, tr])
+    left = ry[py : py + 4, px - 1].astype(np.int64) if gx > 0 else None
+    corner = int(ry[py - 1, px - 1]) if (gx > 0 and gy > 0) else None
+    return top, left, corner
+
+
+def _i4_pred_mode_pred(mode_grid: np.ndarray, gx: int, gy: int) -> int:
+    """predIntra4x4PredMode (8.3.1.1): min of the left/above blocks' modes;
+    an unavailable neighbor forces DC (2). The grid holds 2 for every
+    block of a non-I_4x4 macroblock, which is exactly the spec's rule."""
+    if gx == 0 or gy == 0:
+        return 2
+    return int(min(mode_grid[gy, gx - 1], mode_grid[gy - 1, gx]))
+
+
+def _encode_mb_chroma(src_c, rc, mx: int, my: int, qpc: int):
+    """Shared chroma encode for both intra MB types: SAD-select one
+    intra_chroma_pred_mode, transform+quantize both components, derive
+    CodedBlockPatternChroma. Returns (cm, cpred, dcq_c, acs_c, cbpc)."""
+    from nifi_dicom_spark.functions import h264_residual as hr
+
+    ctl = [_chroma_neighbors(rc[c], mx, my) for c in range(2)]
+    cmodes = [0]
+    if ctl[0][1] is not None:
+        cmodes.append(1)
+    if ctl[0][0] is not None:
+        cmodes.append(2)
+    if ctl[0][0] is not None and ctl[0][1] is not None:
+        cmodes.append(3)
+    corig = [
+        src_c[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].astype(np.int64)
+        for c in range(2)
+    ]
+    cpreds = {m: [hr.pred_chroma8(m, *ctl[c]) for c in range(2)] for m in cmodes}
+    cm = min(
+        cmodes,
+        key=lambda m: sum(int(np.abs(corig[c] - cpreds[m][c]).sum()) for c in range(2)),
+    )
+    dcq_c = []
+    acs_c = []
+    for c in range(2):
+        cresid = corig[c] - cpreds[cm][c]
+        w00c = np.zeros((2, 2), np.int64)
+        blocks = []
+        for blk in range(4):
+            x4, y4 = blk & 1, blk >> 1
+            w4 = hr.fdct4(cresid[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4])
+            w00c[y4, x4] = w4[0, 0]
+            z = hr.quant4(w4, qpc)
+            z[0, 0] = 0
+            blocks.append(hr.scan_block(z, skip_dc=True))
+        dcq_c.append(hr.quant_chroma_dc(w00c, qpc))
+        acs_c.append(blocks)
+    any_cac = any(s.any() for blocks in acs_c for s in blocks)
+    any_cdc = any(d.any() for d in dcq_c)
+    cbpc = 2 if any_cac else (1 if any_cdc else 0)
+    return cm, cpreds[cm], dcq_c, acs_c, cbpc
+
+
+def _write_chroma_residual(w, cbpc: int, dcq_c, acs_c, nnz_c, mx: int, my: int):
+    from nifi_dicom_spark.functions import h264_residual as hr
+
+    if cbpc:
+        for c in range(2):
+            hr.cavlc_encode_block(w, dcq_c[c].reshape(4), -1)
+    if cbpc == 2:
+        for c in range(2):
+            for blk in range(4):
+                gx, gy = mx * 2 + (blk & 1), my * 2 + (blk >> 1)
+                tc = hr.cavlc_encode_block(w, acs_c[c][blk], _nc_at(nnz_c[c], gx, gy))
+                nnz_c[c][gy, gx] = tc
+    else:
+        for c in range(2):
+            nnz_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+
+
+def _recon_mb_chroma(rc, cpred, dcq_c, acs_c, cbpc: int, mx: int, my: int, qpc: int):
+    from nifi_dicom_spark.functions import h264_residual as hr
+
+    for c in range(2):
+        rc[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = hr.recon_chroma_mb(
+            cpred[c],
+            dcq_c[c] if cbpc else np.zeros((2, 2), np.int64),
+            acs_c[c] if cbpc == 2 else None,
+            qpc,
+        )
+
+
+def _plan_mb_i16(orig, ry, mx, my, qp):
+    """I_16x16 luma plan: (sad, pm, pred, dc_q, acs, cbpl)."""
+    from nifi_dicom_spark.functions import h264_residual as hr
+
+    top, left, corner = _luma_neighbors(ry, mx, my)
+    modes = [2]
+    if top is not None:
+        modes.append(0)
+    if left is not None:
+        modes.append(1)
+    if top is not None and left is not None:
+        modes.append(3)
+    preds = {m: hr.pred_luma16(m, top, left, corner) for m in modes}
+    sads = {m: int(np.abs(orig - preds[m]).sum()) for m in modes}
+    pm = min(modes, key=lambda m: sads[m])
+    pred = preds[pm]
+    resid = orig - pred
+    w00 = np.zeros((4, 4), np.int64)
+    acs = []
+    for blk in range(16):
+        x4, y4 = hr.blk_xy(blk)
+        w4 = hr.fdct4(resid[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4])
+        w00[y4, x4] = w4[0, 0]
+        z = hr.quant4(w4, qp)
+        z[0, 0] = 0
+        acs.append(hr.scan_block(z, skip_dc=True))
+    dc_q = hr.quant_luma_dc(w00, qp)
+    cbpl = 15 if any(s.any() for s in acs) else 0
+    return sads[pm], pm, pred, dc_q, acs, cbpl
+
+
+def _plan_mb_i4(orig, ry, mode_grid, mx, my, mbs_w, qp):
+    """I_4x4 luma plan, block-by-block in coding order with lock-step
+    reconstruction INTO ``ry`` (later blocks predict from earlier ones).
+    Returns (sad, modes16, coeffs16, recon_backup) — the caller restores
+    ``ry`` from the backup if it picks the I_16x16 plan instead."""
+    from nifi_dicom_spark.functions import h264_residual as hr
+
+    backup = ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].copy()
+    sad_total = 0
+    modes16 = []
+    coeffs16 = []
+    for blk in range(16):
+        x4, y4 = hr.blk_xy(blk)
+        gx, gy = mx * 4 + x4, my * 4 + y4
+        top, left, corner = _i4_neighbors(ry, gx, gy, mbs_w)
+        cand = [2]
+        if top is not None:
+            cand += list(hr.I4_MODES_TOP)
+        if left is not None:
+            cand += list(hr.I4_MODES_LEFT)
+        if top is not None and left is not None and corner is not None:
+            cand += list(hr.I4_MODES_BOTH)
+        ob = orig[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4]
+        best, best_sad, best_pred = 2, None, None
+        for m in sorted(cand):
+            p = hr.pred_luma4(m, top, left, corner)
+            s = int(np.abs(ob - p).sum())
+            if best_sad is None or s < best_sad:
+                best, best_sad, best_pred = m, s, p
+        sad_total += best_sad
+        z = hr.quant4(hr.fdct4(ob - best_pred), qp)
+        modes16.append(best)
+        coeffs16.append(hr.scan_block(z, skip_dc=False))
+        rb = np.clip(best_pred + hr.idct4(hr.dequant4(z, qp)), 0, 255).astype(np.uint8)
+        ry[my * 16 + y4 * 4 : my * 16 + y4 * 4 + 4, mx * 16 + x4 * 4 : mx * 16 + x4 * 4 + 4] = rb
+    return sad_total, modes16, coeffs16, backup
+
+
 def _idr_slice_cavlc_rbsp(
     y: np.ndarray,
     cb: np.ndarray,
@@ -579,13 +761,16 @@ def _idr_slice_cavlc_rbsp(
     mb_h: int,
     idr_pic_id: int,
     qp: int,
+    mb_types: str = "i16",
 ) -> bytes:
-    """One IDR I slice of CAVLC-coded I_16x16 macroblocks: per-MB SAD mode
-    decision over all four luma (and chroma) intra predictions, forward
-    core transform + DC Hadamard, intra quantization at ``qp``, CAVLC
-    residual coding with spec 9.2.1 nC contexts — and lock-step
-    reconstruction through the *decoder's* normative path so prediction
-    neighbors match the decoder bit-exactly."""
+    """One IDR I slice of CAVLC-coded intra macroblocks: per-MB SAD mode
+    decisions, forward core transform (+ DC Hadamard for I_16x16), intra
+    quantization at ``qp``, CAVLC residual coding with spec 9.2.1 nC
+    contexts — and lock-step reconstruction through the *decoder's*
+    normative path so prediction neighbors match the decoder bit-exactly.
+    ``mb_types``: "i16" = all I_16x16, "i4" = all I_4x4 (nine-mode
+    per-block prediction), "auto" = per-MB SAD decision (I_4x4 must beat
+    I_16x16 by >12.5% to pay for its mode signaling)."""
     from nifi_dicom_spark.functions import h264_residual as hr
 
     w = _BitWriter()
@@ -603,114 +788,82 @@ def _idr_slice_cavlc_rbsp(
     rc = [np.zeros((mb_h * 8, mb_w * 8), np.uint8) for _ in range(2)]
     nnz_l = np.zeros((mb_h * 4, mb_w * 4), np.int64)
     nnz_c = [np.zeros((mb_h * 2, mb_w * 2), np.int64) for _ in range(2)]
+    mode_grid = np.full((mb_h * 4, mb_w * 4), 2, np.int64)
     src_c = (cb, cr)
     for my in range(mb_h):
         for mx in range(mb_w):
-            # ---- luma: pick the cheapest available prediction mode
             orig = y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].astype(np.int64)
-            top, left, corner = _luma_neighbors(ry, mx, my)
-            modes = [2]
-            if top is not None:
-                modes.append(0)
-            if left is not None:
-                modes.append(1)
-            if top is not None and left is not None:
-                modes.append(3)
-            preds = {m: hr.pred_luma16(m, top, left, corner) for m in modes}
-            pm = min(modes, key=lambda m: int(np.abs(orig - preds[m]).sum()))
-            pred = preds[pm]
-            resid = orig - pred
-            w00 = np.zeros((4, 4), np.int64)
-            acs = []
-            for blk in range(16):
-                x4, y4 = hr.blk_xy(blk)
-                w4 = hr.fdct4(resid[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4])
-                w00[y4, x4] = w4[0, 0]
-                z = hr.quant4(w4, qp)
-                z[0, 0] = 0
-                acs.append(hr.scan_block(z, skip_dc=True))
-            dc_q = hr.quant_luma_dc(w00, qp)
-            cbpl = 15 if any(s.any() for s in acs) else 0
-            # ---- chroma: one shared mode for both components (7.4.5)
-            ctl = [_chroma_neighbors(rc[c], mx, my) for c in range(2)]
-            cmodes = [0]
-            if ctl[0][1] is not None:
-                cmodes.append(1)
-            if ctl[0][0] is not None:
-                cmodes.append(2)
-            if ctl[0][0] is not None and ctl[0][1] is not None:
-                cmodes.append(3)
-            corig = [
-                src_c[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].astype(np.int64)
-                for c in range(2)
-            ]
-            cpreds = {
-                m: [hr.pred_chroma8(m, *ctl[c]) for c in range(2)] for m in cmodes
-            }
-            cm = min(
-                cmodes,
-                key=lambda m: sum(
-                    int(np.abs(corig[c] - cpreds[m][c]).sum()) for c in range(2)
-                ),
-            )
-            dcq_c = []
-            acs_c = []
-            for c in range(2):
-                cresid = corig[c] - cpreds[cm][c]
-                w00c = np.zeros((2, 2), np.int64)
-                blocks = []
-                for blk in range(4):
-                    x4, y4 = blk & 1, blk >> 1
-                    w4 = hr.fdct4(cresid[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4])
-                    w00c[y4, x4] = w4[0, 0]
-                    z = hr.quant4(w4, qpc)
-                    z[0, 0] = 0
-                    blocks.append(hr.scan_block(z, skip_dc=True))
-                dcq_c.append(hr.quant_chroma_dc(w00c, qpc))
-                acs_c.append(blocks)
-            any_cac = any(s.any() for blocks in acs_c for s in blocks)
-            any_cdc = any(d.any() for d in dcq_c)
-            cbpc = 2 if any_cac else (1 if any_cdc else 0)
-            # ---- macroblock layer (7.3.5, I_16x16 rows of table 7-11)
-            w.ue(1 + pm + 4 * cbpc + (12 if cbpl else 0))
-            w.ue(cm)  # intra_chroma_pred_mode
-            w.se(0)  # mb_qp_delta (constant QP slice)
-            hr.cavlc_encode_block(
-                w, hr.scan_block(dc_q, skip_dc=False), _nc_at(nnz_l, mx * 4, my * 4)
-            )
-            if cbpl:
+            # ---- pick the macroblock type
+            use_i4 = mb_types == "i4"
+            plan4 = None
+            if mb_types in ("i4", "auto"):
+                plan4 = _plan_mb_i4(orig, ry, mode_grid, mx, my, mb_w, qp)
+            if mb_types == "auto":
+                sad16 = _plan_mb_i16(orig, ry, mx, my, qp)[0]
+                use_i4 = plan4[0] * 8 < sad16 * 7
+            if plan4 is not None and not use_i4:
+                ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = plan4[3]
+            # ---- chroma (identical for both types)
+            cm, cpred, dcq_c, acs_c, cbpc = _encode_mb_chroma(src_c, rc, mx, my, qpc)
+            if use_i4:
+                _sad, modes16, coeffs16, _backup = plan4
+                cbp_quads = [
+                    1 if any(coeffs16[q * 4 + k].any() for k in range(4)) else 0
+                    for q in range(4)
+                ]
+                cbpl = sum(b << q for q, b in enumerate(cbp_quads))
+                w.ue(0)  # mb_type: I_4x4 (I_NxN)
+                for blk in range(16):  # prev/rem intra4x4 pred modes (7.3.5.1)
+                    x4, y4 = hr.blk_xy(blk)
+                    gx, gy = mx * 4 + x4, my * 4 + y4
+                    pmp = _i4_pred_mode_pred(mode_grid, gx, gy)
+                    mode = modes16[blk]
+                    if mode == pmp:
+                        w.u(1, 1)
+                    else:
+                        w.u(0, 1)
+                        w.u(mode - (1 if mode > pmp else 0), 3)
+                    mode_grid[gy, gx] = mode
+                w.ue(cm)  # intra_chroma_pred_mode
+                # coded_block_pattern: identity ME mapping (embed-or-derive
+                # deviation — table 9-4 is printed data; the SEI marker
+                # already gates these streams)
+                w.ue(cbpl + 16 * cbpc)
+                if cbpl or cbpc:
+                    w.se(0)  # mb_qp_delta
                 for blk in range(16):
                     x4, y4 = hr.blk_xy(blk)
                     gx, gy = mx * 4 + x4, my * 4 + y4
-                    tc = hr.cavlc_encode_block(w, acs[blk], _nc_at(nnz_l, gx, gy))
-                    nnz_l[gy, gx] = tc
-            else:
-                nnz_l[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
-            if cbpc:
-                for c in range(2):
-                    hr.cavlc_encode_block(w, dcq_c[c].reshape(4), -1)
-            if cbpc == 2:
-                for c in range(2):
-                    for blk in range(4):
-                        gx, gy = mx * 2 + (blk & 1), my * 2 + (blk >> 1)
+                    if cbp_quads[blk >> 2]:
                         tc = hr.cavlc_encode_block(
-                            w, acs_c[c][blk], _nc_at(nnz_c[c], gx, gy)
+                            w, coeffs16[blk], _nc_at(nnz_l, gx, gy)
                         )
-                        nnz_c[c][gy, gx] = tc
+                        nnz_l[gy, gx] = tc
+                    else:
+                        nnz_l[gy, gx] = 0
+                # luma was already reconstructed block-by-block in the plan
             else:
-                for c in range(2):
-                    nnz_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
-            # ---- lock-step reconstruction (what the decoder will compute)
-            ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = hr.recon_luma_mb(
-                pred, dc_q, acs if cbpl else None, qp
-            )
-            for c in range(2):
-                rc[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = hr.recon_chroma_mb(
-                    cpreds[cm][c],
-                    dcq_c[c] if cbpc else np.zeros((2, 2), np.int64),
-                    acs_c[c] if cbpc == 2 else None,
-                    qpc,
+                _sad, pm, pred, dc_q, acs, cbpl = _plan_mb_i16(orig, ry, mx, my, qp)
+                w.ue(1 + pm + 4 * cbpc + (12 if cbpl else 0))
+                w.ue(cm)  # intra_chroma_pred_mode
+                w.se(0)  # mb_qp_delta (constant QP slice)
+                hr.cavlc_encode_block(
+                    w, hr.scan_block(dc_q, skip_dc=False), _nc_at(nnz_l, mx * 4, my * 4)
                 )
+                if cbpl:
+                    for blk in range(16):
+                        x4, y4 = hr.blk_xy(blk)
+                        gx, gy = mx * 4 + x4, my * 4 + y4
+                        tc = hr.cavlc_encode_block(w, acs[blk], _nc_at(nnz_l, gx, gy))
+                        nnz_l[gy, gx] = tc
+                else:
+                    nnz_l[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 0
+                mode_grid[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 2
+                ry[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = hr.recon_luma_mb(
+                    pred, dc_q, acs if cbpl else None, qp
+                )
+            _write_chroma_residual(w, cbpc, dcq_c, acs_c, nnz_c, mx, my)
+            _recon_mb_chroma(rc, cpred, dcq_c, acs_c, cbpc, mx, my, qpc)
     w.rbsp_trailing()
     return w.getvalue()
 
@@ -769,6 +922,7 @@ def _decode_slice(
     planes_c = (cb, cr)
     nnz_l = np.zeros((mb_h * 4, mb_w * 4), np.int64)
     nnz_c = [np.zeros((mb_h * 2, mb_w * 2), np.int64) for _ in range(2)]
+    mode_grid = np.full((mb_h * 4, mb_w * 4), 2, np.int64)
     for my in range(mb_h):
         for mx in range(mb_w):
             mb_type = r.ue()
@@ -796,10 +950,89 @@ def _decode_slice(
                     "no engine CAVLC SEI marker — third-party CAVLC/CABAC "
                     "residuals stay the declared boundary"
                 )
-            if mb_type == 0:
-                raise UnsupportedH264(
-                    "I_4x4 macroblocks not supported (engine emits I_16x16)"
-                )
+            if mb_type == 0:  # I_4x4 (I_NxN): nine-mode per-block prediction
+                modes16 = []
+                for blk in range(16):  # 7.3.5.1 mb_pred
+                    x4, y4 = hr.blk_xy(blk)
+                    gx, gy = mx * 4 + x4, my * 4 + y4
+                    pmp = _i4_pred_mode_pred(mode_grid, gx, gy)
+                    if r.u(1):  # prev_intra4x4_pred_mode_flag
+                        mode = pmp
+                    else:
+                        rem = r.u(3)
+                        mode = rem + (1 if rem >= pmp else 0)
+                    modes16.append(mode)
+                    mode_grid[gy, gx] = mode
+                cm = r.ue()  # intra_chroma_pred_mode
+                if cm > 3:
+                    raise ValueError(f"invalid intra_chroma_pred_mode {cm}")
+                # coded_block_pattern: identity ME mapping (embed-or-derive
+                # deviation; see the encoder) — cbp_luma bits are per quad
+                cbp = r.ue()
+                if cbp > 47:
+                    raise ValueError(f"invalid coded_block_pattern {cbp}")
+                cbpl, cbpc = cbp & 15, cbp >> 4
+                if cbpc > 2:
+                    raise ValueError(f"invalid CodedBlockPatternChroma {cbpc}")
+                if cbp:
+                    delta = r.se()
+                    if not -26 <= delta <= 25:
+                        raise ValueError(f"mb_qp_delta {delta} out of range")
+                    qp_y = (qp_y + delta + 52) % 52
+                qpc = hr.chroma_qp(qp_y, pps["chroma_qp_offset"])
+                coeffs16 = []
+                for blk in range(16):  # LumaLevel4x4, quad-gated by cbp
+                    x4, y4 = hr.blk_xy(blk)
+                    gx, gy = mx * 4 + x4, my * 4 + y4
+                    if cbpl & (1 << (blk >> 2)):
+                        s, tc = hr.cavlc_decode_block(r, _nc_at(nnz_l, gx, gy), 16)
+                        nnz_l[gy, gx] = tc
+                        coeffs16.append(s)
+                    else:
+                        nnz_l[gy, gx] = 0
+                        coeffs16.append(None)
+                dcq_c = [np.zeros((2, 2), np.int64) for _ in range(2)]
+                if cbpc:
+                    for c in range(2):
+                        s4, _tc4 = hr.cavlc_decode_block(r, -1, 4)
+                        dcq_c[c] = s4.reshape(2, 2)
+                acs_c = [None, None]
+                if cbpc == 2:
+                    for c in range(2):
+                        blocks = []
+                        for blk in range(4):
+                            gx, gy = mx * 2 + (blk & 1), my * 2 + (blk >> 1)
+                            s, tc = hr.cavlc_decode_block(
+                                r, _nc_at(nnz_c[c], gx, gy), 15
+                            )
+                            nnz_c[c][gy, gx] = tc
+                            blocks.append(s)
+                        acs_c[c] = blocks
+                else:
+                    for c in range(2):
+                        nnz_c[c][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+                # block-by-block reconstruction (later blocks predict from
+                # earlier reconstructed ones)
+                for blk in range(16):
+                    x4, y4 = hr.blk_xy(blk)
+                    gx, gy = mx * 4 + x4, my * 4 + y4
+                    top, left, corner = _i4_neighbors(y, gx, gy, mb_w)
+                    p4 = hr.pred_luma4(modes16[blk], top, left, corner)
+                    if coeffs16[blk] is not None:
+                        d = hr.dequant4(
+                            hr.unscan_block(coeffs16[blk], skip_dc=False), qp_y
+                        )
+                        p4 = p4 + hr.idct4(d)
+                    y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = np.clip(
+                        p4, 0, 255
+                    ).astype(np.uint8)
+                for c in range(2):
+                    ctop, cleft, ccorner = _chroma_neighbors(planes_c[c], mx, my)
+                    cpred = hr.pred_chroma8(cm, ctop, cleft, ccorner)
+                    planes_c[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                        hr.recon_chroma_mb(cpred, dcq_c[c], acs_c[c], qpc)
+                    )
+                continue
             # I_16x16 (table 7-11): unpack pred mode and coded block pattern
             m = mb_type - 1
             cbpl = 15 if m >= 12 else 0
@@ -924,7 +1157,9 @@ def _pad_plane(p: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def encode_h264_yuv(
-    frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]], qp: int | None = None
+    frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    qp: int | None = None,
+    mb_types: str = "i16",
 ) -> bytes:
     """Encode pre-converted 4:2:0 planes (uint8 ``(y, cb, cr)`` per frame,
     even luma dims, chroma exactly half) into an Annex-B stream: SPS, PPS,
@@ -940,6 +1175,8 @@ def encode_h264_yuv(
         raise ValueError("need at least one frame")
     if qp is not None and not (isinstance(qp, int) and 0 <= qp <= 51):
         raise ValueError(f"qp must be an int in [0, 51], got {qp!r}")
+    if mb_types not in ("i16", "i4", "auto"):
+        raise ValueError(f"mb_types must be 'i16', 'i4' or 'auto', got {mb_types!r}")
     y0 = frames[0][0]
     h, w = y0.shape
     if h == 0 or w == 0:
@@ -962,24 +1199,30 @@ def encode_h264_yuv(
         if qp is None:
             rbsp = _idr_slice_rbsp(yp, cbp, crp, mb_w, mb_h, i & 1)
         else:
-            rbsp = _idr_slice_cavlc_rbsp(yp, cbp, crp, mb_w, mb_h, i & 1, qp)
+            rbsp = _idr_slice_cavlc_rbsp(yp, cbp, crp, mb_w, mb_h, i & 1, qp, mb_types)
         out += _nal(NAL_IDR, 3, rbsp)
     return bytes(out)
 
 
-def encode_h264(frames: list[np.ndarray], qp: int | None = None) -> bytes:
+def encode_h264(
+    frames: list[np.ndarray], qp: int | None = None, mb_types: str = "i16"
+) -> bytes:
     """Encode uint8 RGB (HxWx3) or grayscale (HxW) frames; color conversion
     is JFIF full-range BT.601 with 2x2 mean chroma subsampling, then the
     lossless I_PCM path of :func:`encode_h264_yuv` (default) or its lossy
     CAVLC I_16x16 path when ``qp`` is given."""
-    return encode_h264_yuv([_rgb_to_yuv420(np.asarray(f)) for f in frames], qp=qp)
+    return encode_h264_yuv(
+        [_rgb_to_yuv420(np.asarray(f)) for f in frames], qp=qp, mb_types=mb_types
+    )
 
 
-def encode_h264_aus(frames: list[np.ndarray], qp: int | None = None) -> list[bytes]:
+def encode_h264_aus(
+    frames: list[np.ndarray], qp: int | None = None, mb_types: str = "i16"
+) -> list[bytes]:
     """Per-frame self-contained access units (SPS+PPS+IDR each) for muxing
     into an MP4 sample table — every sampled AU decodes independently, the
     shape ``decode_frames(every_n=...)`` needs."""
-    return [encode_h264([f], qp=qp) for f in frames]
+    return [encode_h264([f], qp=qp, mb_types=mb_types) for f in frames]
 
 
 def decode_h264_yuv(

@@ -627,3 +627,141 @@ def recon_chroma_mb(pred: np.ndarray, dc_q: np.ndarray, ac_scanned, qpc: int) ->
         sl = np.s_[y4 * 4 : y4 * 4 + 4, x4 * 4 : x4 * 4 + 4]
         out[sl] = _clip8(pred[sl] + r)
     return out.astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Intra_4x4 prediction (8.3.1): nine modes over 4x4 blocks
+# --------------------------------------------------------------------------
+
+I4_MODES_TOP = (0, 3, 7)  # need the top row (DDL/VL pad top-right)
+I4_MODES_LEFT = (1, 8)
+I4_MODES_BOTH = (4, 5, 6)  # need top + left + corner
+
+
+def pred_luma4(mode: int, top, left, corner) -> np.ndarray:
+    """One Intra_4x4 prediction (8.3.1.2.1-9). ``top`` is the 8-sample
+    above row (above-right already substituted with p[3,-1] when that
+    block is unavailable, per 8.3.1.2's sample gathering), ``left`` the
+    4-sample column, ``corner`` p[-1,-1]; None where unavailable. Encoder
+    and decoder share this one implementation, so the stream is exactly
+    self-consistent."""
+    t, l, q = top, left, corner
+
+    def tt(i):  # p[i, -1] with the corner at i == -1
+        return int(q) if i == -1 else int(t[i])
+
+    def ll(i):  # p[-1, i] with the corner at i == -1
+        return int(q) if i == -1 else int(l[i])
+
+    out = np.empty((4, 4), np.int64)
+    if mode == 0:  # Vertical
+        if t is None:
+            raise ValueError("Intra_4x4_Vertical needs the top neighbor")
+        return np.tile(t[:4].astype(np.int64), (4, 1))
+    if mode == 1:  # Horizontal
+        if l is None:
+            raise ValueError("Intra_4x4_Horizontal needs the left neighbor")
+        return np.tile(l.astype(np.int64)[:, None], (1, 4))
+    if mode == 2:  # DC
+        if t is not None and l is not None:
+            dc = (int(t[:4].sum()) + int(l.sum()) + 4) >> 3
+        elif t is not None:
+            dc = (int(t[:4].sum()) + 2) >> 2
+        elif l is not None:
+            dc = (int(l.sum()) + 2) >> 2
+        else:
+            dc = 128
+        out[:] = dc
+        return out
+    if mode == 3:  # Diagonal_Down_Left
+        if t is None:
+            raise ValueError("Intra_4x4_DDL needs the top neighbor")
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y, x] = (int(t[6]) + 3 * int(t[7]) + 2) >> 2
+                else:
+                    out[y, x] = (
+                        int(t[x + y]) + 2 * int(t[x + y + 1]) + int(t[x + y + 2]) + 2
+                    ) >> 2
+        return out
+    if mode in (4, 5, 6) and (t is None or l is None or q is None):
+        raise ValueError(f"Intra_4x4 mode {mode} needs both neighbors")
+    if mode == 4:  # Diagonal_Down_Right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    out[y, x] = (tt(x - y - 2) + 2 * tt(x - y - 1) + tt(x - y) + 2) >> 2
+                elif x < y:
+                    out[y, x] = (ll(y - x - 2) + 2 * ll(y - x - 1) + ll(y - x) + 2) >> 2
+                else:
+                    out[y, x] = (tt(0) + 2 * int(q) + ll(0) + 2) >> 2
+        return out
+    if mode == 5:  # Vertical_Right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    out[y, x] = (tt(x - (y >> 1) - 1) + tt(x - (y >> 1)) + 1) >> 1
+                elif z > 0:
+                    out[y, x] = (
+                        tt(x - (y >> 1) - 2)
+                        + 2 * tt(x - (y >> 1) - 1)
+                        + tt(x - (y >> 1))
+                        + 2
+                    ) >> 2
+                elif z == -1:
+                    out[y, x] = (ll(0) + 2 * int(q) + tt(0) + 2) >> 2
+                else:
+                    out[y, x] = (
+                        ll(y - 2 * x - 1) + 2 * ll(y - 2 * x - 2) + ll(y - 2 * x - 3) + 2
+                    ) >> 2
+        return out
+    if mode == 6:  # Horizontal_Down (the x/y mirror of Vertical_Right)
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    out[y, x] = (ll(y - (x >> 1) - 1) + ll(y - (x >> 1)) + 1) >> 1
+                elif z > 0:
+                    out[y, x] = (
+                        ll(y - (x >> 1) - 2)
+                        + 2 * ll(y - (x >> 1) - 1)
+                        + ll(y - (x >> 1))
+                        + 2
+                    ) >> 2
+                elif z == -1:
+                    out[y, x] = (ll(0) + 2 * int(q) + tt(0) + 2) >> 2
+                else:
+                    out[y, x] = (
+                        tt(x - 2 * y - 1) + 2 * tt(x - 2 * y - 2) + tt(x - 2 * y - 3) + 2
+                    ) >> 2
+        return out
+    if mode == 7:  # Vertical_Left
+        if t is None:
+            raise ValueError("Intra_4x4_VL needs the top neighbor")
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y, x] = (int(t[i]) + int(t[i + 1]) + 1) >> 1
+                else:
+                    out[y, x] = (int(t[i]) + 2 * int(t[i + 1]) + int(t[i + 2]) + 2) >> 2
+        return out
+    if mode == 8:  # Horizontal_Up
+        if l is None:
+            raise ValueError("Intra_4x4_HU needs the left neighbor")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                i = y + (x >> 1)
+                if z > 5:
+                    out[y, x] = int(l[3])
+                elif z == 5:
+                    out[y, x] = (int(l[2]) + 3 * int(l[3]) + 2) >> 2
+                elif z % 2 == 0:
+                    out[y, x] = (int(l[i]) + int(l[i + 1]) + 1) >> 1
+                else:
+                    out[y, x] = (int(l[i]) + 2 * int(l[i + 1]) + int(l[i + 2]) + 2) >> 2
+        return out
+    raise ValueError(f"invalid Intra_4x4 prediction mode {mode}")

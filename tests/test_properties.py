@@ -626,9 +626,12 @@ def test_h264_ipcm_roundtrip_property(seed: int, w: int, h: int, n: int):
     w=st.integers(1, 3),
     h=st.integers(1, 2),
     qp=st.integers(0, 51),
+    mb_types=st.sampled_from(("i16", "i4", "auto")),
 )
 @settings(max_examples=25, deadline=None)
-def test_h264_cavlc_roundtrip_property(seed: int, w: int, h: int, qp: int):
+def test_h264_cavlc_roundtrip_property(
+    seed: int, w: int, h: int, qp: int, mb_types: str
+):
     """For ANY frame content and QP, the CAVLC I_16x16 codec reconstructs
     within a quantizer-proportional fidelity bound. PSNR (not inf-norm —
     the Layer II lesson: per-band half-step errors can pile up at one
@@ -646,7 +649,7 @@ def test_h264_cavlc_roundtrip_property(seed: int, w: int, h: int, qp: int):
         y = np.clip(120 + 3 * xs + 2 * ys, 0, 255).astype(np.uint8)
     cb = rng.integers(0, 256, (lh // 2, lw // 2), dtype=np.uint8)
     cr = rng.integers(0, 256, (lh // 2, lw // 2), dtype=np.uint8)
-    bs = h264.encode_h264_yuv([(y, cb, cr)], qp=qp)
+    bs = h264.encode_h264_yuv([(y, cb, cr)], qp=qp, mb_types=mb_types)
     y1, cb1, cr1 = h264.decode_h264_yuv(bs)[0]
     if qp == 0:
         assert int(np.abs(y.astype(int) - y1.astype(int)).max()) <= 2
