@@ -77,10 +77,11 @@ _HIGH_PROFILES = (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
 
 
 class UnsupportedH264(ValueError):
-    """Spec-valid H.264 the codec declares out of scope (CAVLC/CABAC
-    residual macroblocks, interlace, slice groups). Distinct from malformed
-    data so callers can tell 'real stream, undeclared toolset' apart from
-    'not H.264 at all'."""
+    """Spec-valid H.264 the codec declares out of scope (third-party
+    entropy-coded residuals — CABAC or unmarked CAVLC — inter prediction,
+    interlace, slice groups). Distinct from malformed data so callers can
+    tell 'real stream, undeclared toolset' apart from 'not H.264 at
+    all'."""
 
 
 # --------------------------------------------------------------------------

@@ -81,8 +81,8 @@ FEATURE_SCHEMA = T.StructType(
 
 def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     """STUB for the remaining undecodable *variants* (third-party H.264
-    entropy-coded residuals — CABAC, I_4x4/inter, or CAVLC without the
-    engine SEI marker — and stereo/third-party-spectral AAC; foreign
+    entropy-coded residuals — CABAC, inter prediction, or CAVLC without
+    the engine SEI marker — and stereo/third-party-spectral AAC; foreign
     entropy tables are genuinely out of scope without external libs) and
     unknown formats. Every format family has a REAL decode path:
     WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I/II/III, AAC-LC
