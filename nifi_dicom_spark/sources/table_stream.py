@@ -59,18 +59,22 @@ Options:
 * ``mode`` — ``cdf`` (default; state diffs with pre/post images) or
   ``upserts`` (each commit's appended delta files verbatim; requires
   merge-on-read writes).
-* ``maxVersionsPerBatch`` — backlog PACING, not a hard cap. Limits how
-  many table versions one micro-batch covers while draining a backlog
-  (``1`` = exact per-commit attribution). CAVEAT — restart hole: the
-  limit is applied from in-process driver state that the Data Source API
-  gives no way to seed from the checkpointed start offset, so the FIRST
-  micro-batch after a query restart covers the entire outstanding
-  backlog in one batch regardless of the option. That batch is still
-  correct (rows attribute to its endpoint version, as always), but
-  callers must NOT rely on this option to bound per-batch memory or
-  latency across restarts — size ``maxPartitionDiffBytes`` for the
-  worst-case whole-backlog batch instead (that cap is per-partition and
-  stateless, so it DOES hold across restarts).
+* ``maxVersionsPerBatch`` — attribution GRANULARITY (hard) + backlog
+  pacing (best-effort). ``partitions()`` decomposes every batch range
+  into chunks of at most this many versions, each diffed independently
+  and attributed to its own endpoint — so ``1`` means exact per-commit
+  attribution UNCONDITIONALLY, restart-safe, and a transient
+  insert+delete inside one batch is never netted away. The best-effort
+  part is batch SIZING: the trigger-side limit lives in in-process
+  driver state the Data Source API gives no way to seed from the
+  checkpointed start offset, so the FIRST micro-batch after a query
+  restart (or a driver-side reader respawn) covers the entire
+  outstanding backlog in one batch — same rows, decomposed into the
+  same per-chunk diffs, but one batch's wall-clock. Callers must NOT
+  rely on this option to bound per-batch memory or latency across
+  restarts — size ``maxPartitionDiffBytes`` for the worst-case
+  whole-backlog batch instead (that cap is per-partition and stateless,
+  so it DOES hold across restarts).
 * ``maxPartitionDiffBytes`` — split threshold (default 128 MiB): a diff
   whose referenced files exceed this many bytes is subdivided into
   key-hash splits so no single worker's pandas state outgrows memory.
@@ -174,10 +178,9 @@ class _CDFStreamReader(DataSourceStreamReader):
         self.mode = str(options.get("mode", "cdf")).lower()
         if self.mode not in ("cdf", "upserts"):
             raise ValueError(f"mode must be cdf|upserts, got {self.mode!r}")
-        #: cap versions per micro-batch (best-effort backlog pacing: a
-        #: batch collapses the versions it covers and attributes rows to
-        #: the endpoint version; maxVersionsPerBatch=1 gives exact
-        #: per-commit attribution while draining a backlog)
+        #: attribution granularity (hard — partitions() chunks every batch
+        #: range by this many versions, maxVersionsPerBatch=1 = exact
+        #: per-commit attribution) + best-effort trigger-side pacing
         self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
         if self.max_versions is not None and self.max_versions < 0:
             raise ValueError(
@@ -229,10 +232,11 @@ class _CDFStreamReader(DataSourceStreamReader):
     def _note_offset(self, v: int) -> None:
         # pacing is best-effort in-process state: the API gives latestOffset
         # no view of the checkpointed start, so a re-created reader (restart
-        # or driver-side respawn) collapses its first batch. Seed the
-        # tracker from every callback that DOES see an offset to shrink
-        # that hole; the collapse is always correct (rows attribute to the
-        # batch endpoint, as documented), just coarser.
+        # or driver-side respawn) lets its first batch cover the whole
+        # backlog. Seed the tracker from every callback that DOES see an
+        # offset to shrink that hole; an oversized batch is decomposed by
+        # partitions() into per-maxVersionsPerBatch chunks, so attribution
+        # and netting are identical either way — only batch sizing suffers.
         if self._last_end is None or v > self._last_end:
             self._last_end = v
 
@@ -265,6 +269,23 @@ class _CDFStreamReader(DataSourceStreamReader):
             return []
         if self.mode == "upserts":
             return self._upsert_partitions(vs, ve)
+        # cdf mode: decompose the batch range into maxVersionsPerBatch-sized
+        # chunks diffed INDEPENDENTLY, each attributed to its own endpoint.
+        # This makes the option a hard GRANULARITY guarantee: even when the
+        # in-process pacing state is lost (query restart, driver-side reader
+        # respawn) and one batch covers the whole backlog, the emitted rows
+        # are identical to the paced sequence — maxVersionsPerBatch=1 gives
+        # exact per-commit attribution unconditionally, and a transient
+        # insert+delete inside the range is never netted away by a collapse
+        # it wasn't in with pacing intact. Unpaced streams (option unset)
+        # keep whole-range state-diff semantics (one net diff per batch).
+        step = self.max_versions or (ve - vs)
+        parts: list[InputPartition] = []
+        for s in range(vs, ve, step):
+            parts.extend(self._cdf_partitions(s, min(s + step, ve)))
+        return parts
+
+    def _cdf_partitions(self, vs: int, ve: int) -> list[InputPartition]:
         be = _backend(self.path)
         try:
             m_s = json.loads(be.load_manifest(vs).decode())

@@ -1503,3 +1503,62 @@ def test_rollup_stream_minmax_live(spark, tmp_path):
         assert state() == {("user", 1, pd.Timestamp("2024-01-15"))}
     finally:
         q.stop()
+
+
+def test_cdf_pacing_is_a_hard_granularity_guarantee(spark, tmp_path):
+    """Regression for the one red in the r5 full-suite gate: when the
+    in-process pacing state is lost (query restart / driver-side reader
+    respawn under host load), one batch covers several versions — the old
+    reader diffed the whole range at once, attributing every row to the
+    endpoint and NETTING AWAY a transient insert+delete (conv B vanished
+    from the feed entirely). ``partitions()`` now decomposes any range
+    into maxVersionsPerBatch-sized chunks diffed independently, so the
+    emitted rows are identical to the paced sequence, deterministically —
+    asserted here at the reader level with no streaming trigger at all."""
+    from nifi_dicom_spark.sources.table_stream import _CDFStreamReader
+
+    spark.dataSource.register(SnapshotCDFDataSource)
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _ev(spark, conv="A", seq=10, text="a1"), epoch=0)
+    v0 = table.current_version()
+    apply_changes(table, _ev(spark, conv="B", seq=20, text="b1"), epoch=1)
+    apply_changes(table, _ev(spark, conv="A", seq=30, text="a2"), epoch=2)
+    apply_changes(table, _ev(spark, op="delete", conv="B", seq=40), epoch=3)
+    v_end = table.current_version()
+    feed_schema = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table.path)
+        .load()
+        .schema
+    )
+
+    def rows_for(options):
+        rdr = _CDFStreamReader({"path": table.path, **options}, feed_schema)
+        out = []
+        for p in rdr.partitions({"version": v0}, {"version": v_end}):
+            for batch in rdr.read(p):  # arrow RecordBatches (vectorized path)
+                for d in batch.to_pylist():
+                    out.append(
+                        (d["conv_id"], d["_change_type"], d["_commit_version"])
+                    )
+        return sorted(out)
+
+    # paced reader, one oversized batch: exact per-commit attribution,
+    # B's insert+delete BOTH present (never netted away)
+    paced = rows_for({"maxversionsperbatch": "1"})
+    assert paced == sorted(
+        [
+            ("B", "insert", v0 + 1),
+            ("A", "update_preimage", v0 + 2),
+            ("A", "update_postimage", v0 + 2),
+            ("B", "delete", v_end),
+        ]
+    ), paced
+    # unpaced reader keeps whole-range state-diff semantics: B nets out
+    unpaced = rows_for({})
+    assert unpaced == sorted(
+        [
+            ("A", "update_preimage", v_end),
+            ("A", "update_postimage", v_end),
+        ]
+    ), unpaced
