@@ -963,6 +963,22 @@ def _layer1_signal(doc_id: int) -> "np.ndarray":
     )
 
 
+def _aac_signal(doc_id: int) -> "np.ndarray":
+    """Per-doc AAC test signal: even doc_ids the mono two-tone (SCE path),
+    odd doc_ids a stereo pair (CPE path) whose right channel mixes the
+    doc's tone with a neighbour's — partially correlated, so the per-frame
+    M/S decision sees realistic inputs. Shared by aac_decode's query and
+    oracle."""
+    import numpy as np
+
+    i = int(doc_id)
+    left = _layer1_signal(i)
+    if i % 2 == 0:
+        return left
+    right = 0.6 * left + 0.4 * _layer1_signal(i + 11)
+    return np.stack([left, right], axis=1)
+
+
 def q_layer1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-audio bitstream decode through the multimodal path:
     a deterministic two-tone signal per doc is encoded as MPEG-1 Layer I
@@ -1184,17 +1200,18 @@ def q_aac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``extract_features`` entropy-decodes the payload, runs the IMDCT
     overlap-add, and the RMS-energy features OF THE LOSSY DECODE plus the
     container size are value-checked against a Python-replayed oracle.
-    Closes the last declared audio stub; reference analog:
-    decompress-on-read (``apps/DeidentifyAndRedact.java:271``)."""
+    Odd doc_ids encode STEREO (CPE, common_window, per-frame M/S over two
+    phase-distinct tones) so the pair-element decode path gets a driver
+    row alongside mono SCE. Closes the last declared audio stub;
+    reference analog: decompress-on-read
+    (``apps/DeidentifyAndRedact.java:271``)."""
     from nifi_dicom_spark.functions.multimodal import extract_features
 
     @F.pandas_udf("binary")
     def make_aac(ids: pd.Series) -> pd.Series:
         from nifi_dicom_spark.functions.aac import encode_aac
 
-        return pd.Series(
-            [encode_aac(_layer1_signal(int(i)), 32000, quality=12) for i in ids]
-        )
+        return pd.Series([encode_aac(_aac_signal(int(i)), 32000, quality=12) for i in ids])
 
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -1233,7 +1250,7 @@ def _aac_decode_oracle() -> str:
     )
     rows = []
     for i in ids:
-        payload = encode_aac(_layer1_signal(int(i)), 32000, quality=12)
+        payload = encode_aac(_aac_signal(int(i)), 32000, quality=12)
         samples, _sr = decode_aac(payload)
         feat = audio_energy_features(samples, 4)
         # full-precision floats here, rounding ONCE in SQL — pre-rounding

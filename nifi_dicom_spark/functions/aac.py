@@ -1,4 +1,4 @@
-"""AAC-LC audio codec (ADTS) — from scratch, spec-shaped, mono.
+"""AAC-LC audio codec (ADTS) — from scratch, spec-shaped, mono + stereo.
 
 Closes the last declared audio stub: compressed AAC payloads now decode
 to real PCM instead of falling back to the deterministic fake feature.
@@ -10,9 +10,14 @@ What is spec-EXACT here (ISO/IEC 13818-7 / 14496-3, public spec):
   sampling-frequency-index table, channel configuration, 13-bit frame
   length, buffer fullness, raw-block count) — third-party tools identify
   these streams, and `parse_adts` walks third-party ADTS streams.
-* Raw-data-block syntax: id_syn_ele elements (SCE … END, byte-aligned
+* Raw-data-block syntax: id_syn_ele elements (SCE/CPE … END, byte-aligned
   terminator), single_channel_element → individual_channel_stream with
   global_gain, ics_info (window_sequence/shape, max_sfb, predictor flag),
+  channel_pair_element → common_window flag, shared ics_info,
+  ms_mask_present (0 = L/R, 1 = per-band ms_used bits, 2 = all bands
+  mid/side; the encoder emits 0 or 2 by a per-frame energy decision, the
+  decoder reconstructs all three masks with the spec's l=m+s / r=m−s
+  rotation), then two individual_channel_streams,
   section_data (4-bit codebook + 5-bit incremental section lengths with
   the 31-escape), DPCM scalefactor chain seeded from global_gain,
   pulse/TNS/gain-control presence flags, spectral pair coding with sign
@@ -34,9 +39,10 @@ decoder build identical tables so streams are exactly self-consistent
 the multimodal feature path falls back to its declared stub); (b) the
 scalefactor-band layout is a derived closed-form geometric progression
 (widths ×1.09, multiples of 4 — the spec's long-window granularity)
-instead of the printed per-rate swb offset tables. Scope: mono,
-long windows only (ONLY_LONG_SEQUENCE), no TNS/PNS/prediction (all
-legal encoder choices signalled through the real syntax bits).
+instead of the printed per-rate swb offset tables. Scope: mono (SCE)
+and 2-channel stereo (CPE with common_window + M/S), long windows only
+(ONLY_LONG_SEQUENCE), no TNS/PNS/prediction (all legal encoder choices
+signalled through the real syntax bits).
 
 Reference analog: decompress-on-read of encapsulated compressed payloads
 (``apps/DeidentifyAndRedact.java:271``,
@@ -80,6 +86,7 @@ _ESC = 16  # in-codeword magnitude cap; >= 16 uses the escape sequence
 _QMAX = (1 << 12) - 1  # encoder-side magnitude cap (escape N <= 7)
 _SF_MAX = 60  # per-band scalefactor range [0, 60], dpcm in [-60, 60]
 _ID_SCE = 0
+_ID_CPE = 1
 _ID_END = 7
 _CB_ZERO = 0
 _CB_PAIR = 11  # our engine-canonical pair book, signalled like ESC_HCB
@@ -313,31 +320,20 @@ def parse_adts(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _encode_frame(lines: np.ndarray, quality: int) -> bytes:
-    """One raw_data_block: SCE(ICS) + END, byte-aligned."""
-    pe, _pd, se, _sd, _pm, _sm = _tables()
+def _analyze(lines: np.ndarray, quality: int):
+    """Quantize one channel's MDCT lines: (gg, sf, q, neg, band_cb).
+    A silent channel yields gg=0 and an empty band_cb (max_sfb 0)."""
     edges = sfb_layout()
     n_bands = len(edges) - 1
-
     amax = float(np.abs(lines).max())
-    w = _BitWriter()
-    w.u(_ID_SCE, 3)
-    w.u(0, 4)  # element_instance_tag
     if amax <= 0.0:
-        # silent frame: global_gain 0, ics_info, zero sections up to max_sfb=0
-        w.u(0, 8)
-        w.u(0, 1)  # ics_reserved
-        w.u(0, 2)  # window_sequence: ONLY_LONG
-        w.u(0, 1)  # window_shape: sine
-        w.u(0, 6)  # max_sfb = 0
-        w.u(0, 1)  # predictor_data_present
-        w.u(0, 1)  # pulse
-        w.u(0, 1)  # tns
-        w.u(0, 1)  # gain control
-        w.u(_ID_END, 3)
-        while w._nbits:
-            w.u(0, 1)  # byte-align the raw data block
-        return w.getvalue()
+        return (
+            0,
+            np.zeros(0, dtype=np.int64),
+            np.zeros(FRAME_LEN, dtype=np.int64),
+            lines < 0,
+            [],
+        )
 
     target = float(min(quality, _QMAX))
     # global gain sized so the loudest band quantizes near `target`
@@ -372,17 +368,48 @@ def _encode_frame(lines: np.ndarray, quality: int) -> bytes:
         _CB_PAIR if int(q[edges[b] : edges[b + 1]].max(initial=0)) else _CB_ZERO
         for b in range(n_bands)
     ]
-    max_sfb = 0
-    for b in range(n_bands):
-        if band_cb[b] != _CB_ZERO:
-            max_sfb = b + 1
+    return gg, sf, q, neg, band_cb
 
-    w.u(gg, 8)
+
+def _own_max_sfb(band_cb: list) -> int:
+    max_sfb = 0
+    for b, cb in enumerate(band_cb):
+        if cb != _CB_ZERO:
+            max_sfb = b + 1
+    return max_sfb
+
+
+def _write_ics_info(w: _BitWriter, max_sfb: int) -> None:
     w.u(0, 1)  # ics_reserved
     w.u(0, 2)  # ONLY_LONG_SEQUENCE
     w.u(0, 1)  # sine window
     w.u(max_sfb, 6)
     w.u(0, 1)  # predictor_data_present
+
+
+def _write_ics(
+    w: _BitWriter,
+    gg: int,
+    sf: np.ndarray,
+    q: np.ndarray,
+    neg: np.ndarray,
+    band_cb: list,
+    max_sfb: int,
+    *,
+    common_window: bool,
+) -> None:
+    """individual_channel_stream: global_gain, [ics_info unless the CPE
+    hoisted a common one], section_data, scale_factor_data, the three
+    absent-tool flags, spectral_data. With a common (shared) max_sfb the
+    channel's band_cb is zero-padded so sections still tile it."""
+    pe, _pd, se, _sd, _pm, _sm = _tables()
+    edges = sfb_layout()
+    if len(band_cb) < max_sfb:
+        band_cb = list(band_cb) + [_CB_ZERO] * (max_sfb - len(band_cb))
+
+    w.u(gg, 8)
+    if not common_window:
+        _write_ics_info(w, max_sfb)
     # section_data: merge equal-codebook runs; 5-bit lengths, 31 escapes
     b = 0
     while b < max_sfb:
@@ -428,6 +455,52 @@ def _encode_frame(lines: np.ndarray, quality: int) -> bytes:
                 _write_escape(w, a)
             if cc == _ESC:
                 _write_escape(w, c)
+
+
+def _encode_frame(lines: np.ndarray, quality: int) -> bytes:
+    """One mono raw_data_block: SCE(ICS) + END, byte-aligned. Bit-for-bit
+    the pre-CPE-refactor layout (a silent channel degenerates to gg=0 +
+    max_sfb=0 through the same generic writer)."""
+    w = _BitWriter()
+    w.u(_ID_SCE, 3)
+    w.u(0, 4)  # element_instance_tag
+    gg, sf, q, neg, band_cb = _analyze(lines, quality)
+    _write_ics(w, gg, sf, q, neg, band_cb, _own_max_sfb(band_cb), common_window=False)
+    w.u(_ID_END, 3)
+    while w._nbits:
+        w.u(0, 1)  # byte-align the raw data block
+    return w.getvalue()
+
+
+def _encode_frame_pair(
+    left: np.ndarray, right: np.ndarray, quality: int
+) -> bytes:
+    """One stereo raw_data_block: CPE(common_window ics_info, M/S mask,
+    ICS×2) + END. The M/S decision is per-frame and global (mask 0 or 2):
+    rotate to mid/side when the rotated pair concentrates the energy —
+    2·min(E[m²], E[s²]) ≤ min(E[l²], E[r²]) — so identical channels ride a
+    silent side and anti-phase channels a silent mid, while independent
+    channels stay L/R (the rotation would only spread their energy)."""
+    el = float((left**2).mean())
+    er = float((right**2).mean())
+    mid = 0.5 * (left + right)
+    side = 0.5 * (left - right)
+    em = float((mid**2).mean())
+    es = float((side**2).mean())
+    use_ms = (el > 0.0 or er > 0.0) and 2.0 * min(em, es) <= min(el, er)
+    c0, c1 = (mid, side) if use_ms else (left, right)
+
+    a0 = _analyze(c0, quality)
+    a1 = _analyze(c1, quality)
+    max_sfb = max(_own_max_sfb(a0[4]), _own_max_sfb(a1[4]))
+    w = _BitWriter()
+    w.u(_ID_CPE, 3)
+    w.u(0, 4)  # element_instance_tag
+    w.u(1, 1)  # common_window
+    _write_ics_info(w, max_sfb)
+    w.u(2 if use_ms else 0, 2)  # ms_mask_present: all bands or none
+    for gg, sf, q, neg, band_cb in (a0, a1):
+        _write_ics(w, gg, sf, q, neg, band_cb, max_sfb, common_window=True)
     w.u(_ID_END, 3)
     while w._nbits:
         w.u(0, 1)  # byte-align the raw data block
@@ -437,10 +510,13 @@ def _encode_frame(lines: np.ndarray, quality: int) -> bytes:
 def encode_aac(
     samples: np.ndarray, sample_rate: int = 32000, *, quality: int = 12
 ) -> bytes:
-    """Encode mono PCM (float, [-1, 1]) as an ADTS AAC-LC stream (see the
-    module doc for scope + documented deviations). ``quality`` targets the
-    per-band quantized magnitude — higher = finer = larger frames (VBR:
-    rate follows the signal, the ADTS frame-length field carries it).
+    """Encode mono ``(n,)`` or stereo ``(n, 2)`` PCM (float, [-1, 1]) as an
+    ADTS AAC-LC stream (see the module doc for scope + documented
+    deviations) — mono emits SCE raw data blocks (bit-identical to the
+    mono-only codec), stereo emits CPE blocks with a shared ics_info and a
+    per-frame M/S decision. ``quality`` targets the per-band quantized
+    magnitude — higher = finer = larger frames (VBR: rate follows the
+    signal, the ADTS frame-length field carries it).
     The default sits just under the in-codeword magnitude cap of 16, so
     pairs Huffman-code without escape sequences (~5-7 bits/sample at
     ~30 dB SNR); quality > ~20 shifts the stream escape-heavy, buying
@@ -451,10 +527,10 @@ def encode_aac(
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 2 and x.shape[1] == 1:
         x = x[:, 0]
-    if x.ndim != 1:
-        # ravel() here would silently interleave a (n, 2) stereo pair into
-        # one garbled mono stream — scope is mono, reject like Layer III
-        raise ValueError("AAC scope is mono: samples must be (n,)")
+    if x.ndim not in (1, 2) or (x.ndim == 2 and x.shape[1] != 2):
+        # ravel() here would silently interleave a multichannel layout
+        # into one garbled mono stream — reject like Layer III
+        raise ValueError("samples must be (n,) mono or (n, 2) stereo")
     if sample_rate not in SAMPLE_RATES:
         raise ValueError(f"sample_rate must be one of {SAMPLE_RATES}")
     if not len(x):
@@ -464,14 +540,20 @@ def encode_aac(
     if quality < 4:
         raise ValueError("quality must be >= 4")
     sr_index = SAMPLE_RATES.index(sample_rate)
+    nch = 1 if x.ndim == 1 else 2
     n_blocks = -(-len(x) // FRAME_LEN)
-    padded = np.zeros((n_blocks + 2) * FRAME_LEN)
+    padded = np.zeros(((n_blocks + 2) * FRAME_LEN, nch) if nch == 2 else (n_blocks + 2) * FRAME_LEN)
     padded[FRAME_LEN : FRAME_LEN + len(x)] = x  # one block of leading flush
     out = bytearray()
     for i in range(n_blocks + 1):
         z = padded[i * FRAME_LEN : i * FRAME_LEN + _WIN_LEN]
-        body = _encode_frame(_mdct(z), quality)
-        out += _adts_header(7 + len(body), sr_index) + body
+        if nch == 1:
+            body = _encode_frame(_mdct(z), quality)
+        else:
+            body = _encode_frame_pair(
+                _mdct(z[:, 0]), _mdct(z[:, 1]), quality
+            )
+        out += _adts_header(7 + len(body), sr_index, channels=nch) + body
     return bytes(out)
 
 
@@ -480,24 +562,29 @@ def encode_aac(
 # ---------------------------------------------------------------------------
 
 
-def _decode_frame(body: bytes) -> np.ndarray:
-    _pe, pd, _se, sd, pm, sm = _tables()
-    edges = sfb_layout()
-    r = _BitReader(body)
-    if r.u(3) != _ID_SCE:
-        raise ValueError("expected SCE element")
-    r.u(4)  # element_instance_tag
-    gg = r.u(8)
+def _read_ics_info(r: _BitReader) -> int:
+    """Parse ics_info, returning max_sfb; raises on out-of-scope tools."""
     if r.u(1):
         raise ValueError("ics_reserved_bit set")
     if r.u(2) != 0:
         raise ValueError("only ONLY_LONG_SEQUENCE windows are in scope")
     r.u(1)  # window_shape
     max_sfb = r.u(6)
-    if max_sfb > len(edges) - 1:
+    if max_sfb > len(sfb_layout()) - 1:
         raise ValueError("max_sfb exceeds the band layout")
     if r.u(1):
         raise ValueError("prediction is out of scope")
+    return max_sfb
+
+
+def _decode_ics(r: _BitReader, common_max_sfb: int | None = None) -> np.ndarray:
+    """Parse one individual_channel_stream to dequantized MDCT lines.
+    ``common_max_sfb`` is the CPE-hoisted shared ics_info; None means the
+    stream carries its own (the SCE / common_window=0 layout)."""
+    _pe, pd, _se, sd, pm, sm = _tables()
+    edges = sfb_layout()
+    gg = r.u(8)
+    max_sfb = _read_ics_info(r) if common_max_sfb is None else common_max_sfb
     band_cb = []
     while len(band_cb) < max_sfb:
         cb = r.u(4)
@@ -539,18 +626,64 @@ def _decode_frame(body: bytes) -> np.ndarray:
                 lines[i] = (-1.0 if sa else 1.0) * a ** (4.0 / 3.0) * step
             if c:
                 lines[i + 1] = (-1.0 if sc else 1.0) * c ** (4.0 / 3.0) * step
+    return lines
+
+
+def _decode_frame(body: bytes) -> np.ndarray:
+    """One raw_data_block to dequantized MDCT lines, shape (nch, 1024):
+    SCE → (1, 1024); CPE → (2, 1024) with the M/S mask unrotated back to
+    L/R (l = m + s, r = m − s — the spec reconstruction for every masked
+    band; mask 1 applies it per ms_used bit, mask 2 everywhere)."""
+    r = _BitReader(body)
+    ide = r.u(3)
+    if ide == _ID_SCE:
+        r.u(4)  # element_instance_tag
+        out = _decode_ics(r)[None, :]
+    elif ide == _ID_CPE:
+        r.u(4)  # element_instance_tag
+        ms_used: list[int] | None = None
+        msp = 0
+        if r.u(1):  # common_window
+            max_sfb = _read_ics_info(r)
+            msp = r.u(2)
+            if msp == 3:
+                raise ValueError("reserved ms_mask_present value 3")
+            if msp == 1:
+                ms_used = [r.u(1) for _ in range(max_sfb)]
+            ch0 = _decode_ics(r, common_max_sfb=max_sfb)
+            ch1 = _decode_ics(r, common_max_sfb=max_sfb)
+        else:
+            # independent windows: each ICS carries its own ics_info and
+            # M/S is not signalled (the mask requires a common grid)
+            ch0 = _decode_ics(r)
+            ch1 = _decode_ics(r)
+        if msp == 2:
+            ch0, ch1 = ch0 + ch1, ch0 - ch1
+        elif msp == 1:
+            edges = sfb_layout()
+            for b, used in enumerate(ms_used or []):
+                if used:
+                    lo, hi = edges[b], edges[b + 1]
+                    m = ch0[lo:hi].copy()
+                    ch0[lo:hi] = m + ch1[lo:hi]
+                    ch1[lo:hi] = m - ch1[lo:hi]
+        out = np.stack([ch0, ch1])
+    else:
+        raise ValueError(f"unsupported syntactic element id {ide}")
     if r.u(3) != _ID_END:
         raise ValueError("expected END element")
-    return lines
+    return out
 
 
 def decode_aac(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode an ADTS AAC-LC stream produced by :func:`encode_aac` to
-    (mono PCM float array, sample_rate). Raises ``ValueError`` on
+    (PCM float array, sample_rate) — ``(n,)`` for mono streams (unchanged
+    shape), ``(n, 2)`` for stereo CPE streams. Raises ``ValueError`` on
     malformed data or on (spec-valid) toolsets outside the declared scope
     — the multimodal feature path catches that and keeps its stub."""
     pos = 0
     sr = None
+    nch = None
     prev = None
     chunks = []
     while pos + 7 <= len(payload):
@@ -559,15 +692,25 @@ def decode_aac(payload: bytes) -> tuple[np.ndarray, int]:
             if not chunks:
                 raise ValueError("no ADTS frames")
             break
-        if h["channels"] != 1 or h["profile"] != 2:
-            raise ValueError("only mono AAC-LC is in scope")
+        if h["channels"] not in (1, 2) or h["profile"] != 2:
+            raise ValueError("only mono/stereo AAC-LC is in scope")
+        if nch is None:
+            nch = h["channels"]
+        elif h["channels"] != nch:
+            raise ValueError("channel configuration changed mid-stream")
         sr = h["sample_rate"]
         body = payload[pos + h["header_len"] : pos + h["frame_len"]]
-        y = _imdct(_decode_frame(body))
+        lines = _decode_frame(body)
+        if lines.shape[0] != nch:
+            raise ValueError(
+                "raw data block does not match the ADTS channel config"
+            )
+        y = np.stack([_imdct(ch) for ch in lines])  # (nch, 2048)
         if prev is not None:
-            chunks.append(prev[FRAME_LEN:] + y[:FRAME_LEN])
+            chunks.append(prev[:, FRAME_LEN:] + y[:, :FRAME_LEN])
         prev = y
         pos += h["frame_len"]
     if not chunks:
         raise ValueError("stream too short for TDAC overlap")
-    return np.concatenate(chunks), int(sr)
+    out = np.concatenate(chunks, axis=1)
+    return (out[0] if nch == 1 else out.T), int(sr)

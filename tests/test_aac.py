@@ -94,12 +94,19 @@ def test_sfb_layout_invariants():
 def test_out_of_scope_and_malformed_rejection():
     x = _two_tone(1500)
     bs = aac.encode_aac(x, 32000)
-    # stereo channel_configuration: spec-valid, declared out of scope
+    # header says stereo but the raw data block is an SCE: the element/
+    # channel-config cross-check must catch the mismatch
     stereo = bytearray(bs)
     stereo[2] = (stereo[2] & 0xFE) | 0x00
     stereo[3] = (stereo[3] & 0x3F) | 0x80  # channel_configuration 1 -> 2
-    with pytest.raises(ValueError, match="mono"):
+    with pytest.raises(ValueError, match="channel config"):
         aac.decode_aac(bytes(stereo))
+    # channel_configuration 3 (5.1-ish layouts onward): out of scope
+    three = bytearray(bs)
+    three[2] = (three[2] & 0xFE) | 0x00
+    three[3] = (three[3] & 0x3F) | 0xC0  # channel_configuration 1 -> 3
+    with pytest.raises(ValueError, match="mono/stereo"):
+        aac.decode_aac(bytes(three))
     with pytest.raises(ValueError):
         aac.decode_aac(b"\x00" * 32)  # not ADTS at all
     with pytest.raises(ValueError):
@@ -131,6 +138,130 @@ def test_sniffer_isolation_from_mpeg_family():
     assert not aac.is_aac(l3)
     assert not aac.is_aac(None)
     assert not aac.is_aac(b"")
+
+
+# ---------------------------------------------------------------------------
+# stereo (CPE + common_window + per-frame M/S)
+# ---------------------------------------------------------------------------
+
+
+def _stereo(n=5000, sr=32000):
+    t = np.arange(n) / sr
+    left = 0.4 * np.sin(2 * np.pi * 440.0 * t) + 0.2 * np.sin(2 * np.pi * 2500.0 * t)
+    right = 0.35 * np.sin(2 * np.pi * 620.0 * t + 0.7) + 0.15 * np.sin(
+        2 * np.pi * 1800.0 * t
+    )
+    return np.stack([left, right], axis=1)
+
+
+def test_stereo_roundtrip_quality_and_framing():
+    x = _stereo()
+    bs = aac.encode_aac(x, 32000)
+    assert bs == aac.encode_aac(x, 32000)  # bit-deterministic
+    meta = aac.parse_adts(bs)
+    assert meta["channels"] == 2 and meta["n_frames"] == 6
+    y, sr = aac.decode_aac(bs)
+    assert sr == 32000 and y.shape == (5 * 1024, 2)
+    for ch in range(2):
+        assert roundtrip_snr_db(x[:, ch], y[: len(x), ch]) > 25.0
+    # finer quality strictly improves both channels
+    y2, _ = aac.decode_aac(aac.encode_aac(x, 32000, quality=400))
+    for ch in range(2):
+        assert roundtrip_snr_db(x[:, ch], y2[: len(x), ch]) > roundtrip_snr_db(
+            x[:, ch], y[: len(x), ch]
+        )
+
+
+def test_stereo_ms_decision_compresses_correlated_channels():
+    mono = _two_tone()
+    # identical channels: side is silent, M/S should approach the mono rate
+    dual = np.stack([mono, mono], axis=1)
+    bs_ms = aac.encode_aac(dual, 32000)
+    bs_mono = aac.encode_aac(mono, 32000)
+    # two *independent* channels cost ~2x mono; M/S on identical channels
+    # must beat that clearly (side = silence = max_sfb 0)
+    assert len(bs_ms) < 1.25 * len(bs_mono)
+    y, _ = aac.decode_aac(bs_ms)
+    for ch in range(2):
+        assert roundtrip_snr_db(mono, y[: len(mono), ch]) > 25.0
+    # anti-phase channels: mid is silent, same win through the side channel
+    anti = np.stack([mono, -mono], axis=1)
+    bs_anti = aac.encode_aac(anti, 32000)
+    assert len(bs_anti) < 1.25 * len(bs_mono)
+    y2, _ = aac.decode_aac(bs_anti)
+    assert roundtrip_snr_db(mono, y2[: len(mono), 0]) > 25.0
+    assert roundtrip_snr_db(-mono, y2[: len(mono), 1]) > 25.0
+    # independent channels stay L/R (rotation would spread energy, not
+    # concentrate it) and still round-trip fine
+    ind = _stereo()
+    y3, _ = aac.decode_aac(aac.encode_aac(ind, 32000))
+    for ch in range(2):
+        assert roundtrip_snr_db(ind[:, ch], y3[: len(ind), ch]) > 25.0
+
+
+def test_stereo_edge_shapes_and_guards():
+    mono = _two_tone(1500)
+    # (n, 1) squeezes to mono: bit-identical to the 1-D encode
+    assert aac.encode_aac(mono[:, None], 32000) == aac.encode_aac(mono, 32000)
+    with pytest.raises(ValueError, match="mono or"):
+        aac.encode_aac(np.zeros((64, 3)), 32000)  # 3 channels
+    with pytest.raises(ValueError, match="mono or"):
+        aac.encode_aac(np.zeros((4, 4, 4)), 32000)  # not a signal at all
+    # stereo silence stays silent on both channels
+    y, _ = aac.decode_aac(aac.encode_aac(np.zeros((1500, 2)), 44100))
+    assert y.shape[1] == 2 and float(np.abs(y).max()) == 0.0
+    # one silent channel: M/S concentrates everything in mid
+    half = np.stack([mono, np.zeros_like(mono)], axis=1)
+    y2, _ = aac.decode_aac(aac.encode_aac(half, 32000))
+    assert roundtrip_snr_db(mono, y2[: len(mono), 0]) > 25.0
+    assert float(np.abs(y2[: len(mono), 1]).max()) < 0.05
+    # a channel-config change mid-stream is rejected
+    bs_m = aac.encode_aac(mono, 32000)
+    bs_s = aac.encode_aac(np.stack([mono, mono], axis=1), 32000)
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        aac.decode_aac(bs_m + bs_s)
+
+
+def test_stereo_per_band_ms_mask_decode_path():
+    """The encoder emits ms_mask_present 0 or 2; the decoder also implements
+    the spec's per-band mask 1. Exercise it by rewriting an all-M/S frame's
+    mask bits to the equivalent explicit per-band form."""
+    from nifi_dicom_spark.functions.h264 import _BitReader, _BitWriter
+
+    mono = _two_tone(1024)
+    bs = aac.encode_aac(np.stack([mono, mono], axis=1), 32000)
+    ref, _ = aac.decode_aac(bs)
+    out = bytearray()
+    pos = 0
+    while pos + 7 <= len(bs):
+        h = aac._parse_adts_header(bs, pos)
+        body = bs[pos + h["header_len"] : pos + h["frame_len"]]
+        r = _BitReader(body)
+        assert r.u(3) == 1  # CPE
+        r.u(4)
+        assert r.u(1) == 1  # common_window
+        max_sfb = aac._read_ics_info(r)
+        assert r.u(2) == 2  # encoder emitted the all-bands mask
+        tail_bitpos = 3 + 4 + 1 + 11 + 2  # bits consumed so far
+        w = _BitWriter()
+        head = _BitReader(body)
+        for _ in range(tail_bitpos - 2):
+            w.u(head.u(1), 1)
+        w.u(1, 2)  # ms_mask_present = 1
+        for _ in range(max_sfb):
+            w.u(1, 1)  # every band ms_used
+        rest = _BitReader(body)
+        rest.pos = tail_bitpos
+        nbits = len(body) * 8 - tail_bitpos
+        for _ in range(nbits):
+            w.u(rest.u(1), 1)
+        w.align_zero()  # re-establish the raw_data_block byte alignment
+        nb = w.getvalue()
+        out += aac._adts_header(7 + len(nb), aac.SAMPLE_RATES.index(32000), 2) + nb
+        pos += h["frame_len"]
+    y, sr = aac.decode_aac(bytes(out))
+    assert sr == 32000
+    assert np.allclose(y, ref)  # mask-1-everywhere == mask-2
 
 
 def test_multimodal_feature_and_probe_paths():

@@ -698,3 +698,55 @@ def test_aac_roundtrip_snr_property(seed: int, n: int, sr_idx: int, quality: int
     y, sr2 = aac.decode_aac(bs)
     assert sr2 == sr and len(y) == n_blocks * aac.FRAME_LEN
     assert roundtrip_snr_db(x, y[:n]) > 22.0
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(64, 4000),
+    sr_idx=st.integers(0, 11),
+    quality=st.sampled_from([30, 150]),
+    correlation=st.sampled_from(["independent", "identical", "antiphase", "mixed"]),
+)
+@settings(max_examples=20, deadline=None)
+def test_aac_stereo_roundtrip_snr_property(
+    seed: int, n: int, sr_idx: int, quality: int, correlation: str
+):
+    """Stereo CPE round-trip: for ANY channel correlation structure the
+    per-frame M/S decision must stay transparent — both channels come back
+    above the same SNR envelope as mono, whichever mask the encoder picked
+    (identical → silent side, antiphase → silent mid, independent → L/R)."""
+    from nifi_dicom_spark.functions import aac
+    from nifi_dicom_spark.functions.mpeg_audio import roundtrip_snr_db
+
+    rng = np.random.default_rng(seed)
+    sr = aac.SAMPLE_RATES[sr_idx]
+    t = np.arange(n) / sr
+
+    def tone():
+        x = np.zeros(n)
+        for _ in range(rng.integers(1, 4)):
+            f = rng.uniform(50.0, 0.35 * sr)
+            x += rng.uniform(0.05, 0.3) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 6.28)
+            )
+        return x
+
+    left = tone()
+    if correlation == "identical":
+        right = left.copy()
+    elif correlation == "antiphase":
+        right = -left
+    elif correlation == "mixed":
+        right = 0.7 * left + 0.3 * tone()
+    else:
+        right = tone()
+    x = np.stack([left, right], axis=1)
+    bs = aac.encode_aac(x, sr, quality=quality)
+    assert bs == aac.encode_aac(x, sr, quality=quality)
+    meta = aac.parse_adts(bs)
+    n_blocks = -(-n // aac.FRAME_LEN)
+    assert meta["channels"] == 2 and meta["n_frames"] == n_blocks + 1
+    y, sr2 = aac.decode_aac(bs)
+    assert sr2 == sr and y.shape == (n_blocks * aac.FRAME_LEN, 2)
+    assert roundtrip_snr_db(left, y[:n, 0]) > 22.0
+    assert roundtrip_snr_db(right, y[:n, 1]) > 22.0
