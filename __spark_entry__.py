@@ -1279,8 +1279,9 @@ def _synth_media_payload(doc_id: int) -> tuple[str, bytes]:
     slot = i % 11
     if slot == 10:
         # compressed audio that decodes for REAL (AAC-LC in ADTS frames;
-        # the header walk yields true frame count + duration)
-        sig = _layer1_signal(i)[: 1024 * (i % 2 + 1)]
+        # the header walk yields true frame count + duration); odd doc_ids
+        # are stereo CPE streams, so the probe reports channels=2 for them
+        sig = _aac_signal(i)[: 1024 * (i % 2 + 1)]
         return "audio", aac.encode_aac(sig, 32000, quality=12)
     if slot == 9:
         # compressed video that decodes for REAL (H.264 baseline-intra
