@@ -964,11 +964,12 @@ def _layer1_signal(doc_id: int) -> "np.ndarray":
 
 
 def _aac_signal(doc_id: int) -> "np.ndarray":
-    """Per-doc AAC test signal: even doc_ids the mono two-tone (SCE path),
-    odd doc_ids a stereo pair (CPE path) whose right channel mixes the
-    doc's tone with a neighbour's — partially correlated, so the per-frame
-    M/S decision sees realistic inputs. Shared by aac_decode's query and
-    oracle."""
+    """Per-doc mono-or-stereo test signal: even doc_ids the mono two-tone,
+    odd doc_ids a stereo pair whose right channel mixes the doc's tone
+    with a neighbour's — partially correlated, so the per-frame M/S
+    decisions see realistic inputs. Shared by the aac_decode (SCE/CPE) and
+    layer3_decode (mono/joint-stereo) queries and their oracles, and the
+    media_probe AAC slot."""
     import numpy as np
 
     i = int(doc_id)
@@ -1123,9 +1124,10 @@ def q_layer3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic two-tone signal per doc is encoded as Layer III
     (``functions/mpeg_audio.py encode_layer3`` — per-band MDCT/TDAC,
     4/3-power requantization under global_gain, engine-canonical Huffman
-    pairs + linbits escapes + count1 quads, spec mono frame/side-info
-    layout), then ``extract_features`` entropy-decodes the payload, runs
-    the IMDCT + synthesis filterbank, and the RMS-energy features OF THE
+    pairs + linbits escapes + count1 quads, spec frame/side-info layout —
+    odd doc_ids STEREO with the per-frame joint/M-S decision, even mono),
+    then ``extract_features`` entropy-decodes the payload, runs the
+    IMDCT + synthesis filterbank, and the RMS-energy features OF THE
     LOSSY DECODE plus the container size are value-checked against a
     Python-replayed oracle. Reference analog: decompress-on-read of
     encapsulated bulk data (``apps/DeidentifyAndRedact.java:271``)."""
@@ -1137,7 +1139,7 @@ def q_layer3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return pd.Series(
             [
-                encode_layer3(_layer1_signal(int(i)), 32000, quality=1500)
+                encode_layer3(_aac_signal(int(i)), 32000, quality=1500)
                 for i in ids
             ]
         )
@@ -1179,7 +1181,7 @@ def _layer3_decode_oracle() -> str:
     )
     rows = []
     for i in ids:
-        payload = encode_layer3(_layer1_signal(int(i)), 32000, quality=1500)
+        payload = encode_layer3(_aac_signal(int(i)), 32000, quality=1500)
         pcm, _sr = decode_layer3(payload)
         feat = audio_energy_features(pcm, 4)
         rows.append(f"({int(i)}, {float(feat[0])!r}, {float(feat[3])!r}, {len(payload)})")

@@ -892,12 +892,17 @@ def is_layer2(payload: bytes | None) -> bool:
 # step = 2^((global_gain-210)/4) — the spec's requantization law run
 # backwards), and entropy-coded: a big-values region of Huffman PAIRS with
 # 13-bit linbits escapes, then a count1 region of ±1 QUADS, then the rzero
-# run of trailing zeros. Frame layout is the spec's mono shape bit for bit:
-# 4-byte header (layer bits 01), 17-byte side info (9-bit main_data_begin,
-# 5 private, 4 scfsi, then per granule part2_3_length/big_values/
-# global_gain/scalefac_compress/window-switching/table_select/regions/
-# preflag/scalefac_scale/count1table_select = 59 bits), main data,
-# CBR padding. Scope: MPEG-1, mono, CBR, long blocks,
+# run of trailing zeros. Frame layout is the spec's shape bit for bit:
+# 4-byte header (layer bits 01), 17-byte mono / 32-byte stereo side info
+# (9-bit main_data_begin, 5/3 private, 4 scfsi per channel, then per
+# granule-channel part2_3_length/big_values/global_gain/scalefac_compress/
+# window-switching/table_select/regions/preflag/scalefac_scale/
+# count1table_select = 59 bits), main data, CBR padding. Stereo frames
+# carry a PER-FRAME joint-stereo decision: frames whose rotated pair
+# concentrates the energy go out as mode 01 with mode_extension 10
+# (ms_stereo) and the spec's m=(l+r)/sqrt2, s=(l-r)/sqrt2 rotation; the
+# rest as plain mode 00. Scope: MPEG-1, mono + 2-channel stereo
+# (intensity stereo out of scope), CBR, long blocks,
 # scalefac_compress=0 (zero scalefactor bits — a legal encoder choice;
 # resolution rides on global_gain alone), main_data_begin=0 (no bit
 # reservoir — each frame self-contained, also legal).
@@ -1086,13 +1091,26 @@ def _l3_encode_granule(
         gg = min(255, gg + 4)
 
 
+# the 13 per-(granule,channel) side-info fields: part2_3_length,
+# big_values, global_gain, scalefac_compress, window_switching, then
+# table_select x3 / region0/region1_count / preflag / scalefac_scale /
+# count1table_select (constants for this encoder's long-block toolset)
+_L3_SIDE_WIDTHS = [12, 9, 8, 4, 1, 5, 5, 5, 4, 3, 1, 1, 1]
+_MS_SQRT2 = float(np.sqrt(2.0))
+
+
 def encode_layer3(
     samples: np.ndarray, sample_rate: int = 32000, *, quality: int = 1500
 ) -> bytes:
-    """Encode mono PCM (float, [-1, 1]) as an MPEG-1 Layer III CBR stream
-    (see the section comment for scope + documented deviations).
-    ``quality`` caps the per-granule quantized magnitude — higher = finer
-    spectral resolution = more bits."""
+    """Encode mono ``(n,)`` or stereo ``(n, 2)`` PCM (float, [-1, 1]) as an
+    MPEG-1 Layer III CBR stream (see the section comment for scope +
+    documented deviations). Mono emits the spec's single_channel frame
+    shape bit for bit (17-byte side info); stereo emits 32-byte side info
+    with a per-frame joint-stereo decision — frames whose rotated pair
+    concentrates the energy go out as mode 01 / mode_extension 10 with the
+    spec's M/S rotation ``m=(l+r)/sqrt(2), s=(l-r)/sqrt(2)``, the rest as
+    plain mode 00 stereo. ``quality`` caps the per-granule quantized
+    magnitude — higher = finer spectral resolution = more bits."""
     if sample_rate not in _MPEG1_RATES:
         raise ValueError(f"sample_rate must be one of {_MPEG1_RATES}")
     if not 1 <= quality <= _L3_QMAX:
@@ -1100,37 +1118,73 @@ def encode_layer3(
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 2 and x.shape[1] == 1:
         x = x[:, 0]
-    if x.ndim != 1:
-        raise ValueError("Layer III scope is mono: samples must be (n,)")
+    if x.ndim not in (1, 2) or (x.ndim == 2 and x.shape[1] != 2):
+        raise ValueError("samples must be (n,) mono or (n, 2) stereo")
     if not np.isfinite(x).all():
         raise ValueError("samples must be finite (no NaN/inf)")
-    x = np.concatenate([x, np.zeros(_DELAY)])
-    pad = (-len(x)) % _L3_LINES  # rows come in 18s: 576 samples
-    if pad:
-        x = np.concatenate([x, np.zeros(pad)])
-    sub = analyze(x)  # (rows, 32), rows % 18 == 0
-    rows = sub.shape[0]
+    nch = 1 if x.ndim == 1 else 2
+    subs = []
+    for ch in range(nch):
+        c = np.concatenate([x if nch == 1 else x[:, ch], np.zeros(_DELAY)])
+        pad = (-len(c)) % _L3_LINES  # rows come in 18s: 576 samples
+        if pad:
+            c = np.concatenate([c, np.zeros(pad)])
+        subs.append(analyze(c))  # (rows, 32), rows % 18 == 0
+    rows = subs[0].shape[0]
     n_gran = rows // 18
     n_blocks = n_gran + 1  # TDAC needs one flush block past the signal
     if n_blocks % 2:
         n_blocks += 1
-    # per-granule Huffman budget: the 12-bit part2_3_length cap AND half
-    # of the largest legal frame's main-data capacity at this sample rate
+    # per-granule(-channel) Huffman budget: the 12-bit part2_3_length cap
+    # AND an even split of the largest legal frame's main-data capacity
     cap_bytes = SAMPLES_PER_FRAME_L3 // 8 * 320 * 1000 // sample_rate
-    max_bits = min(4095, (cap_bytes - 21) * 8 // 2)
-    grans = []
-    for g in range(n_blocks):
+    side_len = 17 if nch == 1 else 32
+    max_bits = min(4095, (cap_bytes - 4 - side_len) * 8 // (2 * nch))
+
+    def g_lines(sub: np.ndarray, g: int) -> np.ndarray:
         lo = 18 * (g - 1)
         z = np.zeros((36, N_BANDS))
         s_lo, s_hi = max(lo, 0), min(lo + 36, rows)
         if s_hi > s_lo:
             z[s_lo - lo : s_hi - lo] = sub[s_lo:s_hi]
-        lines = _l3_mdct(z).T.reshape(-1)  # line = sb*18 + k
-        grans.append(_l3_encode_granule(lines, quality, max_bits))
+        return _l3_mdct(z).T.reshape(-1)  # line = sb*18 + k
+
+    # per frame: the granule-channel encode results in main-data order
+    # (g-major, ch-minor) + the frame's joint-stereo flag
+    frame_grans: list[tuple[list, bool]] = []
+    for f in range(n_blocks // 2):
+        gs = (2 * f, 2 * f + 1)
+        if nch == 1:
+            frame_grans.append(
+                ([_l3_encode_granule(g_lines(subs[0], g), quality, max_bits) for g in gs], False)
+            )
+            continue
+        left = [g_lines(subs[0], g) for g in gs]
+        right = [g_lines(subs[1], g) for g in gs]
+        el = sum(float((l**2).sum()) for l in left)
+        er = sum(float((r**2).sum()) for r in right)
+        mid = [(l + r) / _MS_SQRT2 for l, r in zip(left, right)]
+        side = [(l - r) / _MS_SQRT2 for l, r in zip(left, right)]
+        em = sum(float((m**2).sum()) for m in mid)
+        es = sum(float((s**2).sum()) for s in side)
+        # rotate when it concentrates energy (identical channels -> silent
+        # side, anti-phase -> silent mid); independent channels stay L/R
+        use_ms = (el > 0.0 or er > 0.0) and 2.0 * min(em, es) <= min(el, er)
+        c0, c1 = (mid, side) if use_ms else (left, right)
+        frame_grans.append(
+            (
+                [
+                    _l3_encode_granule(ch[gi], quality, max_bits)
+                    for gi in range(2)
+                    for ch in (c0, c1)
+                ],
+                use_ms,
+            )
+        )
 
     need = max(
-        21 + (sum(grans[2 * f][3]) + sum(grans[2 * f + 1][3]) + 7) // 8
-        for f in range(n_blocks // 2)
+        4 + side_len + (sum(sum(g[3]) for g in grans) + 7) // 8
+        for grans, _ms in frame_grans
     )
     rate = next(
         (
@@ -1143,29 +1197,28 @@ def encode_layer3(
     if rate is None:  # pragma: no cover — max_bits keeps need <= cap_bytes
         raise ValueError("Layer III frame budget exceeded")
     frame_len = SAMPLES_PER_FRAME_L3 // 8 * rate * 1000 // sample_rate
-    header = bytes(
-        [
-            0xFF,
-            0xFB,  # sync + MPEG-1 + Layer III (bits 01) + no CRC
-            (mp3._BR_INDEX[(1, 3)][rate] << 4) | (mp3._SR_INDEX[3][sample_rate] << 2),
-            3 << 6,  # single_channel
-        ]
-    )
+    head3 = (mp3._BR_INDEX[(1, 3)][rate] << 4) | (mp3._SR_INDEX[3][sample_rate] << 2)
     frames = []
-    for f in range(n_blocks // 2):
-        values = [0, 0, 0]  # main_data_begin, private, scfsi
-        widths = [9, 5, 4]
-        for g in (2 * f, 2 * f + 1):
-            gg, big_pairs, _v, w = grans[g]
+    for grans, use_ms in frame_grans:
+        if nch == 1:
+            mode_byte = 3 << 6  # single_channel
+            values = [0, 0, 0]  # main_data_begin, private, scfsi
+            widths = [9, 5, 4]
+        else:
+            # joint_stereo + mode_extension 10 (ms_stereo on) per frame
+            mode_byte = (1 << 6) | (2 << 4) if use_ms else 0
+            values = [0, 0, 0, 0]  # main_data_begin, private(3), scfsi x2
+            widths = [9, 3, 4, 4]
+        for gg, big_pairs, _v, w in grans:
             values += [sum(w), big_pairs, gg, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0]
-            widths += [12, 9, 8, 4, 1, 5, 5, 5, 4, 3, 1, 1, 1]
-        for g in (2 * f, 2 * f + 1):
-            values += grans[g][2]
-            widths += grans[g][3]
+            widths += _L3_SIDE_WIDTHS
+        for g in grans:
+            values += g[2]
+            widths += g[3]
         body = _pack_bits(
             np.asarray(values, dtype=np.uint64), np.asarray(widths, dtype=np.int64)
         )
-        frame = header + body
+        frame = bytes([0xFF, 0xFB, head3, mode_byte]) + body
         if len(frame) > frame_len:  # pragma: no cover
             raise AssertionError("Layer III frame overflow (budget bug)")
         frames.append(frame + b"\x00" * (frame_len - len(frame)))
@@ -1194,11 +1247,14 @@ def _l3_sign_bit(bits: np.ndarray, pos: int) -> tuple[int, int]:
 
 
 def decode_layer3(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode an MPEG-1 Layer III mono stream produced by
-    :func:`encode_layer3`: side-info parse, Huffman (pair + quad) entropy
-    decode, requantization ``sign * q^(4/3) * 2^((gg-210)/4)``, per-band
-    IMDCT with TDAC overlap-add, synthesis filterbank. Returns
-    (float64 samples, sample_rate)."""
+    """Decode an MPEG-1 Layer III stream produced by :func:`encode_layer3`:
+    side-info parse, Huffman (pair + quad) entropy decode, requantization
+    ``sign * q^(4/3) * 2^((gg-210)/4)``, for joint-stereo frames the spec's
+    M/S unrotation ``l=(m+s)/sqrt(2), r=(m-s)/sqrt(2)`` on the requantized
+    lines, per-band IMDCT with TDAC overlap-add, synthesis filterbank per
+    channel. Returns (float64 samples — ``(n,)`` mono, ``(n, 2)`` stereo,
+    sample_rate). Intensity stereo (mode_extension bit 0) is out of scope
+    and raises."""
     _pe, pd, _qe, qd, pm, qm = _l3_tables()
     frames = mp3.frame_table(payload)
     if not frames:
@@ -1206,79 +1262,98 @@ def decode_layer3(payload: bytes) -> tuple[np.ndarray, int]:
     first = mp3._parse_header(payload, frames[0].offset)
     if first is None or first.layer != 3 or first.version != "1":
         raise ValueError("not an MPEG-1 Layer III stream")
-    if first.channels != 1:
-        raise ValueError("Layer III scope is mono (single_channel)")
+    nch = first.channels
     sr = first.sample_rate
-    prev = np.zeros((18, N_BANDS))
-    out_rows = []
+    prev = np.zeros((nch, 18, N_BANDS))
+    out_rows: list[list[np.ndarray]] = [[] for _ in range(nch)]
     first_block = True
+
+    def read_spectrum(bits, pos, p23, big_pairs, gg) -> tuple[np.ndarray, int]:
+        # big_values is a 9-bit side-info field (<= 511 pairs = 1022
+        # lines) but a granule only has _L3_LINES (576) spectral lines;
+        # a corrupted stream can claim more, which must be a clean
+        # bitstream error, not an index crash.
+        if 2 * big_pairs > _L3_LINES:
+            raise ValueError("Layer III big_values region exceeds granule spectrum")
+        start = pos
+        q = np.zeros(_L3_LINES, dtype=np.float64)
+        for i in range(big_pairs):
+            (ca, cb), pos = _l3_read_code(bits, pos, pd, pm)
+            a, b = float(ca), float(cb)
+            if ca == _L3_ESC:
+                lin, pos = _take_var(bits, pos, np.asarray([_L3_LINBITS]))
+                a += int(lin[0])
+            if ca:
+                s, pos = _l3_sign_bit(bits, pos)
+                a = -a if s else a
+            if cb == _L3_ESC:
+                lin, pos = _take_var(bits, pos, np.asarray([_L3_LINBITS]))
+                b += int(lin[0])
+            if cb:
+                s, pos = _l3_sign_bit(bits, pos)
+                b = -b if s else b
+            q[2 * i] = a
+            q[2 * i + 1] = b
+        line = 2 * big_pairs
+        while pos - start < p23 and line + 4 <= _L3_LINES:
+            quad, pos = _l3_read_code(bits, pos, qd, qm)
+            for t in range(4):
+                if quad[t]:
+                    s, pos = _l3_sign_bit(bits, pos)
+                    q[line + t] = -1.0 if s else 1.0
+            line += 4
+        if pos - start > p23:
+            raise ValueError("Layer III granule overran part2_3_length")
+        pos = start + p23
+        step = 2.0 ** ((gg - 210) / 4.0)
+        return np.sign(q) * (np.abs(q) ** (4.0 / 3.0)) * step, pos
+
     for fr in frames:
         h = mp3._parse_header(payload, fr.offset)
         if h is None or h.layer != 3:
             continue
+        if h.channels != nch:
+            raise ValueError("Layer III channel mode changed mid-stream")
+        ms = False
+        if h.mode == "joint_stereo":
+            mode_ext = (payload[fr.offset + 3] >> 4) & 0x3
+            if mode_ext & 0x1:
+                raise ValueError("Layer III intensity stereo is out of scope")
+            ms = bool(mode_ext & 0x2)
         skip = 4 + (2 if h.has_crc else 0)
         body = payload[fr.offset + skip : fr.offset + fr.size]
         bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8))
-        _mdb_priv_scfsi, pos = _take_var(bits, 0, np.asarray([9, 5, 4]))
+        prefix = np.asarray([9, 5, 4] if nch == 1 else [9, 3, 4, 4])
+        _mdb_priv_scfsi, pos = _take_var(bits, 0, prefix)
         side = []
-        for _g in range(_GRANULES_L3):
-            f_, pos = _take_var(
-                bits, pos, np.asarray([12, 9, 8, 4, 1, 5, 5, 5, 4, 3, 1, 1, 1])
-            )
+        for _gc in range(_GRANULES_L3 * nch):  # g-major, ch-minor
+            f_, pos = _take_var(bits, pos, np.asarray(_L3_SIDE_WIDTHS))
             side.append((int(f_[0]), int(f_[1]), int(f_[2])))  # p23, big, gg
-        for p23, big_pairs, gg in side:
-            # big_values is a 9-bit side-info field (<= 511 pairs = 1022
-            # lines) but a granule only has _L3_LINES (576) spectral lines;
-            # a corrupted stream can claim more, which must be a clean
-            # bitstream error, not an index crash.
-            if 2 * big_pairs > _L3_LINES:
-                raise ValueError(
-                    "Layer III big_values region exceeds granule spectrum"
-                )
-            start = pos
-            q = np.zeros(_L3_LINES, dtype=np.float64)
-            for i in range(big_pairs):
-                (ca, cb), pos = _l3_read_code(bits, pos, pd, pm)
-                a, b = float(ca), float(cb)
-                if ca == _L3_ESC:
-                    lin, pos = _take_var(bits, pos, np.asarray([_L3_LINBITS]))
-                    a += int(lin[0])
-                if ca:
-                    s, pos = _l3_sign_bit(bits, pos)
-                    a = -a if s else a
-                if cb == _L3_ESC:
-                    lin, pos = _take_var(bits, pos, np.asarray([_L3_LINBITS]))
-                    b += int(lin[0])
-                if cb:
-                    s, pos = _l3_sign_bit(bits, pos)
-                    b = -b if s else b
-                q[2 * i] = a
-                q[2 * i + 1] = b
-            line = 2 * big_pairs
-            while pos - start < p23 and line + 4 <= _L3_LINES:
-                quad, pos = _l3_read_code(bits, pos, qd, qm)
-                for t in range(4):
-                    if quad[t]:
-                        s, pos = _l3_sign_bit(bits, pos)
-                        q[line + t] = -1.0 if s else 1.0
-                line += 4
-            if pos - start > p23:
-                raise ValueError("Layer III granule overran part2_3_length")
-            pos = start + p23
-            step = 2.0 ** ((gg - 210) / 4.0)
-            X = np.sign(q) * (np.abs(q) ** (4.0 / 3.0)) * step
-            y = _l3_imdct(X.reshape(N_BANDS, 18).T)
+        for g in range(_GRANULES_L3):
+            Xs = []
+            for ch in range(nch):
+                p23, big_pairs, gg = side[g * nch + ch]
+                X, pos = read_spectrum(bits, pos, p23, big_pairs, gg)
+                Xs.append(X)
+            if ms:
+                m, s_ = Xs
+                Xs = [(m + s_) / _MS_SQRT2, (m - s_) / _MS_SQRT2]
+            ys = [_l3_imdct(X.reshape(N_BANDS, 18).T) for X in Xs]
             if first_block:
                 first_block = False  # TDAC warm-up chunk: no predecessor
             else:
-                out_rows.append(prev + y[:18])
-            prev = y[18:]
-    if not out_rows:
-        return np.zeros(0), sr
-    rows = np.concatenate(out_rows, axis=0)
-    out = synthesize(rows)
-    n = rows.shape[0] * HOP
-    return out[_DELAY : _DELAY + n], sr
+                for ch in range(nch):
+                    out_rows[ch].append(prev[ch] + ys[ch][:18])
+            for ch in range(nch):
+                prev[ch] = ys[ch][18:]
+    if not out_rows[0]:
+        return (np.zeros(0) if nch == 1 else np.zeros((0, 2))), sr
+    outs = []
+    for ch in range(nch):
+        rows = np.concatenate(out_rows[ch], axis=0)
+        n = rows.shape[0] * HOP
+        outs.append(synthesize(rows)[_DELAY : _DELAY + n])
+    return (outs[0] if nch == 1 else np.stack(outs, axis=1)), sr
 
 
 def is_layer3(payload: bytes | None) -> bool:

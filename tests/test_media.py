@@ -937,9 +937,10 @@ def test_decode_h264_max_frames_stops_early():
 def test_encoder_input_validation():
     """Encoder entrypoints reject hostile shapes/values with clean
     ValueErrors: NaN/inf PCM (Layer I/II previously quantized NaN into
-    garbage bits; Layer III/AAC raised numpy's cryptic cast error), stereo
-    into the mono-scope codecs (AAC previously ravel()ed a (n,2) pair into
-    an interleaved mono stream), and empty / 2-D / odd-dim images."""
+    garbage bits; Layer III/AAC raised numpy's cryptic cast error),
+    3-channel layouts into the mono/stereo codecs (AAC previously
+    ravel()ed a multichannel array into one interleaved mono stream),
+    and empty / 2-D / odd-dim images."""
     import numpy as np
 
     from nifi_dicom_spark.functions import aac, codecs, h264, jpeg
@@ -956,9 +957,9 @@ def test_encoder_input_validation():
             enc(np.full(2304, np.nan))
         with pytest.raises(ValueError, match="finite"):
             enc(np.full(2304, np.inf))
-    for enc in encoders[2:]:  # the mono-scope codecs
+    for enc in encoders[2:]:  # mono/stereo-scope: 3 channels rejected
         with pytest.raises(ValueError, match="mono"):
-            enc(np.zeros((1152, 2)))
+            enc(np.zeros((1152, 3)))
     # (n, 1) column vectors are still accepted everywhere
     for enc in encoders:
         assert len(enc(np.zeros((1152, 1)))) > 0

@@ -490,8 +490,8 @@ def test_layer3_encode_deterministic_and_linbits_escape():
 
 def test_layer3_rejections_and_dispatch():
     sig = _tone(1152)
-    with pytest.raises(ValueError, match="mono"):
-        ma.encode_layer3(np.stack([sig, sig], 1), 32000)
+    with pytest.raises(ValueError, match="mono or"):
+        ma.encode_layer3(np.stack([sig, sig, sig], 1), 32000)  # 3 channels
     with pytest.raises(ValueError, match="quality"):
         ma.encode_layer3(sig, 32000, quality=0)
     with pytest.raises(ValueError, match="sample_rate"):
@@ -502,11 +502,13 @@ def test_layer3_rejections_and_dispatch():
     assert ma.is_layer3(enc) and not ma.is_layer2(enc) and not ma.is_layer1(enc)
     assert not ma.is_layer3(ma.encode_layer2(sig, 32000))
     assert not ma.is_layer3(b"") and not ma.is_layer3(None)
-    # stereo third-party Layer III parses at the header level but is out
-    # of decode scope
+    # stereo THIRD-PARTY Layer III parses at the header level but its
+    # spectral data uses the spec's printed Huffman tables (not the
+    # engine-canonical ones) — the decode must be a clean ValueError,
+    # never a crash (the multimodal path catches it and keeps the stub)
     st = mp3.write_mp3(3, seed=b"x")
     assert ma.is_layer3(st)
-    with pytest.raises(ValueError, match="mono"):
+    with pytest.raises(ValueError):
         ma.decode_layer3(st)
 
 
@@ -522,6 +524,54 @@ def test_layer3_main_data_corruption_raises_or_degrades():
         assert len(dec) % 576 == 0
     except (ValueError, IndexError):
         pass
+
+
+def test_layer3_stereo_roundtrip_and_ms_decision():
+    t = np.arange(4608) / 32000.0
+    left = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 2500 * t)
+    right = 0.35 * np.sin(2 * np.pi * 620 * t + 0.7) + 0.15 * np.sin(
+        2 * np.pi * 1800 * t
+    )
+    x = np.stack([left, right], axis=1)
+    enc = ma.encode_layer3(x, 32000)
+    assert enc == ma.encode_layer3(x, 32000)  # bit-deterministic
+    h = mp3._parse_header(enc, 0)
+    assert h.channels == 2 and h.mode == "stereo"  # independent -> L/R
+    dec, sr = ma.decode_layer3(enc)
+    assert sr == 32000 and dec.shape[1] == 2
+    assert ma.roundtrip_snr_db(left, dec[: len(left), 0]) > 35
+    assert ma.roundtrip_snr_db(right, dec[: len(right), 1]) > 35
+    # correlated channels flip the per-frame decision to joint/M-S and
+    # beat the dual-independent rate (silent side channel)
+    mono_enc = ma.encode_layer3(left, 32000)
+    dual = np.stack([left, left], axis=1)
+    enc_ms = ma.encode_layer3(dual, 32000)
+    assert mp3._parse_header(enc_ms, 0).mode == "joint_stereo"
+    assert (enc_ms[3] >> 4) & 0x3 == 0x2  # mode_extension: ms_stereo only
+    assert len(enc_ms) < 1.25 * len(mono_enc)
+    dms, _ = ma.decode_layer3(enc_ms)
+    for ch in range(2):
+        assert ma.roundtrip_snr_db(left, dms[: len(left), ch]) > 35
+    # anti-phase rides the side channel
+    enc_ap = ma.encode_layer3(np.stack([left, -left], axis=1), 32000)
+    assert mp3._parse_header(enc_ap, 0).mode == "joint_stereo"
+    dap, _ = ma.decode_layer3(enc_ap)
+    assert ma.roundtrip_snr_db(left, dap[: len(left), 0]) > 35
+    assert ma.roundtrip_snr_db(-left, dap[: len(left), 1]) > 35
+    # (n, 1) squeezes to mono, bit-identical
+    assert ma.encode_layer3(left[:, None], 32000) == mono_enc
+    # stereo silence stays silent
+    z, _ = ma.decode_layer3(ma.encode_layer3(np.zeros((1152, 2)), 32000))
+    assert z.shape[1] == 2 and float(np.abs(z).max()) == 0.0
+    # intensity-stereo mode_extension (bit 0) is out of scope
+    bad = bytearray(enc_ms)
+    for off in range(0, len(bad), mp3._parse_header(enc_ms, 0).frame_len):
+        bad[off + 3] = (bad[off + 3] & 0xCF) | (0x1 << 4)
+    with pytest.raises(ValueError, match="intensity"):
+        ma.decode_layer3(bytes(bad))
+    # channel-mode change mid-stream is rejected
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        ma.decode_layer3(mono_enc + enc)
 
 
 def test_multimodal_layer3_real_decode(spark):

@@ -520,6 +520,52 @@ def test_layer3_roundtrip_snr_property(seed: int, quality: int, sr: int):
 
 @given(
     seed=st.integers(0, 10_000),
+    quality=st.sampled_from([300, 1500]),
+    sr=st.sampled_from([32000, 44100, 48000]),
+    correlation=st.sampled_from(["independent", "identical", "antiphase", "mixed"]),
+)
+@settings(max_examples=16, deadline=None)
+def test_layer3_stereo_roundtrip_snr_property(
+    seed: int, quality: int, sr: int, correlation: str
+):
+    """Stereo Layer III: whatever channel correlation the signal has, the
+    per-frame joint-stereo (M/S) decision must stay transparent — both
+    channels reconstruct above the same SNR envelope as mono, whichever
+    mode each frame was coded in (the decoder un-rotates masked frames
+    with the spec's (m±s)/sqrt(2) reconstruction)."""
+    from nifi_dicom_spark.functions import mp3, mpeg_audio as ma
+
+    rng = np.random.default_rng(seed)
+    n = 1152 * int(rng.integers(1, 3))
+    t = np.arange(n) / sr
+
+    def tone():
+        return 0.5 * np.sin(2 * np.pi * rng.uniform(100, 3000) * t) * np.linspace(
+            rng.uniform(0.1, 1), 1, n
+        )
+
+    left = tone()
+    if correlation == "identical":
+        right = left.copy()
+    elif correlation == "antiphase":
+        right = -left
+    elif correlation == "mixed":
+        right = 0.7 * left + 0.3 * tone()
+    else:
+        right = tone()
+    x = np.stack([left, right], axis=1)
+    enc = ma.encode_layer3(x, sr, quality=quality)
+    assert enc == ma.encode_layer3(x, sr, quality=quality)
+    h = mp3._parse_header(enc, 0)
+    assert h.layer == 3 and h.channels == 2 and h.sample_rate == sr
+    dec, out_sr = ma.decode_layer3(enc)
+    assert out_sr == sr and dec.shape[1] == 2 and dec.shape[0] % 576 == 0
+    assert ma.roundtrip_snr_db(left, dec[:n, 0]) > 28
+    assert ma.roundtrip_snr_db(right, dec[:n, 1]) > 28
+
+
+@given(
+    seed=st.integers(0, 10_000),
     levels=st.sampled_from([5, 9, 15, 63]),
     sr=st.sampled_from([32000, 44100, 48000]),
 )
