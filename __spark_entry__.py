@@ -1508,6 +1508,129 @@ def _mp4_frames_oracle() -> str:
     """
 
 
+def _synth_mp4_audio_payload(doc_id: int) -> bytes:
+    """Deterministic MP4 audio-track container per doc: an AAC segment
+    (mono even / stereo CPE odd via ``_aac_signal``), an MPEG-1 Layer III
+    segment, and an out-of-scope junk access unit (exercises the
+    null-audio-fields stub contract). Shared by mp4_audio's query and
+    oracle."""
+    import hashlib as _hl
+
+    from nifi_dicom_spark.functions import mp4
+    from nifi_dicom_spark.functions.aac import encode_aac
+    from nifi_dicom_spark.functions.mpeg_audio import encode_layer3
+
+    i = int(doc_id)
+    segs = [
+        encode_aac(_aac_signal(i), 32000, quality=12),
+        encode_layer3(_layer1_signal(i)[: 1152 * (i % 2 + 1)], 32000, quality=1500),
+        # leading 0x00 defeats every codec magic (RIFF/0xFF sync/ftyp),
+        # so this AU is deterministically out of scope on both sides
+        b"\x00" + _hl.md5(f"au:{i}".encode()).digest() * (i % 3 + 1),
+    ]
+    return mp4.mux_mp4(
+        segs,
+        kind="audio",
+        codec="mp4a",
+        sample_rate=32000,
+        channels=2,
+        timescale=1000,
+        sample_duration=100,
+        samples_per_chunk=2,
+    )
+
+
+def q_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode out of MP4 containers — the audio analog of
+    mjpeg_frames: the box walker demuxes the first ``soun`` track, each
+    access unit is extracted byte-exactly, and in-scope segments (ADTS
+    AAC-LC mono/stereo, MPEG-1 Layer III) decode to true sample rate /
+    channel count / PCM length / RMS level from the actual samples, while
+    the out-of-scope junk unit keeps null audio fields + its true byte
+    size (the declared stub contract). The oracle replays
+    mux→demux→decode in Python with the same codecs. Reference analog:
+    decompress-on-read of encapsulated compressed bulk data
+    (``apps/DeidentifyAndRedact.java:271``)."""
+    from nifi_dicom_spark.functions.multimodal import decode_audio_samples
+
+    @F.pandas_udf("binary")
+    def make_mp4a(ids: pd.Series) -> pd.Series:
+        return pd.Series([_synth_mp4_audio_payload(int(i)) for i in ids])
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        make_mp4a("doc_id").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>"
+        )
+        .alias("meta"),
+    )
+    return decode_audio_samples(media).select(
+        "media_id",
+        "sample_idx",
+        F.col("pts_ms").cast("long").alias("pts_ms"),
+        "sample_rate",
+        "channels",
+        "n_pcm",
+        F.round(F.col("rms"), 6).alias("rms"),
+        "sample_bytes",
+    )
+
+
+def _mp4_audio_oracle() -> str:
+    """Replay mux→demux→decode in Python over the same doc_ids."""
+    import pyarrow.parquet as pq
+
+    from nifi_dicom_spark.functions import mp4
+    from nifi_dicom_spark.functions.aac import decode_aac, is_aac
+    from nifi_dicom_spark.functions.mpeg_audio import decode_layer3, is_layer3
+
+    ids = (
+        pq.read_table(f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    rows = []
+    for i in ids:
+        payload = _synth_mp4_audio_payload(int(i))
+        for s in mp4.sample_table(payload, track_id=1):
+            au = mp4.extract_sample(payload, s)
+            pts_ms = s.pts * 1000 // 1000
+            if is_aac(au):
+                pcm, sr = decode_aac(au)
+            elif is_layer3(au):
+                pcm, sr = decode_layer3(au)
+            else:
+                rows.append(
+                    f"({int(i)}, {s.index}, {pts_ms}, NULL, NULL, NULL, NULL, {s.size})"
+                )
+                continue
+            nch = 1 if pcm.ndim == 1 else int(pcm.shape[1])
+            rms = float(((pcm.astype("float64") ** 2).mean()) ** 0.5)
+            rows.append(
+                f"({int(i)}, {s.index}, {pts_ms}, {sr}, {nch}, "
+                f"{int(pcm.shape[0])}, {round(rms, 6)!r}, {s.size})"
+            )
+    values = ",\n".join(rows)
+    return f"""
+        SELECT media_id, CAST(sample_idx AS INT) AS sample_idx,
+               CAST(pts_ms AS BIGINT) AS pts_ms,
+               CAST(sample_rate AS INT) AS sample_rate,
+               CAST(channels AS INT) AS channels,
+               CAST(n_pcm AS INT) AS n_pcm,
+               round(CAST(rms AS DOUBLE), 6) AS rms,
+               CAST(sample_bytes AS INT) AS sample_bytes
+        FROM (VALUES {values})
+        AS t(media_id, sample_idx, pts_ms, sample_rate, channels, n_pcm, rms,
+             sample_bytes)
+    """
+
+
 def _synth_mjpeg_payload(doc_id: int) -> bytes:
     """Deterministic MJPEG-in-MP4 per doc: 2..4 baseline-JPEG frames from
     the shared test pattern, muxed with the from-scratch muxer — shared by
@@ -2825,13 +2948,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation (r5): the driver checks the first 50 dict entries. Round 4
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
-    # row in r3. Those 22 lead now, followed by the 6 queries NEW this
+    # row in r3. Those 22 lead now, followed by the 7 queries NEW this
     # round (rollup_state, replication_state, layer3_decode, h264_frames,
-    # aac_decode, h264_cavlc), then enough r4-green entries to fill the
-    # window (ann_ivf, r4-green, moved to the tail to make room for
-    # h264_cavlc); the r4-green remainder (from ann_ivf/encrypt_roundtrip
-    # on) rotates to the tail so every registered query has a green row
-    # dated within the last two rounds. Rotate again next round.
+    # aac_decode, h264_cavlc, mp4_audio), then enough r4-green entries to
+    # fill the window (ann_ivf and simhash_near_dup, both r4-green, moved
+    # to the tail to make room for h264_cavlc and mp4_audio); the r4-green
+    # remainder (from simhash_near_dup/ann_ivf/encrypt_roundtrip on)
+    # rotates to the tail so every registered query has a green row dated
+    # within the last two rounds. Rotate again next round.
     return {
         # --- last verified r3 (rotated past r4's 50-cap) — first now -----
         "cfind_query": q_cfind_query,
@@ -2863,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_frames": q_h264_frames,
         "aac_decode": q_aac_decode,
         "h264_cavlc": q_h264_cavlc,
+        "mp4_audio": q_mp4_audio,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -2885,9 +3010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "near_dup_clusters": q_near_dup_clusters,
         "minhash_near_dup": q_minhash_near_dup,
-        "simhash_near_dup": q_simhash_near_dup,
         # --- green r4 rows: rotated past the 50-cap this round ------------
-        # (simhash_near_dup above is entry #50, the last the driver verifies)
+        # (minhash_near_dup above is entry #50, the last the driver verifies)
+        "simhash_near_dup": q_simhash_near_dup,
         "ann_ivf": q_ann_ivf,
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "redact_regions": q_redact_regions,
@@ -3710,6 +3835,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_regions": _redact_regions_oracle(),
         "media_probe": _media_probe_oracle(),
         "mp4_frames": _mp4_frames_oracle(),
+        "mp4_audio": _mp4_audio_oracle(),
         "shard_pack": """
             WITH t AS (
               SELECT doc_id,

@@ -414,6 +414,120 @@ def decode_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     )
 
 
+def decode_audio_samples(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL audio decode for MP4 audio-track payloads — the audio analog
+    of :func:`decode_frames`: the box walker demuxes the container's
+    FIRST audio track (``hdlr`` = ``soun``), every ``every_n``-th access
+    unit is extracted byte-exactly, and units that are self-contained
+    compressed-audio segments this engine decodes for real (ADTS AAC-LC
+    mono/stereo, MPEG-1 Layer I/II/III, PCM WAV) come back with their true
+    sample rate, channel count, decoded PCM length and RMS level from the
+    actual samples. Access units of codecs outside the declared scope
+    (third-party spectral data, Opus/FLAC/...) emit null audio fields but
+    keep their true byte size, so the real-vs-stub split stays visible
+    downstream — the same contract as ``decode_frames``'s null dims.
+    Containers without an audio track produce no rows. Reference analog:
+    decompress-on-read of encapsulated compressed bulk data
+    (``apps/DeidentifyAndRedact.java:271``); at 100 TB this is the
+    "decode only the sampled segments, never the whole asset" shape.
+
+    Note: an AAC segment must hold >= 2 ADTS frames to be decodable (the
+    TDAC flush frame); muxers using this engine's ``encode_aac`` output
+    as MP4 samples satisfy that by construction."""
+    from nifi_dicom_spark.functions import aac as aac_mod
+
+    if every_n < 1:
+        # fail at the API boundary, not as an opaque executor task error
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def _decode_au(au: bytes):
+        """(samples, sr) for in-scope codecs, None otherwise."""
+        if aac_mod.is_aac(au):
+            return aac_mod.decode_aac(au)
+        if mpeg_audio.is_layer1(au):
+            return mpeg_audio.decode_layer1(au)
+        if mpeg_audio.is_layer2(au):
+            return mpeg_audio.decode_layer2(au)
+        if mpeg_audio.is_layer3(au):
+            return mpeg_audio.decode_layer3(au)
+        if codecs.is_wav(au):
+            return codecs.decode_wav(au)
+        return None
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                if not mp4.is_mp4(payload):
+                    continue
+                try:
+                    meta = mp4.parse_mp4(payload)
+                    track = next(
+                        (t for t in meta["tracks"] if t["kind"] == "audio"), None
+                    )
+                    if track is None:
+                        continue
+                    table = mp4.sample_table(payload, track_id=track["track_id"])
+                except Exception:
+                    continue  # malformed container: no decodable samples
+                ts = track.get("timescale")
+                for s in table[::every_n]:
+                    au = mp4.extract_sample(payload, s)
+                    sr = nch = n_pcm = None
+                    rms = None
+                    try:
+                        dec = _decode_au(au)
+                    except Exception:
+                        dec = None  # out-of-scope variant: stub fields
+                    if dec is not None:
+                        samples, sr = dec
+                        nch = 1 if samples.ndim == 1 else int(samples.shape[1])
+                        n_pcm = int(samples.shape[0])
+                        rms = (
+                            float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+                            if n_pcm
+                            else 0.0
+                        )
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "sample_idx": s.index,
+                            "pts_ms": (s.pts * 1000 // ts if ts else None),
+                            "sample_rate": sr,
+                            "channels": nch,
+                            "n_pcm": n_pcm,
+                            "rms": round(rms, 6) if rms is not None else None,
+                            "sample_bytes": s.size,
+                        }
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_idx",
+                    "pts_ms",
+                    "sample_rate",
+                    "channels",
+                    "n_pcm",
+                    "rms",
+                    "sample_bytes",
+                ],
+            )
+            out["pts_ms"] = out["pts_ms"].astype("Int64")
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["channels"] = out["channels"].astype("Int32")
+            out["n_pcm"] = out["n_pcm"].astype("Int32")
+            out["sample_bytes"] = out["sample_bytes"].astype("Int32")
+            yield out
+
+    return media.filter(F.col("kind").isin("audio", "video")).mapInPandas(
+        kernel,
+        schema="media_id long, sample_idx int, pts_ms long, sample_rate int,"
+        " channels int, n_pcm int, rms double, sample_bytes int",
+    )
+
+
 PROBE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

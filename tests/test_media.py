@@ -260,6 +260,73 @@ def test_sample_frames_real_mp4(spark):
     assert not any(r["media_id"] == 3 for r in out)
 
 
+def test_decode_audio_samples_real_mp4(spark):
+    """MP4 audio-track decode: in-scope access units (AAC mono/stereo,
+    Layer II/III, WAV) yield true sr/channels/PCM length/RMS from the
+    actual decoded samples; out-of-scope units keep null audio fields +
+    true byte size; video containers without an audio track yield no
+    rows."""
+    import numpy as np
+
+    from nifi_dicom_spark.functions import aac, codecs
+    from nifi_dicom_spark.functions import mpeg_audio as ma
+    from nifi_dicom_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_samples,
+    )
+
+    t = np.arange(3000) / 32000.0
+    mono = 0.4 * np.sin(2 * np.pi * 440 * t)
+    stereo = np.stack([mono, 0.3 * np.sin(2 * np.pi * 620 * t + 0.5)], axis=1)
+    segs = [
+        aac.encode_aac(stereo, 32000),  # CPE stereo
+        ma.encode_layer3(mono, 32000),  # L3 mono
+        ma.encode_layer2(mono[:2304], 32000, levels=15),
+        codecs.encode_wav(mono[:500].astype(np.float32), 8000),
+        b"\x00junk-out-of-scope",  # 0x00 defeats every codec magic
+    ]
+    payload = mp4.mux_mp4(
+        segs, kind="audio", codec="mp4a", sample_rate=32000, channels=2,
+        timescale=1000, sample_duration=100,
+    )
+    video_only = mp4.mux_mp4(_samples(4, tag=b"v"), timescale=1000)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", payload, None),
+            (2, "audio", b"not-a-container", None),
+            (3, "video", video_only, None),  # no soun track → no rows
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = sorted(
+        decode_audio_samples(media).collect(), key=lambda r: r["sample_idx"]
+    )
+    assert [r["media_id"] for r in out] == [1] * 5
+    decoded = [
+        aac.decode_aac(segs[0]),
+        ma.decode_layer3(segs[1]),
+        ma.decode_layer2(segs[2]),
+        codecs.decode_wav(segs[3]),
+    ]
+    for idx, (pcm, sr) in enumerate(decoded):
+        r = out[idx]
+        nch = 1 if pcm.ndim == 1 else pcm.shape[1]
+        assert (r["sample_rate"], r["channels"], r["n_pcm"]) == (
+            sr, nch, pcm.shape[0],
+        )
+        assert r["rms"] == round(float(np.sqrt((pcm**2).mean())), 6)
+        assert r["sample_bytes"] == len(segs[idx])
+        assert r["pts_ms"] == idx * 100
+    junk = out[4]
+    assert junk["sample_rate"] is None and junk["rms"] is None
+    assert junk["sample_bytes"] == len(segs[4])
+    # sampling: every 2nd access unit only
+    sampled = decode_audio_samples(media, every_n=2).collect()
+    assert {r["sample_idx"] for r in sampled if r["media_id"] == 1} == {0, 2, 4}
+    with pytest.raises(ValueError, match="every_n"):
+        decode_audio_samples(media, every_n=0)
+
+
 # --- review-fix regressions --------------------------------------------------
 
 
