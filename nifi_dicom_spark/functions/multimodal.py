@@ -14,10 +14,10 @@ frame-header/Xing parse — see ``probe_media`` and ``sample_frames``);
 Layer II/III audio, AAC-LC audio (:mod:`..functions.aac`) and H.264
 baseline-intra video (I_PCM toolset, :mod:`..functions.h264`) decode for
 real too. The deterministic, clearly-marked stub in the feature path now
-covers only out-of-scope *variants* of those formats (H.264 CAVLC/CABAC
-residual macroblocks, stereo/third-party-spectral AAC — the spec's
-printed entropy code tables are non-derivable without external libs) and
-genuinely unknown formats. The
+covers only out-of-scope *variants* of those formats (third-party H.264
+entropy-coded residuals, third-party-spectral/multichannel AAC — the
+spec's printed entropy code tables are non-derivable without external
+libs) and genuinely unknown formats. The
 Spark-side plumbing is identical and fully tested either way: schema
 (binary payload + typed metadata struct), Arrow-batched ``mapInPandas``
 transforms, partition-size control for fat binary rows.
@@ -82,8 +82,9 @@ FEATURE_SCHEMA = T.StructType(
 def _fake_decode_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     """STUB for the remaining undecodable *variants* (third-party H.264
     entropy-coded residuals — CABAC, inter prediction, or CAVLC without
-    the engine SEI marker — and stereo/third-party-spectral AAC; foreign
-    entropy tables are genuinely out of scope without external libs) and
+    the engine SEI marker — and third-party-spectral/multichannel AAC;
+    foreign entropy tables are genuinely out of scope without external
+    libs) and
     unknown formats. Every format family has a REAL decode path:
     WAV/BMP/PNG/baseline-JPEG/MPEG-Layer-I/II/III, AAC-LC
     (:mod:`..functions.aac`), H.264 baseline-intra — both lossless I_PCM
@@ -125,9 +126,9 @@ def _decode_feature(
             samples, _sr = mpeg_audio.decode_layer3(payload)
             return codecs.audio_energy_features(samples, dim), None, None
         if aac.is_aac(payload):
-            # REAL AAC-LC decode (ADTS mono, engine-canonical Huffman —
-            # see functions/aac.py); out-of-scope toolsets raise and fall
-            # through to the declared stub below
+            # REAL AAC-LC decode (ADTS mono/stereo, engine-canonical
+            # Huffman — see functions/aac.py); out-of-scope toolsets raise
+            # and fall through to the declared stub below
             samples, _sr = aac.decode_aac(payload)
             return codecs.audio_energy_features(samples, dim), None, None
         if codecs.is_bmp(payload):
