@@ -2480,6 +2480,77 @@ def q_rebucket_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar point lookup (``lake/bloom.py``,
+    ``SnapshotTable.lookup`` — the Hudi bloom-index / unique-key C-FIND
+    fetch analog, ``QueryRetrieveController`` P6 gating): events LWW-merge
+    into an 8-bucket table in TWO epochs (so buckets hold base + delta
+    files), ``build_blooms`` writes per-file Bloom sidecars over the
+    distinct conv_ids, and ``lookup(['3','7','11'])`` reads only those
+    keys' buckets minus every bloom-excluded file. The result must be
+    exactly the global LWW winners for the three conversations — pruning
+    removes IO, never rows (false positives read extra, false negatives
+    are impossible). At 100 TB a point read costs O(one bucket's files),
+    not O(table)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="blm-") + "/t",
+        schema,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=8,
+    )
+    # two epochs -> base + MoR delta per touched bucket; LWW-max across
+    # batches is associative, so the split cannot change the winners
+    table.merge(
+        ev.filter(F.col("op_seq") % 2 == 0),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(0, 0)],
+    )
+    table.merge(
+        ev.filter(F.col("op_seq") % 2 == 1),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(1, 0)],
+    )
+    table.build_blooms()
+    return (
+        table.lookup(["3", "7", "11"])
+        .filter(F.col("op") != "delete")
+        .select(
+            "conv_id", "turn_idx", "op_seq", F.round("value", 4).alias("value"), "ts"
+        )
+    )
+
+
 def q_rollup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate maintenance (``streaming/rollup.py``): events
     LWW-merge into a source table, ``backfill_rollup`` seeds a COUNT/SUM
@@ -2948,14 +3019,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation (r5): the driver checks the first 50 dict entries. Round 4
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
-    # row in r3. Those 22 lead now, followed by the 7 queries NEW this
+    # row in r3. Those 22 lead now, followed by the 8 queries NEW this
     # round (rollup_state, replication_state, layer3_decode, h264_frames,
-    # aac_decode, h264_cavlc, mp4_audio), then enough r4-green entries to
-    # fill the window (ann_ivf and simhash_near_dup, both r4-green, moved
-    # to the tail to make room for h264_cavlc and mp4_audio); the r4-green
-    # remainder (from simhash_near_dup/ann_ivf/encrypt_roundtrip on)
-    # rotates to the tail so every registered query has a green row dated
-    # within the last two rounds. Rotate again next round.
+    # aac_decode, h264_cavlc, mp4_audio, point_lookup), then enough
+    # r4-green entries to fill the window (near_dup_clusters, ann_ivf and
+    # simhash_near_dup, all r4-green, moved to the tail to make room);
+    # the r4-green remainder rotates to the tail so every registered query
+    # has a green row dated within the last two rounds. Rotate again next
+    # round.
     return {
         # --- last verified r3 (rotated past r4's 50-cap) — first now -----
         "cfind_query": q_cfind_query,
@@ -2988,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aac_decode": q_aac_decode,
         "h264_cavlc": q_h264_cavlc,
         "mp4_audio": q_mp4_audio,
+        "point_lookup": q_point_lookup,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -4153,6 +4225,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, op_seq, round(value, 4) AS value, ts
             FROM w
             WHERE rn = 1 AND op <> 'delete'
+        """,
+        "point_lookup": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 5 AS INT) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq, event_id AS "offset", value, ts
+              FROM events
+            ), w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY op_seq DESC, "offset" DESC) AS rn
+              FROM ev
+            )
+            SELECT conv_id, turn_idx, op_seq, round(value, 4) AS value, ts
+            FROM w
+            WHERE rn = 1 AND op <> 'delete'
+              AND conv_id IN ('3', '7', '11')
         """,
         "zorder_scan": """
             WITH ev AS (

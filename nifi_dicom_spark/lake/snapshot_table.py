@@ -971,6 +971,215 @@ class SnapshotTable:
             "total": total,
         }
 
+    # ------------------------------------------------------- point lookups
+
+    _BLOOM_KEY_TYPES = (
+        T.StringType,
+        T.IntegerType,
+        T.LongType,
+        T.ShortType,
+        T.ByteType,
+    )
+
+    def _bloom_path(self, rel: str) -> str:
+        return os.path.join(self.data_dir, rel) + ".bloom"
+
+    def build_blooms(self, fpp: float = 0.01, buckets: list[int] | None = None) -> int:
+        """Background maintenance: write a Bloom-filter sidecar
+        (``<file>.parquet.bloom``, see :mod:`nifi_dicom_spark.lake.bloom`)
+        over the DISTINCT bucket-key values of every CURRENT data file that
+        doesn't have one yet. Construction is distributed (one task per
+        file groups its keys); only O(new files) ~KB filter blobs come back
+        to the driver. Data files are immutable, so a sidecar never goes
+        stale; files replaced by compact/optimize/rebucket simply orphan
+        theirs (reaped by :meth:`vacuum`) and the replacements are picked
+        up by the next ``build_blooms`` call. Returns the number of
+        sidecars written.
+
+        At 100 TB this runs where compaction runs: after each maintenance
+        window, over just the buckets it touched (``buckets=``). The
+        lookup path degrades gracefully — an unbloomd file is read, never
+        mis-skipped."""
+        from nifi_dicom_spark.lake import bloom as _bloom
+
+        m = self.manifest()
+        key0 = m["key_cols"][0]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        ktype = next(f.dataType for f in schema.fields if f.name == key0)
+        if not isinstance(ktype, self._BLOOM_KEY_TYPES):
+            raise ValueError(
+                f"bloom index requires a string/integral bucket key; "
+                f"{key0!r} is {ktype.simpleString()}"
+            )
+        want = set(str(b) for b in buckets) if buckets is not None else None
+        rels = [
+            rel
+            for which in ("files", "delta_files")
+            for b, rl in m.get(which, {}).items()
+            if want is None or b in want
+            for rel in rl
+        ]
+        missing = [rel for rel in rels if not os.path.exists(self._bloom_path(rel))]
+        if not missing:
+            return 0
+        fpp_f = float(fpp)
+        _ = _bloom.bloom_params(1, fpp_f)  # validate fpp before launching a job
+
+        def _mk(pdf):
+            import pandas as pd
+
+            keys = pdf["k"].tolist()
+            mb, kh = _bloom.bloom_params(len(keys), fpp_f)
+            payload = _bloom.encode_sidecar(
+                key0, len(keys), mb, kh, _bloom.build_bloom(keys, mb, kh)
+            )
+            return pd.DataFrame({"f": [pdf["f"].iloc[0]], "payload": [payload]})
+
+        rows = (
+            self.spark.read.schema(schema)
+            .parquet(*(os.path.join(self.data_dir, rel) for rel in missing))
+            .select(
+                # stringify in Spark so the filter and the probe agree on
+                # the textual form for every supported key type
+                F.col(key0).cast("string").alias("k"),
+                F.input_file_name().alias("f"),
+            )
+            .distinct()
+            .groupBy("f")
+            .applyInPandas(_mk, "f string, payload binary")
+            .collect()  # bounded: one ~KB row per newly-bloomd file
+        )
+        from urllib.parse import unquote, urlparse
+
+        written = 0
+        data_dir = os.path.abspath(self.data_dir)
+        for r in rows:
+            path = unquote(urlparse(r["f"]).path)
+            rel = os.path.relpath(os.path.abspath(path), data_dir)
+            target = self._bloom_path(rel)
+            tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(r["payload"]))
+            os.replace(tmp, target)  # readers see absent or whole, never partial
+            written += 1
+        return written
+
+    def _lookup_plan(
+        self, m: dict, values: list
+    ) -> tuple[list[int], list[str], list[str]]:
+        """(buckets, kept_rels, bloom_pruned_rels) for a point lookup of
+        ``values`` on the bucket key. Two stages: the murmur3 bucket of
+        each value (a key lives in exactly ONE bucket), then sidecar
+        exclusion within those buckets. Skipping a bloom-excluded file is
+        LWW-safe: exclusion proves the file holds NO version of any
+        requested key, so no winner or superseding tombstone can hide in
+        it."""
+        from nifi_dicom_spark.lake import bloom as _bloom
+
+        key0 = m["key_cols"][0]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        ktype = next(f.dataType for f in schema.fields if f.name == key0)
+        vdf = self.spark.createDataFrame(
+            [(v,) for v in values], T.StructType([T.StructField(key0, ktype)])
+        )
+        fn = m.get("bucket_fn", "xxhash64")
+        bks = sorted(
+            r["b"]
+            for r in vdf.select(
+                _bucket_expr(key0, m["n_buckets"], fn).alias("b")
+            )
+            .distinct()
+            .collect()  # bounded by len(values)
+        )
+        probes = [str(v) for v in values]
+        kept: list[str] = []
+        pruned: list[str] = []
+        for b in bks:
+            for which in ("files", "delta_files"):
+                for rel in m.get(which, {}).get(str(b), []):
+                    doc = _bloom.load_sidecar(self._bloom_path(rel), key0)
+                    if _bloom.sidecar_excludes(doc, probes):
+                        pruned.append(rel)
+                    else:
+                        kept.append(rel)
+        return bks, kept, pruned
+
+    def lookup(
+        self,
+        values: list,
+        version: int | None = None,
+        timestamp=None,
+    ) -> DataFrame:
+        """Point lookup by bucket-key value(s): exactly
+        ``read(version).filter(key_cols[0].isin(values))`` — tombstones
+        included, LWW-reduced — but reading only the requested keys'
+        buckets, minus every file whose Bloom sidecar excludes all of
+        them. IO is O(files of len(values) buckets), not O(table); with
+        sidecars built it is typically one base file + the deltas that
+        actually touched the key since last compaction.
+
+        Reference analog: the single-identifier fetch under a C-FIND/
+        C-MOVE unique key (``QueryRetrieveController``; P6 gating),
+        served without a table scan."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
+        if version is not None and version < (min_ret := self.min_retained_version()):
+            raise VersionVacuumedError(
+                f"version {version} was vacuumed (oldest retained: {min_ret}); "
+                "its data files no longer exist"
+            )
+        values = list(values)
+        if not values:
+            raise ValueError("lookup needs at least one key value")
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        key0 = m["key_cols"][0]
+        _bks, kept, _pruned = self._lookup_plan(m, values)
+        if not kept:
+            # parquet reads surface every column nullable; the empty result
+            # must carry the same schema as the read-some-files path
+            nullable = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+            )
+            return self.spark.createDataFrame([], nullable)
+        delta_rels = {
+            rel for rl in m.get("delta_files", {}).values() for rel in rl
+        }
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*(os.path.join(self.data_dir, rel) for rel in kept))
+            .filter(F.col(key0).isin(values))
+        )
+        if any(rel in delta_rels for rel in kept):
+            from nifi_dicom_spark.operators.dedup import lww_dedup
+
+            if not {"op_seq", "offset"} <= set(schema.fieldNames()):
+                raise RuntimeError(
+                    "delta files present but table lacks op_seq/offset version "
+                    "columns — cannot LWW-merge on read"
+                )
+            df = lww_dedup(df, m["key_cols"]).select(*schema.fieldNames())
+        return df
+
+    def lookup_file_stats(self, values: list, version: int | None = None) -> dict:
+        """Pruning-effectiveness probe for :meth:`lookup`."""
+        m = self.manifest(version)
+        bks, kept, pruned = self._lookup_plan(m, list(values))
+        total = sum(
+            len(rl)
+            for which in ("files", "delta_files")
+            for rl in m.get(which, {}).values()
+        )
+        return {
+            "buckets": bks,
+            "read": len(kept),
+            "bloom_skipped": len(pruned),
+            "bucket_skipped": total - len(kept) - len(pruned),
+            "total": total,
+        }
+
     # ---------------------------------------------------------- layout evolution
 
     def rebucket(self, new_n_buckets: int) -> int:
@@ -2258,7 +2467,23 @@ class SnapshotTable:
                         continue
                     if not dry_run:
                         os.unlink(abspath)
+                        # a data file's bloom sidecar dies with it (data
+                        # files are uuid-named, never recreated at a path)
+                        try:
+                            os.unlink(abspath + ".bloom")
+                        except OSError:
+                            pass
                     removed += 1
+                elif (
+                    fn.endswith(".parquet.bloom")
+                    and not dry_run
+                    and not os.path.exists(abspath[: -len(".bloom")])
+                ):
+                    # orphan sidecar (its data file already vacuumed)
+                    try:
+                        os.unlink(abspath)
+                    except OSError:
+                        pass
         if dry_run:
             return removed
         # prune commit dirs that are empty and old enough that no live
