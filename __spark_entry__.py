@@ -2648,6 +2648,103 @@ def q_rollup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count rollup arm (``streaming/rollup.py`` ``hll_cols``):
+    events LWW-merge into a source table, ``backfill_rollup`` seeds a
+    COUNT + COUNT(DISTINCT etype) rollup grouped by ``grp`` (Datasketches
+    HLL sketch per group — exact at this ≤4-value cardinality, so the
+    DuckDB ``COUNT(DISTINCT)`` oracle is a strict check), then a second
+    epoch exercises both maintenance paths: every 'click' winner is
+    DELETED (a departure that may remove a value's last copy in its group
+    → sketch recompute from the snapshot) and every (etype='view',
+    turn_idx=2) winner MIGRATES to a fresh ``grp || '_m'`` group (arrival
+    = pure ``hll_union``, O(delta); the old group's 'view' departure
+    recomputes and must come back unchanged when other 'view' turns
+    remain). ``refresh_rollup`` applies the change feed in one
+    signed-delta batch — the same arithmetic the stream runs.
+
+    Reference analog: the per-study distinct-series/instance counters a
+    ``StudyReceiver``-style continuous aggregate would maintain
+    (``apps/StudyReceiver.java:297-305``), as an exactly-once derived
+    table with non-decrementable sketches."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from nifi_dicom_spark.streaming.rollup import (
+        backfill_rollup,
+        create_rollup_table,
+        refresh_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        (F.col("user_id") % 37).cast("string").alias("grp"),
+        F.col("event_type").alias("etype"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("etype", T.StringType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="rollupdv-")
+    src = SnapshotTable.create(
+        spark, base + "/src", schema, key_cols=["conv_id", "turn_idx"], n_buckets=8
+    )
+    src.merge(ev, op_col="op", policy="versioned_upsert", commit_keys=[(0, 0)])
+    roll = create_rollup_table(
+        spark, base + "/roll", src, group_cols=["grp"], hll_cols=["etype"]
+    )
+    v1 = backfill_rollup(roll, src, hll_cols=["etype"])
+
+    s1 = src.read().filter(F.col("op") != "delete")
+    migrate = s1.filter(
+        (F.col("etype") == "view") & (F.col("turn_idx") == 2)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.lit("update").alias("op"),
+        (F.col("op_seq") + F.lit(1_000_000_000)).alias("op_seq"),
+        (F.col("offset") + F.lit(1_000_000_000)).alias("offset"),
+        F.concat(F.col("grp"), F.lit("_m")).alias("grp"),
+        F.col("etype"),
+    )
+    drop_click = s1.filter(F.col("etype") == "click").select(
+        "conv_id",
+        "turn_idx",
+        F.lit("delete").alias("op"),
+        (F.col("op_seq") + F.lit(2_000_000_000)).alias("op_seq"),
+        (F.col("offset") + F.lit(2_000_000_000)).alias("offset"),
+        F.col("grp"),
+        F.col("etype"),
+    )
+    src.merge(
+        migrate.unionByName(drop_click),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(1, 0)],
+    )
+    refresh_rollup(roll, src, from_version=v1, hll_cols=["etype"])
+    return (
+        roll.read()
+        .filter(F.col("op") != "delete")
+        .select("grp", "n_rows", "dv_etype")
+    )
+
+
 def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-form change feed (Delta-CDF shape, ``operators/diff.py
     change_feed``): two CDC epochs land as two commits, then the feed
@@ -3020,10 +3117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
     # row in r3. Those 22 lead now, followed by the 8 queries NEW this
-    # round (rollup_state, replication_state, layer3_decode, h264_frames,
-    # aac_decode, h264_cavlc, mp4_audio, point_lookup), then enough
-    # r4-green entries to fill the window (near_dup_clusters, ann_ivf and
-    # simhash_near_dup, all r4-green, moved to the tail to make room);
+    # round (rollup_state, rollup_distinct, replication_state,
+    # layer3_decode, h264_frames, aac_decode, h264_cavlc, mp4_audio,
+    # point_lookup), then enough
+    # r4-green entries to fill the window (near_dup_clusters, ann_ivf,
+    # simhash_near_dup and minhash_near_dup, all r4-green, at the tail);
     # the r4-green remainder rotates to the tail so every registered query
     # has a green row dated within the last two rounds. Rotate again next
     # round.
@@ -3053,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_range": q_datetime_range,
         # --- new this round (r5) ----------------------------------------
         "rollup_state": q_rollup_state,
+        "rollup_distinct": q_rollup_distinct,
         "replication_state": q_replication_state,
         "layer3_decode": q_layer3_decode,
         "h264_frames": q_h264_frames,
@@ -3081,9 +3180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_sync": q_anti_join_sync,
         "incremental_dedup": q_incremental_dedup,
         "near_dup_clusters": q_near_dup_clusters,
-        "minhash_near_dup": q_minhash_near_dup,
         # --- green r4 rows: rotated past the 50-cap this round ------------
-        # (minhash_near_dup above is entry #50, the last the driver verifies)
+        # (near_dup_clusters above is entry #50, the last the driver verifies)
+        "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_ivf": q_ann_ivf,
         "encrypt_roundtrip": q_encrypt_roundtrip,
@@ -4189,6 +4288,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grp, COUNT(*) AS n_rows,
                    round(SUM(COALESCE(value, 0.0)), 4) AS sum_value
+            FROM final GROUP BY grp
+        """,
+        "rollup_distinct": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 5 AS INT) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq,
+                     CAST(user_id % 37 AS VARCHAR) AS grp,
+                     event_type AS etype
+              FROM events
+            ), w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY op_seq DESC) AS rn
+              FROM ev
+            ), s1 AS (
+              SELECT conv_id, turn_idx, grp, etype
+              FROM w WHERE rn = 1 AND op <> 'delete'
+            ), final AS (
+              -- epoch 2: (view, turn 2) winners migrate to grp||'_m';
+              -- every click winner is deleted
+              SELECT CASE WHEN etype = 'view' AND turn_idx = 2
+                          THEN grp || '_m' ELSE grp END AS grp,
+                     etype
+              FROM s1 WHERE etype <> 'click'
+            )
+            SELECT grp, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT etype) AS dv_etype
             FROM final GROUP BY grp
         """,
         "replication_state": """

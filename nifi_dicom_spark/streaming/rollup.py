@@ -21,8 +21,18 @@ triggers a recompute of that group from the source snapshot at the batch's
 covered version — the reference's per-study max-insertion-time pattern
 (``StudyReceiver.updateStudyMostRecentInsertionTime``, re-derive on
 change) bounded to the groups that actually lost their extremum.
-Percentiles/distinct-counts remain out of scope — recompute from a
-snapshot.
+
+DISTINCT COUNTS (``hll_cols``) get the same hybrid treatment with Spark's
+built-in Datasketches HLL: arrivals are UNION-monotone (``hll_union`` of
+the stored sketch with the batch's ``hll_sketch_agg``), and only a
+departure whose value does NOT re-arrive in the same group in the same
+batch can have removed that value's last copy — exactly those groups
+recompute their sketch from the source snapshot. The table stores the
+sketch (``hll_<c>``, binary) plus its estimate (``dv_<c>``, long —
+Datasketches is exact at small per-group cardinality and ~±2% at 10^6
+with the default lgK=12, recorded in the table's ``props['hll_lgk']`` so
+every maintenance path unions compatible sketches). Percentiles remain
+out of scope — recompute from a snapshot.
 
 Exactly-once at both ends, same wiring as ``replicate_stream``: stream
 offsets are source versions in the checkpoint; each micro-batch merges
@@ -70,22 +80,32 @@ def create_rollup_table(
     n_buckets: int = 8,
     max_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
+    hll_cols: list[str] | None = None,
+    hll_lgk: int = 12,
 ) -> SnapshotTable:
     """An empty rollup table keyed by ``group_cols`` with a ``n_rows``
-    count, one ``sum_<c>`` per ``sum_cols`` entry (all doubles), and one
+    count, one ``sum_<c>`` per ``sum_cols`` entry (all doubles), one
     ``max_<c>`` / ``min_<c>`` per ``max_cols`` / ``min_cols`` entry
-    (source dtype — MAX of a timestamp is a timestamp), plus the engine's
-    version bookkeeping. MIN/MAX are non-decrementable: deletes that might
-    remove the extremum trigger a recompute of the touched groups from the
-    source snapshot (see :func:`rollup_stream`)."""
+    (source dtype — MAX of a timestamp is a timestamp), and one
+    ``hll_<c>`` (Datasketches HLL sketch, binary) + ``dv_<c>`` (its
+    distinct-count estimate, long) per ``hll_cols`` entry, plus the
+    engine's version bookkeeping. MIN/MAX and distinct counts are
+    non-decrementable: deletes that might remove the extremum / a value's
+    last copy trigger a recompute of the touched groups from the source
+    snapshot (see :func:`rollup_stream`). ``hll_lgk`` (Datasketches
+    lgConfigK, 4..21) sizes the sketches and is recorded in the table's
+    props — every later union must (and automatically does) use it."""
     sum_cols = list(sum_cols or [])
     max_cols = list(max_cols or [])
     min_cols = list(min_cols or [])
+    hll_cols = list(hll_cols or [])
+    if hll_cols and not (4 <= int(hll_lgk) <= 21):
+        raise ValueError(f"hll_lgk must be in 4..21 (got {hll_lgk})")
     src = source.schema()
     names = {f.name: f for f in src.fields}
     missing = [
         c
-        for c in (*group_cols, *sum_cols, *max_cols, *min_cols)
+        for c in (*group_cols, *sum_cols, *max_cols, *min_cols, *hll_cols)
         if c not in names
     ]
     if missing:
@@ -102,6 +122,9 @@ def create_rollup_table(
     fields += [
         T.StructField(f"min_{c}", names[c].dataType, True) for c in min_cols
     ]
+    for c in hll_cols:
+        fields.append(T.StructField(f"hll_{c}", T.BinaryType(), True))
+        fields.append(T.StructField(f"dv_{c}", T.LongType(), True))
     fields += [
         T.StructField("op", T.StringType(), True),
         T.StructField("op_seq", T.LongType(), False),
@@ -113,6 +136,7 @@ def create_rollup_table(
         T.StructType(fields),
         key_cols=list(group_cols),
         n_buckets=n_buckets,
+        props={"hll_lgk": int(hll_lgk)} if hll_cols else None,
     )
 
 
@@ -123,6 +147,7 @@ def backfill_rollup(
     version: int | None = None,
     max_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
+    hll_cols: list[str] | None = None,
 ) -> int:
     """Seed ``rollup`` with the from-scratch GROUP BY of ``source`` at
     ``version`` (default: the current version) and return that SOURCE
@@ -136,6 +161,13 @@ def backfill_rollup(
     sum_cols = list(sum_cols or [])
     max_cols = list(max_cols or [])
     min_cols = list(min_cols or [])
+    hll_cols = list(hll_cols or [])
+    # the seed must cover the table's aggregate columns exactly: an omitted
+    # column seeds NULL, and every later stream/refresh batch would build
+    # on that null (the same silent-subset hole _validate_agg_cols closes
+    # for the maintenance paths)
+    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols, hll_cols)
+    lgk = _hll_lgk(rollup)
     group_cols = rollup.key_cols()
     m = rollup.manifest()
     if m.get("files") or m.get("delta_files"):
@@ -155,12 +187,26 @@ def backfill_rollup(
         ],
         *[F.max(c).alias(f"max_{c}") for c in max_cols],
         *[F.min(c).alias(f"min_{c}") for c in min_cols],
+        *[
+            F.hll_sketch_agg(F.col(c), F.lit(lgk)).alias(f"hll_{c}")
+            for c in hll_cols
+        ],
     ).select(
         *group_cols,
         "n_rows",
         *[f"sum_{c}" for c in sum_cols],
         *[f"max_{c}" for c in max_cols],
         *[f"min_{c}" for c in min_cols],
+        *[
+            e
+            for c in hll_cols
+            for e in (
+                F.col(f"hll_{c}"),
+                F.coalesce(
+                    F.hll_sketch_estimate(F.col(f"hll_{c}")), F.lit(0)
+                ).alias(f"dv_{c}"),
+            )
+        ],
         F.lit("update").alias("op"),
         F.lit(v).alias("op_seq"),
         F.lit(v).alias("offset"),
@@ -180,6 +226,7 @@ def rollup_stream(
     trigger_interval: str = "1 second",
     max_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
+    hll_cols: list[str] | None = None,
 ):
     """Start (and return) the streaming query maintaining ``rollup`` from
     ``source_path``'s change feed. Stop via ``query.stop()``; restarting
@@ -207,6 +254,7 @@ def rollup_stream(
     sum_cols = list(sum_cols or [])
     max_cols = list(max_cols or [])
     min_cols = list(min_cols or [])
+    hll_cols = list(hll_cols or [])
     if list(group_cols) != rollup.key_cols():
         # bucket placement and the LWW merge are keyed by the TABLE's key
         # columns; a differing/reordered group list would prune the wrong
@@ -216,9 +264,11 @@ def rollup_stream(
             f"group_cols {list(group_cols)} must equal the rollup table's "
             f"key columns {rollup.key_cols()}"
         )
-    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols)
+    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols, hll_cols)
     src_table = (
-        SnapshotTable.load(spark, source_path) if (max_cols or min_cols) else None
+        SnapshotTable.load(spark, source_path)
+        if (max_cols or min_cols or hll_cols)
+        else None
     )
     spark.dataSource.register(SnapshotCDFDataSource)
     reader = (
@@ -240,6 +290,7 @@ def rollup_stream(
             source=src_table,
             max_cols=max_cols,
             min_cols=min_cols,
+            hll_cols=hll_cols,
         )
 
     return (
@@ -259,6 +310,7 @@ def _apply_cdf_images(
     source: SnapshotTable | None = None,
     max_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
+    hll_cols: list[str] | None = None,
 ) -> None:
     """Apply one batch of CDF images (``_change_type`` + payload rows) to
     the rollup via the signed-delta read-modify-write — the shared core of
@@ -273,11 +325,24 @@ def _apply_cdf_images(
     ``StudyReceiver.updateStudyMostRecentInsertionTime`` re-derives the
     study max on arrivals; deletes force the full re-derivation). Cost:
     a predicate-pushed source scan restricted to the recomputed groups —
-    only groups that lost their extremum pay it, arrivals stay O(delta)."""
+    only groups that lost their extremum pay it, arrivals stay O(delta).
+
+    DISTINCT-COUNT (``hll_cols``) arm, same hybrid shape: arrivals
+    ``hll_union`` into the stored sketch (union-monotone, O(delta)); a
+    departure whose value does NOT also arrive in the same group in this
+    batch may have removed that value's last copy, so exactly those
+    groups recompute their sketch from the source snapshot. The
+    departure-covered check is per-batch set arithmetic
+    (``array_except`` of the group's departing vs arriving value sets),
+    O(delta) like everything else on the incremental path."""
     max_cols = list(max_cols or [])
     min_cols = list(min_cols or [])
-    if (max_cols or min_cols) and source is None:
-        raise ValueError("max_cols/min_cols require the source table (recompute arm)")
+    hll_cols = list(hll_cols or [])
+    if (max_cols or min_cols or hll_cols) and source is None:
+        raise ValueError(
+            "max_cols/min_cols/hll_cols require the source table (recompute arm)"
+        )
+    lgk = _hll_lgk(rollup) if hll_cols else 12
     known = ("insert", "update_preimage", "update_postimage", "delete")
     sign = (
         F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
@@ -331,6 +396,21 @@ def _apply_cdf_images(
     aggs += [
         F.min(F.when(sign < 0, F.col(c))).alias(f"_dmin_{c}") for c in min_cols
     ]
+    # arrivals' sketch (union candidate — an all-departure group yields the
+    # EMPTY sketch, the union identity, never null) plus the per-group
+    # departing/arriving value sets for the covered-departure check
+    aggs += [
+        F.hll_sketch_agg(F.when(sign > 0, F.col(c)), F.lit(lgk)).alias(f"_ihll_{c}")
+        for c in hll_cols
+    ]
+    aggs += [
+        F.collect_set(F.when(sign < 0, F.col(c))).alias(f"_dvals_{c}")
+        for c in hll_cols
+    ]
+    aggs += [
+        F.collect_set(F.when(sign > 0, F.col(c))).alias(f"_avals_{c}")
+        for c in hll_cols
+    ]
     delta = batch_df.groupBy(*group_cols).agg(*aggs)
 
     # read-modify-write restricted to touched groups: the rollup read
@@ -348,6 +428,7 @@ def _apply_cdf_images(
         *[F.col(f"sum_{c}") for c in sum_cols],
         *[F.col(f"max_{c}") for c in max_cols],
         *[F.col(f"min_{c}") for c in min_cols],
+        *[F.col(f"hll_{c}") for c in hll_cols],
     ).join(delta, on=group_cols, how="full_outer")
     new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(
         F.col("_d_n"), F.lit(0)
@@ -365,6 +446,16 @@ def _apply_cdf_images(
         needs_rc = needs_rc | (
             F.col(f"_dmin_{c}").isNotNull()
             & (F.col(f"min_{c}").isNull() | (F.col(f"_dmin_{c}") <= F.col(f"min_{c}")))
+        )
+    for c in hll_cols:
+        # a departing value with no same-batch arrival of the SAME value in
+        # this group may have been its last copy — sketches can't subtract,
+        # so those groups re-derive from the snapshot
+        needs_rc = needs_rc | (
+            F.size(
+                F.array_except(F.col(f"_dvals_{c}"), F.col(f"_avals_{c}"))
+            )
+            > 0
         )
     ev = merged.select(
         *group_cols,
@@ -384,12 +475,26 @@ def _apply_cdf_images(
             F.least(F.col(f"min_{c}"), F.col(f"_imin_{c}")).alias(f"min_{c}")
             for c in min_cols
         ],
+        *[
+            # new group: arrivals' sketch stands alone (hll_union is not
+            # null-tolerant); otherwise union — the arrivals sketch is
+            # never null (empty sketch = identity), so no other arm needed
+            F.when(F.col(f"hll_{c}").isNull(), F.col(f"_ihll_{c}"))
+            .otherwise(F.hll_union(F.col(f"hll_{c}"), F.col(f"_ihll_{c}")))
+            .alias(f"hll_{c}")
+            for c in hll_cols
+        ],
         (needs_rc & (new_n > 0)).alias("_needs_rc"),
         F.when(new_n <= 0, "delete").otherwise("update").alias("op"),
         F.lit(seq).alias("op_seq"),
         F.lit(seq).alias("offset"),
     )
-    if max_cols or min_cols:
+    for c in hll_cols:
+        ev = ev.withColumn(
+            f"dv_{c}",
+            F.coalesce(F.hll_sketch_estimate(F.col(f"hll_{c}")), F.lit(0)),
+        )
+    if max_cols or min_cols or hll_cols:
         # recompute arm: re-derive the extrema of flagged groups from the
         # source state AS OF the batch's covered version (exactly the
         # post-batch state — later commits belong to later batches)
@@ -409,6 +514,12 @@ def _apply_cdf_images(
                     .agg(
                         *[F.max(c).alias(f"_rc_max_{c}") for c in max_cols],
                         *[F.min(c).alias(f"_rc_min_{c}") for c in min_cols],
+                        *[
+                            F.hll_sketch_agg(F.col(c), F.lit(lgk)).alias(
+                                f"_rc_hll_{c}"
+                            )
+                            for c in hll_cols
+                        ],
                     )
                 )
                 ev = ev.join(rc, on=group_cols, how="left").select(
@@ -427,6 +538,24 @@ def _apply_cdf_images(
                         .alias(f"min_{c}")
                         for c in min_cols
                     ],
+                    *[
+                        e
+                        for c in hll_cols
+                        for e in (
+                            F.when(F.col("_needs_rc"), F.col(f"_rc_hll_{c}"))
+                            .otherwise(F.col(f"hll_{c}"))
+                            .alias(f"hll_{c}"),
+                            F.when(
+                                F.col("_needs_rc"),
+                                F.coalesce(
+                                    F.hll_sketch_estimate(F.col(f"_rc_hll_{c}")),
+                                    F.lit(0),
+                                ),
+                            )
+                            .otherwise(F.col(f"dv_{c}"))
+                            .alias(f"dv_{c}"),
+                        )
+                    ],
                     "op",
                     "op_seq",
                     "offset",
@@ -443,24 +572,35 @@ def _apply_cdf_images(
         rollup.merge(ev, op_col="op", policy="versioned_upsert", commit_keys=commit_keys)
 
 
+def _hll_lgk(rollup: SnapshotTable) -> int:
+    """The table's Datasketches lgConfigK (recorded at creation). Sketch
+    unions require matching lgK; reading it from the table's props removes
+    the mismatched-parameter footgun across backfill/stream/refresh."""
+    return int((rollup.manifest().get("props") or {}).get("hll_lgk", 12))
+
+
 def _validate_agg_cols(
     rollup: SnapshotTable,
     sum_cols: list[str],
     max_cols: list[str],
     min_cols: list[str],
+    hll_cols: list[str] | None = None,
 ) -> None:
     """Require the requested aggregate columns to cover the rollup table's
-    ``sum_*/max_*/min_*`` columns EXACTLY (not a subset): the LWW merge
-    conforms missing columns to null, so maintaining FEWER aggregate cols
-    than the table carries would silently null the omitted totals for every
-    touched group. Shared by :func:`rollup_stream` and
+    ``sum_*/max_*/min_*/hll_*`` columns EXACTLY (not a subset): the LWW
+    merge conforms missing columns to null, so maintaining FEWER aggregate
+    cols than the table carries would silently null the omitted totals for
+    every touched group. Shared by :func:`rollup_stream` and
     :func:`refresh_rollup` — both write through the same merge."""
+    hll_cols = list(hll_cols or [])
     have = set(rollup.schema().fieldNames())
     need = {
         "n_rows",
         *(f"sum_{c}" for c in sum_cols),
         *(f"max_{c}" for c in max_cols),
         *(f"min_{c}" for c in min_cols),
+        *(f"hll_{c}" for c in hll_cols),
+        *(f"dv_{c}" for c in hll_cols),
     }
     if not need <= have:
         raise ValueError(
@@ -468,7 +608,13 @@ def _validate_agg_cols(
             "create it with create_rollup_table(..., sum_cols=...)"
         )
     keys = set(rollup.key_cols())
-    for pfx, req in (("sum_", sum_cols), ("max_", max_cols), ("min_", min_cols)):
+    for pfx, req in (
+        ("sum_", sum_cols),
+        ("max_", max_cols),
+        ("min_", min_cols),
+        ("hll_", hll_cols),
+        ("dv_", hll_cols),
+    ):
         table_aggs = {f for f in have if f.startswith(pfx) and f not in keys}
         if {f"{pfx}{c}" for c in req} != table_aggs:
             raise ValueError(
@@ -487,6 +633,7 @@ def refresh_rollup(
     commit_keys: list[tuple[int, int]] | None = None,
     max_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
+    hll_cols: list[str] | None = None,
 ) -> None:
     """Batch (pull) refresh: apply ``source``'s change feed AFTER
     ``from_version`` to the rollup in one signed-delta pass — the same
@@ -506,10 +653,11 @@ def refresh_rollup(
     sum_cols = list(sum_cols or [])
     max_cols = list(max_cols or [])
     min_cols = list(min_cols or [])
+    hll_cols = list(hll_cols or [])
     # same coverage contract as rollup_stream: a refresh that omits an
     # aggregate column the table carries would null it for every touched
     # group through the LWW merge
-    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols)
+    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols, hll_cols)
     if int(source.current_version()) == int(from_version):
         return  # nothing committed since the seed
     feed = change_feed(source, from_version=int(from_version))
@@ -522,4 +670,5 @@ def refresh_rollup(
         source=source,
         max_cols=max_cols,
         min_cols=min_cols,
+        hll_cols=hll_cols,
     )

@@ -1135,6 +1135,132 @@ def test_rollup_minmax_recompute_and_batch_refresh(spark, tmp_path):
     assert "tool" not in {t[0] for t in state()}
 
 
+def test_rollup_hll_distinct_counts(spark, tmp_path):
+    """Distinct-count (non-decrementable) rollup arm: arrivals union the
+    stored Datasketches HLL sketch incrementally; a departure whose value
+    does not re-arrive in the same group in the same batch recomputes that
+    group's sketch from the source snapshot. Invariant after every
+    refresh: dv_conv_id == from-scratch COUNT(DISTINCT conv_id) per group
+    (exact at this cardinality — Datasketches is exact far beyond it),
+    including a same-conv second turn (dv flat while n_rows grows), a
+    group MIGRATION (old group recomputes, new group unions), a departure
+    that does NOT change the distinct set (another turn of the conv
+    remains), and an emptied group tombstoned."""
+    from nifi_dicom_spark.operators.apply import read_final_state
+    from nifi_dicom_spark.streaming.rollup import (
+        backfill_rollup,
+        create_rollup_table,
+        refresh_rollup,
+    )
+
+    def ev(op, conv, seq, role, turn=0):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "offset": seq,
+                        "partition_id": 0,
+                        "op": op,
+                        "op_seq": seq,
+                        "conv_id": conv,
+                        "turn_idx": turn,
+                        "role": role,
+                        "text": "t",
+                        "tool": None,
+                        "ts": pd.Timestamp("2024-01-01"),
+                        "schema_ver": 2,
+                    }
+                ]
+            ),
+            CHANGE_EVENTS_SCHEMA,
+        )
+
+    src = create_transcripts_table(spark, str(tmp_path / "srchll"), n_buckets=4)
+    roll = create_rollup_table(
+        spark,
+        str(tmp_path / "rollhll"),
+        src,
+        group_cols=["role"],
+        hll_cols=["conv_id"],
+    )
+    fields = {f.name for f in roll.schema().fields}
+    assert {"hll_conv_id", "dv_conv_id"} <= fields
+    assert roll.manifest()["props"]["hll_lgk"] == 12
+
+    def recompute():
+        return {
+            (r["role"], r["n"], r["dv"])
+            for r in read_final_state(src)
+            .groupBy("role")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("conv_id").alias("dv"),
+            )
+            .collect()
+        }
+
+    def state():
+        return {
+            (r["role"], r["n_rows"], r["dv_conv_id"])
+            for r in roll.read().filter("op != 'delete'").collect()
+        }
+
+    def refresh(v):
+        refresh_rollup(roll, src, from_version=v, hll_cols=["conv_id"])
+
+    # backfill path builds the seed sketches too
+    apply_changes(src, ev("insert", "A", 10, "user", turn=0), epoch=0)
+    apply_changes(src, ev("insert", "B", 20, "user"), epoch=1)
+    v = backfill_rollup(roll, src, hll_cols=["conv_id"])
+    assert state() == recompute() == {("user", 2, 2)}
+
+    # pure-arrival batch (incremental union path): same conv again ->
+    # n_rows grows, dv stays; a new conv in a new group -> new sketch
+    apply_changes(src, ev("insert", "A", 30, "user", turn=1), epoch=2)
+    apply_changes(src, ev("insert", "C", 40, "tool"), epoch=3)
+    refresh(v)
+    assert state() == recompute() == {("user", 3, 2), ("tool", 1, 1)}
+
+    # departure that does NOT shrink the distinct set (A's other turn
+    # remains): the uncovered departure still flags a recompute, which
+    # must come back with dv unchanged
+    v = src.current_version()
+    apply_changes(src, ev("delete", "A", 50, "user", turn=0), epoch=4)
+    refresh(v)
+    assert state() == recompute() == {("user", 2, 2), ("tool", 1, 1)}
+
+    # group migration: B moves user->tool in one batch (preimage departs
+    # the user group, postimage arrives in tool) — user loses a distinct
+    # conv, tool gains one
+    v = src.current_version()
+    apply_changes(src, ev("update", "B", 60, "tool"), epoch=5)
+    refresh(v)
+    assert state() == recompute() == {("user", 1, 1), ("tool", 2, 2)}
+
+    # emptied group: the last user row leaves -> tombstone, not a zero row
+    v = src.current_version()
+    apply_changes(src, ev("delete", "A", 70, "user", turn=1), epoch=6)
+    refresh(v)
+    assert state() == recompute() == {("tool", 2, 2)}
+    assert "user" not in {t[0] for t in state()}
+
+    # backfill/refresh with forgotten hll_cols is rejected, not a silent
+    # null-out (the seed/merge would null hll_/dv_ for every group)
+    import pytest
+
+    roll2 = create_rollup_table(
+        spark,
+        str(tmp_path / "rollhll2"),
+        src,
+        group_cols=["role"],
+        hll_cols=["conv_id"],
+    )
+    with pytest.raises(ValueError, match="must cover the rollup"):
+        backfill_rollup(roll2, src)
+    with pytest.raises(ValueError, match="must cover the rollup"):
+        refresh_rollup(roll2, src, from_version=0)
+
+
 def test_refresh_rollup_rejects_partial_agg_cols(spark, tmp_path):
     """refresh_rollup must enforce the same exact-coverage contract as
     rollup_stream: omitting an aggregate column the table carries would
@@ -1254,7 +1380,7 @@ def test_backfill_rollup_then_stream_handoff(spark, tmp_path):
     import pytest
 
     with pytest.raises(ValueError, match="empty rollup"):
-        backfill_rollup(roll, src)
+        backfill_rollup(roll, src, sum_cols=["turn_idx"])
 
     q = rollup_stream(
         spark, src.path, roll, str(tmp_path / "ck"), ["role"],
