@@ -2745,6 +2745,106 @@ def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile rollup arm (``streaming/rollup.py`` ``pct_cols``): events
+    LWW-merge into a source table, ``backfill_rollup`` seeds a COUNT +
+    p50/p90 rollup grouped by ``grp`` (exact interpolated ``percentile`` —
+    the ``quantile_cont`` definition, so DuckDB's ``quantile_cont`` is a
+    strict oracle), then a second epoch migrates every (grp='view',
+    turn_idx=2) winner to grp='migrated' and deletes every 'click' winner.
+    Percentiles have no incremental form, so every touched group
+    re-derives its quantiles from the source snapshot at the batch's
+    covered version; ``refresh_rollup`` applies the change feed in one
+    signed-delta batch — the same arithmetic the stream runs.
+
+    Reference analog: per-study latency/size distribution summaries a
+    ``StudyReceiver``-style continuous aggregate would maintain
+    (``apps/StudyReceiver.java:297-305``), as an exactly-once derived
+    table."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from nifi_dicom_spark.streaming.rollup import (
+        backfill_rollup,
+        create_rollup_table,
+        refresh_rollup,
+    )
+
+    PCT = {"value": [0.5, 0.9]}
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("event_type").alias("grp"),
+        F.col("value"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="rolluppct-")
+    src = SnapshotTable.create(
+        spark, base + "/src", schema, key_cols=["conv_id", "turn_idx"], n_buckets=8
+    )
+    src.merge(ev, op_col="op", policy="versioned_upsert", commit_keys=[(0, 0)])
+    roll = create_rollup_table(
+        spark, base + "/roll", src, group_cols=["grp"], pct_cols=PCT
+    )
+    v1 = backfill_rollup(roll, src, pct_cols=PCT)
+
+    s1 = src.read().filter(F.col("op") != "delete")
+    migrate = s1.filter(
+        (F.col("grp") == "view") & (F.col("turn_idx") == 2)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.lit("update").alias("op"),
+        (F.col("op_seq") + F.lit(1_000_000_000)).alias("op_seq"),
+        (F.col("offset") + F.lit(1_000_000_000)).alias("offset"),
+        F.lit("migrated").alias("grp"),
+        F.col("value"),
+    )
+    empty_click = s1.filter(F.col("grp") == "click").select(
+        "conv_id",
+        "turn_idx",
+        F.lit("delete").alias("op"),
+        (F.col("op_seq") + F.lit(2_000_000_000)).alias("op_seq"),
+        (F.col("offset") + F.lit(2_000_000_000)).alias("offset"),
+        F.col("grp"),
+        F.col("value"),
+    )
+    src.merge(
+        migrate.unionByName(empty_click),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(1, 0)],
+    )
+    refresh_rollup(roll, src, from_version=v1, pct_cols=PCT)
+    return (
+        roll.read()
+        .filter(F.col("op") != "delete")
+        .select(
+            "grp",
+            "n_rows",
+            F.round("p50_value", 4).alias("p50_value"),
+            F.round("p90_value", 4).alias("p90_value"),
+        )
+    )
+
+
 def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-form change feed (Delta-CDF shape, ``operators/diff.py
     change_feed``): two CDC epochs land as two commits, then the feed
@@ -3117,7 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
     # row in r3. Those 22 lead now, followed by the 8 queries NEW this
-    # round (rollup_state, rollup_distinct, replication_state,
+    # round (rollup_state, rollup_distinct, rollup_pct, replication_state,
     # layer3_decode, h264_frames, aac_decode, h264_cavlc, mp4_audio,
     # point_lookup), then enough
     # r4-green entries to fill the window (near_dup_clusters, ann_ivf,
@@ -3152,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r5) ----------------------------------------
         "rollup_state": q_rollup_state,
         "rollup_distinct": q_rollup_distinct,
+        "rollup_pct": q_rollup_pct,
         "replication_state": q_replication_state,
         "layer3_decode": q_layer3_decode,
         "h264_frames": q_h264_frames,
@@ -3179,9 +3280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "anti_join_sync": q_anti_join_sync,
         "incremental_dedup": q_incremental_dedup,
-        "near_dup_clusters": q_near_dup_clusters,
         # --- green r4 rows: rotated past the 50-cap this round ------------
-        # (near_dup_clusters above is entry #50, the last the driver verifies)
+        # (incremental_dedup above is entry #50, the last the driver verifies)
+        "near_dup_clusters": q_near_dup_clusters,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -4288,6 +4389,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grp, COUNT(*) AS n_rows,
                    round(SUM(COALESCE(value, 0.0)), 4) AS sum_value
+            FROM final GROUP BY grp
+        """,
+        "rollup_pct": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 5 AS INT) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq, event_type AS grp, value
+              FROM events
+            ), w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY op_seq DESC) AS rn
+              FROM ev
+            ), s1 AS (
+              SELECT conv_id, turn_idx, grp, value
+              FROM w WHERE rn = 1 AND op <> 'delete'
+            ), final AS (
+              -- epoch 2: (view, turn 2) winners migrate; click group empties
+              SELECT CASE WHEN grp = 'view' AND turn_idx = 2
+                          THEN 'migrated' ELSE grp END AS grp,
+                     value
+              FROM s1 WHERE grp <> 'click'
+            )
+            SELECT grp, COUNT(*) AS n_rows,
+                   round(quantile_cont(value, 0.5), 4) AS p50_value,
+                   round(quantile_cont(value, 0.9), 4) AS p90_value
             FROM final GROUP BY grp
         """,
         "rollup_distinct": """

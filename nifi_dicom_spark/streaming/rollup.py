@@ -31,8 +31,17 @@ recompute their sketch from the source snapshot. The table stores the
 sketch (``hll_<c>``, binary) plus its estimate (``dv_<c>``, long —
 Datasketches is exact at small per-group cardinality and ~±2% at 10^6
 with the default lgK=12, recorded in the table's ``props['hll_lgk']`` so
-every maintenance path unions compatible sketches). Percentiles remain
-out of scope — recompute from a snapshot.
+every maintenance path unions compatible sketches).
+
+PERCENTILES (``pct_cols``) are neither incrementable nor decrementable —
+no mergeable-and-subtractable summary exists — so they take the recompute
+arm UNCONDITIONALLY: every touched group re-derives its percentiles from
+the source snapshot at the batch's covered version (exact interpolated
+``percentile``, the ``quantile_cont`` definition). Untouched groups pay
+nothing. Because a pct batch already scans the touched groups' source
+rows, the MIN/MAX/HLL recomputes fold into that same scan for free (the
+recompute flag goes unconditional for all families when ``pct_cols`` is
+present — one predicate-pushed scan, every family re-derived exactly).
 
 Exactly-once at both ends, same wiring as ``replicate_stream``: stream
 offsets are source versions in the checkpoint; each micro-batch merges
@@ -71,6 +80,29 @@ __all__ = ["backfill_rollup", "create_rollup_table", "refresh_rollup", "rollup_s
 _VERSION_COLS = ("op", "op_seq", "offset")
 
 
+def _pct_name(c: str, q: float) -> str:
+    """Column name for quantile ``q`` of source column ``c``: p50_value,
+    p99_9_latency. Validates q in (0, 1)."""
+    if not (0.0 < float(q) < 1.0):
+        raise ValueError(f"percentile must be in (0, 1), got {q}")
+    return f"p{float(q) * 100:g}".replace(".", "_") + f"_{c}"
+
+
+def _pct_items(pct_cols: dict[str, list[float]] | None) -> list[tuple[str, float, str]]:
+    """Normalize ``pct_cols`` ({source col: [quantiles]}) to a flat,
+    deterministic (col, q, output name) list; rejects duplicate output
+    names (q=0.5 given twice, or two q values formatting identically)."""
+    items = [
+        (c, float(q), _pct_name(c, q))
+        for c, qs in sorted((pct_cols or {}).items())
+        for q in sorted(qs)
+    ]
+    names = [n for _, _, n in items]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate percentile columns in pct_cols: {names}")
+    return items
+
+
 def create_rollup_table(
     spark: SparkSession,
     path: str,
@@ -82,30 +114,42 @@ def create_rollup_table(
     min_cols: list[str] | None = None,
     hll_cols: list[str] | None = None,
     hll_lgk: int = 12,
+    pct_cols: dict[str, list[float]] | None = None,
 ) -> SnapshotTable:
     """An empty rollup table keyed by ``group_cols`` with a ``n_rows``
     count, one ``sum_<c>`` per ``sum_cols`` entry (all doubles), one
     ``max_<c>`` / ``min_<c>`` per ``max_cols`` / ``min_cols`` entry
-    (source dtype — MAX of a timestamp is a timestamp), and one
+    (source dtype — MAX of a timestamp is a timestamp), one
     ``hll_<c>`` (Datasketches HLL sketch, binary) + ``dv_<c>`` (its
-    distinct-count estimate, long) per ``hll_cols`` entry, plus the
-    engine's version bookkeeping. MIN/MAX and distinct counts are
+    distinct-count estimate, long) per ``hll_cols`` entry, and one
+    ``p<q>_<c>`` double per quantile in ``pct_cols`` (``{"value": [0.5,
+    0.999]}`` → ``p50_value``, ``p99_9_value``), plus the engine's
+    version bookkeeping. MIN/MAX and distinct counts are
     non-decrementable: deletes that might remove the extremum / a value's
     last copy trigger a recompute of the touched groups from the source
-    snapshot (see :func:`rollup_stream`). ``hll_lgk`` (Datasketches
-    lgConfigK, 4..21) sizes the sketches and is recorded in the table's
-    props — every later union must (and automatically does) use it."""
+    snapshot; percentiles recompute on EVERY touch (see
+    :func:`rollup_stream`). ``hll_lgk`` (Datasketches lgConfigK, 4..21)
+    sizes the sketches and is recorded in the table's props — every later
+    union must (and automatically does) use it."""
     sum_cols = list(sum_cols or [])
     max_cols = list(max_cols or [])
     min_cols = list(min_cols or [])
     hll_cols = list(hll_cols or [])
+    pct_items = _pct_items(pct_cols)
     if hll_cols and not (4 <= int(hll_lgk) <= 21):
         raise ValueError(f"hll_lgk must be in 4..21 (got {hll_lgk})")
     src = source.schema()
     names = {f.name: f for f in src.fields}
     missing = [
         c
-        for c in (*group_cols, *sum_cols, *max_cols, *min_cols, *hll_cols)
+        for c in (
+            *group_cols,
+            *sum_cols,
+            *max_cols,
+            *min_cols,
+            *hll_cols,
+            *(c for c, _, _ in pct_items),
+        )
         if c not in names
     ]
     if missing:
@@ -125,18 +169,27 @@ def create_rollup_table(
     for c in hll_cols:
         fields.append(T.StructField(f"hll_{c}", T.BinaryType(), True))
         fields.append(T.StructField(f"dv_{c}", T.LongType(), True))
+    fields += [T.StructField(n, T.DoubleType(), True) for _, _, n in pct_items]
     fields += [
         T.StructField("op", T.StringType(), True),
         T.StructField("op_seq", T.LongType(), False),
         T.StructField("offset", T.LongType(), False),
     ]
+    props: dict = {}
+    if hll_cols:
+        props["hll_lgk"] = int(hll_lgk)
+    if pct_items:
+        # the quantile VALUES live in props (column names round q through
+        # %g formatting); validation and the maintenance paths read them
+        # back so a stream can't silently maintain different quantiles
+        props["pct_cols"] = {c: sorted(float(q) for q in qs) for c, qs in pct_cols.items()}
     return SnapshotTable.create(
         spark,
         path,
         T.StructType(fields),
         key_cols=list(group_cols),
         n_buckets=n_buckets,
-        props={"hll_lgk": int(hll_lgk)} if hll_cols else None,
+        props=props or None,
     )
 
 
@@ -148,6 +201,7 @@ def backfill_rollup(
     max_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
     hll_cols: list[str] | None = None,
+    pct_cols: dict[str, list[float]] | None = None,
 ) -> int:
     """Seed ``rollup`` with the from-scratch GROUP BY of ``source`` at
     ``version`` (default: the current version) and return that SOURCE
@@ -162,11 +216,12 @@ def backfill_rollup(
     max_cols = list(max_cols or [])
     min_cols = list(min_cols or [])
     hll_cols = list(hll_cols or [])
+    pct_items = _pct_items(pct_cols)
     # the seed must cover the table's aggregate columns exactly: an omitted
     # column seeds NULL, and every later stream/refresh batch would build
     # on that null (the same silent-subset hole _validate_agg_cols closes
     # for the maintenance paths)
-    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols, hll_cols)
+    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols, hll_cols, pct_cols)
     lgk = _hll_lgk(rollup)
     group_cols = rollup.key_cols()
     m = rollup.manifest()
@@ -191,6 +246,10 @@ def backfill_rollup(
             F.hll_sketch_agg(F.col(c), F.lit(lgk)).alias(f"hll_{c}")
             for c in hll_cols
         ],
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit(q)).alias(n)
+            for c, q, n in pct_items
+        ],
     ).select(
         *group_cols,
         "n_rows",
@@ -207,6 +266,7 @@ def backfill_rollup(
                 ).alias(f"dv_{c}"),
             )
         ],
+        *[n for _, _, n in pct_items],
         F.lit("update").alias("op"),
         F.lit(v).alias("op_seq"),
         F.lit(v).alias("offset"),
@@ -227,6 +287,7 @@ def rollup_stream(
     max_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
     hll_cols: list[str] | None = None,
+    pct_cols: dict[str, list[float]] | None = None,
 ):
     """Start (and return) the streaming query maintaining ``rollup`` from
     ``source_path``'s change feed. Stop via ``query.stop()``; restarting
@@ -255,6 +316,7 @@ def rollup_stream(
     max_cols = list(max_cols or [])
     min_cols = list(min_cols or [])
     hll_cols = list(hll_cols or [])
+    pct_cols = dict(pct_cols or {})
     if list(group_cols) != rollup.key_cols():
         # bucket placement and the LWW merge are keyed by the TABLE's key
         # columns; a differing/reordered group list would prune the wrong
@@ -264,10 +326,10 @@ def rollup_stream(
             f"group_cols {list(group_cols)} must equal the rollup table's "
             f"key columns {rollup.key_cols()}"
         )
-    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols, hll_cols)
+    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols, hll_cols, pct_cols)
     src_table = (
         SnapshotTable.load(spark, source_path)
-        if (max_cols or min_cols or hll_cols)
+        if (max_cols or min_cols or hll_cols or pct_cols)
         else None
     )
     spark.dataSource.register(SnapshotCDFDataSource)
@@ -291,6 +353,7 @@ def rollup_stream(
             max_cols=max_cols,
             min_cols=min_cols,
             hll_cols=hll_cols,
+            pct_cols=pct_cols,
         )
 
     return (
@@ -311,6 +374,7 @@ def _apply_cdf_images(
     max_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
     hll_cols: list[str] | None = None,
+    pct_cols: dict[str, list[float]] | None = None,
 ) -> None:
     """Apply one batch of CDF images (``_change_type`` + payload rows) to
     the rollup via the signed-delta read-modify-write — the shared core of
@@ -334,13 +398,22 @@ def _apply_cdf_images(
     groups recompute their sketch from the source snapshot. The
     departure-covered check is per-batch set arithmetic
     (``array_except`` of the group's departing vs arriving value sets),
-    O(delta) like everything else on the incremental path."""
+    O(delta) like everything else on the incremental path.
+
+    PERCENTILE (``pct_cols``) arm: no incremental form exists, so EVERY
+    touched group recomputes its quantiles from the snapshot — the
+    recompute flag goes unconditional, which also folds the MIN/MAX/HLL
+    re-derivations into the same single predicate-pushed scan (cheaper
+    than running their incremental arms alongside a scan that already
+    covers them)."""
     max_cols = list(max_cols or [])
     min_cols = list(min_cols or [])
     hll_cols = list(hll_cols or [])
-    if (max_cols or min_cols or hll_cols) and source is None:
+    pct_items = _pct_items(pct_cols)
+    if (max_cols or min_cols or hll_cols or pct_items) and source is None:
         raise ValueError(
-            "max_cols/min_cols/hll_cols require the source table (recompute arm)"
+            "max_cols/min_cols/hll_cols/pct_cols require the source table "
+            "(recompute arm)"
         )
     lgk = _hll_lgk(rollup) if hll_cols else 12
     known = ("insert", "update_preimage", "update_postimage", "delete")
@@ -429,6 +502,7 @@ def _apply_cdf_images(
         *[F.col(f"max_{c}") for c in max_cols],
         *[F.col(f"min_{c}") for c in min_cols],
         *[F.col(f"hll_{c}") for c in hll_cols],
+        *[F.col(n) for _, _, n in pct_items],
     ).join(delta, on=group_cols, how="full_outer")
     new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(
         F.col("_d_n"), F.lit(0)
@@ -457,6 +531,11 @@ def _apply_cdf_images(
             )
             > 0
         )
+    if pct_items:
+        # percentiles have no incremental form: every touched group
+        # recomputes — and since that scan covers the group's rows anyway,
+        # max/min/hll ride along on the unconditional flag
+        needs_rc = F.lit(True)
     ev = merged.select(
         *group_cols,
         new_n.alias("n_rows"),
@@ -484,6 +563,9 @@ def _apply_cdf_images(
             .alias(f"hll_{c}")
             for c in hll_cols
         ],
+        # stored percentiles carried through so tombstones keep the column;
+        # every live row is overwritten by the recompute below
+        *[F.col(n) for _, _, n in pct_items],
         (needs_rc & (new_n > 0)).alias("_needs_rc"),
         F.when(new_n <= 0, "delete").otherwise("update").alias("op"),
         F.lit(seq).alias("op_seq"),
@@ -494,7 +576,7 @@ def _apply_cdf_images(
             f"dv_{c}",
             F.coalesce(F.hll_sketch_estimate(F.col(f"hll_{c}")), F.lit(0)),
         )
-    if max_cols or min_cols or hll_cols:
+    if max_cols or min_cols or hll_cols or pct_items:
         # recompute arm: re-derive the extrema of flagged groups from the
         # source state AS OF the batch's covered version (exactly the
         # post-batch state — later commits belong to later batches)
@@ -519,6 +601,12 @@ def _apply_cdf_images(
                                 f"_rc_hll_{c}"
                             )
                             for c in hll_cols
+                        ],
+                        *[
+                            F.percentile(
+                                F.col(c).cast("double"), F.lit(q)
+                            ).alias(f"_rc_{n}")
+                            for c, q, n in pct_items
                         ],
                     )
                 )
@@ -556,6 +644,12 @@ def _apply_cdf_images(
                             .alias(f"dv_{c}"),
                         )
                     ],
+                    *[
+                        F.when(F.col("_needs_rc"), F.col(f"_rc_{n}"))
+                        .otherwise(F.col(n))
+                        .alias(n)
+                        for _, _, n in pct_items
+                    ],
                     "op",
                     "op_seq",
                     "offset",
@@ -585,14 +679,28 @@ def _validate_agg_cols(
     max_cols: list[str],
     min_cols: list[str],
     hll_cols: list[str] | None = None,
+    pct_cols: dict[str, list[float]] | None = None,
 ) -> None:
     """Require the requested aggregate columns to cover the rollup table's
-    ``sum_*/max_*/min_*/hll_*`` columns EXACTLY (not a subset): the LWW
-    merge conforms missing columns to null, so maintaining FEWER aggregate
-    cols than the table carries would silently null the omitted totals for
-    every touched group. Shared by :func:`rollup_stream` and
-    :func:`refresh_rollup` — both write through the same merge."""
+    ``sum_*/max_*/min_*/hll_*`` (and percentile) columns EXACTLY (not a
+    subset): the LWW merge conforms missing columns to null, so maintaining
+    FEWER aggregate cols than the table carries would silently null the
+    omitted totals for every touched group. Shared by :func:`rollup_stream`
+    and :func:`refresh_rollup` — both write through the same merge.
+    Percentiles are validated against the table's ``props['pct_cols']``
+    (quantile VALUES, not just column names — maintaining p90 against a
+    table created for p50 must fail loudly, not write p90 into p50)."""
     hll_cols = list(hll_cols or [])
+    table_pct = (rollup.manifest().get("props") or {}).get("pct_cols") or {}
+    want_pct = {c: sorted(float(q) for q in qs) for c, qs in (pct_cols or {}).items()}
+    have_pct = {c: sorted(float(q) for q in qs) for c, qs in table_pct.items()}
+    if want_pct != have_pct:
+        raise ValueError(
+            f"pct_cols {want_pct} must equal the rollup table's percentile "
+            f"spec exactly ({have_pct}): omitted columns would be "
+            "overwritten with null, and a different quantile would be "
+            "silently written into the existing column"
+        )
     have = set(rollup.schema().fieldNames())
     need = {
         "n_rows",
@@ -634,6 +742,7 @@ def refresh_rollup(
     max_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
     hll_cols: list[str] | None = None,
+    pct_cols: dict[str, list[float]] | None = None,
 ) -> None:
     """Batch (pull) refresh: apply ``source``'s change feed AFTER
     ``from_version`` to the rollup in one signed-delta pass — the same
@@ -654,10 +763,11 @@ def refresh_rollup(
     max_cols = list(max_cols or [])
     min_cols = list(min_cols or [])
     hll_cols = list(hll_cols or [])
+    pct_cols = dict(pct_cols or {})
     # same coverage contract as rollup_stream: a refresh that omits an
     # aggregate column the table carries would null it for every touched
     # group through the LWW merge
-    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols, hll_cols)
+    _validate_agg_cols(rollup, sum_cols, max_cols, min_cols, hll_cols, pct_cols)
     if int(source.current_version()) == int(from_version):
         return  # nothing committed since the seed
     feed = change_feed(source, from_version=int(from_version))
@@ -671,4 +781,5 @@ def refresh_rollup(
         max_cols=max_cols,
         min_cols=min_cols,
         hll_cols=hll_cols,
+        pct_cols=pct_cols,
     )

@@ -1261,6 +1261,132 @@ def test_rollup_hll_distinct_counts(spark, tmp_path):
         refresh_rollup(roll2, src, from_version=0)
 
 
+def test_rollup_percentiles_recompute_every_touch(spark, tmp_path):
+    """Percentile rollup arm: no incremental form exists, so every touched
+    group recomputes its quantiles from the snapshot (and the scan folds
+    the other families in). Invariant after every refresh: p50/p90 ==
+    from-scratch percentile() per group, through arrivals, an interior
+    delete, a group migration, and an emptied group; quantile-spec
+    mismatches (different q, omitted pct_cols) fail loudly instead of
+    writing the wrong quantile into the column."""
+    from nifi_dicom_spark.operators.apply import read_final_state
+    from nifi_dicom_spark.streaming.rollup import (
+        backfill_rollup,
+        create_rollup_table,
+        refresh_rollup,
+    )
+
+    def ev(op, conv, seq, role, turn=0):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "offset": seq,
+                        "partition_id": 0,
+                        "op": op,
+                        "op_seq": seq,
+                        "conv_id": conv,
+                        "turn_idx": turn,
+                        "role": role,
+                        "text": "t",
+                        "tool": None,
+                        "ts": pd.Timestamp("2024-01-01"),
+                        "schema_ver": 2,
+                    }
+                ]
+            ),
+            CHANGE_EVENTS_SCHEMA,
+        )
+
+    src = create_transcripts_table(spark, str(tmp_path / "srcpct"), n_buckets=4)
+    roll = create_rollup_table(
+        spark,
+        str(tmp_path / "rollpct"),
+        src,
+        group_cols=["role"],
+        sum_cols=["turn_idx"],
+        pct_cols={"turn_idx": [0.5, 0.9]},
+    )
+    fields = {f.name for f in roll.schema().fields}
+    assert {"p50_turn_idx", "p90_turn_idx", "sum_turn_idx"} <= fields
+    assert roll.manifest()["props"]["pct_cols"] == {"turn_idx": [0.5, 0.9]}
+
+    PCT = {"turn_idx": [0.5, 0.9]}
+
+    def recompute():
+        return {
+            (r["role"], r["n"], r["p50"], r["p90"])
+            for r in read_final_state(src)
+            .groupBy("role")
+            .agg(
+                F.count("*").alias("n"),
+                F.percentile(F.col("turn_idx").cast("double"), F.lit(0.5)).alias("p50"),
+                F.percentile(F.col("turn_idx").cast("double"), F.lit(0.9)).alias("p90"),
+            )
+            .collect()
+        }
+
+    def state():
+        return {
+            (r["role"], r["n_rows"], r["p50_turn_idx"], r["p90_turn_idx"])
+            for r in roll.read().filter("op != 'delete'").collect()
+        }
+
+    def refresh(v):
+        refresh_rollup(
+            roll, src, from_version=v, sum_cols=["turn_idx"], pct_cols=PCT
+        )
+
+    # seed over turns 0,2,10 in one group: p50=2, p90 interpolates
+    apply_changes(src, ev("insert", "A", 10, "user", turn=0), epoch=0)
+    apply_changes(src, ev("insert", "B", 20, "user", turn=2), epoch=1)
+    apply_changes(src, ev("insert", "C", 30, "user", turn=10), epoch=2)
+    v = backfill_rollup(roll, src, sum_cols=["turn_idx"], pct_cols=PCT)
+    assert state() == recompute()
+    assert {t[2] for t in state()} == {2.0}  # p50 of (0, 2, 10)
+
+    # arrival shifts the quantiles (recompute-on-touch, no stale median)
+    apply_changes(src, ev("insert", "D", 40, "user", turn=4), epoch=3)
+    apply_changes(src, ev("insert", "E", 50, "tool", turn=7), epoch=4)
+    refresh(v)
+    assert state() == recompute()
+
+    # interior delete (not the extremum, not the median's last copy):
+    # percentiles still recompute — they have no decrement
+    v = src.current_version()
+    apply_changes(src, ev("delete", "B", 60, "user", turn=2), epoch=5)
+    refresh(v)
+    assert state() == recompute()
+
+    # group migration: D moves user->tool; both groups' quantiles re-derive
+    v = src.current_version()
+    apply_changes(src, ev("update", "D", 70, "tool", turn=4), epoch=6)
+    refresh(v)
+    assert state() == recompute()
+
+    # emptied group: tool loses both rows -> tombstone
+    v = src.current_version()
+    apply_changes(src, ev("delete", "E", 80, "tool", turn=7), epoch=7)
+    apply_changes(src, ev("delete", "D", 90, "tool", turn=4), epoch=8)
+    refresh(v)
+    assert state() == recompute()
+    assert "tool" not in {t[0] for t in state()}
+
+    # spec mismatches fail loudly: omitted pct_cols, and a different q
+    import pytest
+
+    with pytest.raises(ValueError, match="percentile spec"):
+        refresh_rollup(roll, src, from_version=0, sum_cols=["turn_idx"])
+    with pytest.raises(ValueError, match="percentile spec"):
+        refresh_rollup(
+            roll,
+            src,
+            from_version=0,
+            sum_cols=["turn_idx"],
+            pct_cols={"turn_idx": [0.5, 0.95]},
+        )
+
+
 def test_refresh_rollup_rejects_partial_agg_cols(spark, tmp_path):
     """refresh_rollup must enforce the same exact-coverage contract as
     rollup_stream: omitting an aggregate column the table carries would
