@@ -3279,9 +3279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "snapshot_diff": q_snapshot_diff,
         "anti_join_sync": q_anti_join_sync,
-        "incremental_dedup": q_incremental_dedup,
         # --- green r4 rows: rotated past the 50-cap this round ------------
-        # (incremental_dedup above is entry #50, the last the driver verifies)
+        # (anti_join_sync above is entry #50, the last the driver verifies)
+        "incremental_dedup": q_incremental_dedup,
         "near_dup_clusters": q_near_dup_clusters,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
