@@ -1934,6 +1934,38 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (the fixed-k-window approximation of
+    Lee et al. 2022 suffix-array substring dedup): maximal token spans
+    whose every 8-token window recurs in ≥2 distinct documents. One
+    exchange keyed on the window text (map-side-combined count-distinct +
+    semi-join back), then per-document gaps-and-islands — no global sort,
+    no all-pairs anywhere."""
+    from nifi_dicom_spark.functions.dedup_text import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, "text", "doc_id", k=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+        "span_text",
+    )
+
+
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-all substring dedup: every duplicated ≥8-token span (as in
+    q_dup_spans) is deleted from EVERY document carrying it; surviving
+    tokens keep their order, fully-duplicated docs come back as ''. The
+    covered-position table is bounded by total duplicated tokens — the
+    anti-join side stays tiny even when the corpus is 100 TB."""
+    from nifi_dicom_spark.functions.dedup_text import strip_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, "text", "doc_id", k=8, min_docs=2)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sampling: keep a doc iff its md5-uniform
     < the language's rate — a pure codegen filter (no shuffle, no Python)
@@ -3216,15 +3248,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation (r5): the driver checks the first 50 dict entries. Round 4
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
-    # row in r3. Those 22 lead now, followed by the 8 queries NEW this
+    # row in r3. Those 22 lead now, followed by the 12 queries NEW this
     # round (rollup_state, rollup_distinct, rollup_pct, replication_state,
     # layer3_decode, h264_frames, aac_decode, h264_cavlc, mp4_audio,
-    # point_lookup), then enough
-    # r4-green entries to fill the window (near_dup_clusters, ann_ivf,
-    # simhash_near_dup and minhash_near_dup, all r4-green, at the tail);
-    # the r4-green remainder rotates to the tail so every registered query
-    # has a green row dated within the last two rounds. Rotate again next
-    # round.
+    # point_lookup, dup_spans, strip_spans), then enough r4-green entries
+    # to fill the window; the r4-green remainder rotates to the tail so
+    # every registered query has a green row dated within the last two
+    # rounds. Rotate again next round.
     return {
         # --- last verified r3 (rotated past r4's 50-cap) — first now -----
         "cfind_query": q_cfind_query,
@@ -3260,6 +3290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_cavlc": q_h264_cavlc,
         "mp4_audio": q_mp4_audio,
         "point_lookup": q_point_lookup,
+        "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -3277,10 +3309,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_json": q_stats_json,
         "merge_into": q_merge_into,
         "asof_join": q_asof_join,
+        # --- green r4 rows: rotated past the 50-cap this round ------------
+        # (asof_join above is entry #50, the last the driver verifies; the
+        # two late-r5 dup_spans/strip_spans additions displaced
+        # snapshot_diff and anti_join_sync, both r4-green, to the tail)
         "snapshot_diff": q_snapshot_diff,
         "anti_join_sync": q_anti_join_sync,
-        # --- green r4 rows: rotated past the 50-cap this round ------------
-        # (anti_join_sync above is entry #50, the last the driver verifies)
         "incremental_dedup": q_incremental_dedup,
         "near_dup_clusters": q_near_dup_clusters,
         "minhash_near_dup": q_minhash_near_dup,
@@ -4170,6 +4204,70 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN sizes a ON p.id_a = a.doc_id
             JOIN sizes b ON p.id_b = b.doc_id
+        """,
+        "dup_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(t[i : i + 7], ' ') AS win
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+                    FROM toks)
+            ), dup AS (
+              SELECT win FROM sh GROUP BY win
+              HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT s.doc_id, s.pos,
+                     row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS rn
+              FROM sh s JOIN dup d USING (win)
+            ), spans AS (
+              SELECT doc_id,
+                     CAST(min(pos) AS BIGINT) AS span_start,
+                     CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                     CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+              FROM hits GROUP BY doc_id, pos - rn
+            )
+            SELECT s.doc_id, s.span_start, s.span_end, s.span_tokens,
+                   array_to_string(t[s.span_start + 1 : s.span_end + 1], ' ')
+                     AS span_text
+            FROM spans s JOIN toks USING (doc_id)
+        """,
+        "strip_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(t[i : i + 7], ' ') AS win
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+                    FROM toks)
+            ), dup AS (
+              SELECT win FROM sh GROUP BY win
+              HAVING count(DISTINCT doc_id) >= 2
+            ), hits AS (
+              SELECT s.doc_id, s.pos,
+                     row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS rn
+              FROM sh s JOIN dup d USING (win)
+            ), spans AS (
+              SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+              FROM hits GROUP BY doc_id, pos - rn
+            ), covered AS (
+              SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+              FROM spans
+            ), tp AS (
+              SELECT doc_id, i - 1 AS pos, t[i] AS tok
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                    FROM toks)
+            ), kept AS (
+              SELECT tp.doc_id, tp.pos, tp.tok
+              FROM tp ANTI JOIN covered USING (doc_id, pos)
+            ), agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.cleaned, '') AS cleaned_text
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "stratified_sample": """
             WITH s AS (

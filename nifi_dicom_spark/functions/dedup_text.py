@@ -634,3 +634,152 @@ def simhash_near_dup(
         return pairs.localCheckpoint(eager=True)
     finally:
         banded.unpersist()
+
+
+# --- exact duplicated-span detection (substring-level dedup) ------------------
+
+
+def _raw_tokens(col: str | Column) -> Column:
+    """RAW space-split tokens (no casefolding, no filtering) so that token
+    POSITIONS are reproducible in any SQL engine's ``string_split`` — span
+    offsets must mean the same thing to the oracle and to a downstream
+    stripper."""
+    return F.split(F.col(col) if isinstance(col, str) else col, " ")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    hash_exchange: bool = False,
+) -> DataFrame:
+    """Exact substring-level duplicate detection: maximal token spans whose
+    every k-token window recurs in >= ``min_docs`` distinct documents.
+
+    The fixed-k-window approximation of suffix-array substring dedup (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any duplicated substring of >= k tokens is covered by
+    duplicated k-windows, and a maximal run of duplicated window START
+    positions [a..b] is exactly the maximal duplicated span of tokens
+    [a .. b+k-1]. Shorter duplicates are invisible by design — k is the
+    noise floor.
+
+    Plan shape (scale): one exchange of all k-windows keyed on the window
+    text (map-side-combined count-distinct, then a semi-join back on the
+    same key so AQE can reuse the exchange), then a per-document window
+    function (gaps-and-islands: pos - row_number) whose partitions are
+    single documents — never a global sort. With ``hash_exchange=True``
+    the shuffle key is ``xxhash64(window)`` (8 bytes instead of ~6k text —
+    the right call at 100 TB; probabilistically exact, a 64-bit collision
+    could mark a span duplicated spuriously, which is why the ORACLE runs
+    the exact-string default).
+
+    Returns one row per (doc, span): ``doc_id | span_start | span_end |
+    span_tokens | span_text`` with 0-based inclusive token offsets.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k}); k=1 marks single tokens")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2 (got {min_docs})")
+    from pyspark.sql import Window
+
+    doc = F.col(id_col).alias("doc_id")
+
+    def _windows(tt: Column) -> Column:
+        last = F.size(tt) - k  # last 0-based start position
+        return F.when(
+            last >= 0,
+            F.transform(
+                F.sequence(F.lit(0), last),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(tt, i + 1, k)).alias("win"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,win:string>>"))
+
+    # bind the token array once per row (see _ordered_grams: a free
+    # expression inside the lambda re-tokenizes per position -> O(n^2))
+    wins = F.element_at(F.transform(F.array(_raw_tokens(text_col)), _windows), 1)
+    shingled = (
+        df.select(doc, F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    )
+    key = F.xxhash64("win").alias("key") if hash_exchange else F.col("win").alias("key")
+    keyed = shingled.select("doc_id", "pos", key)
+    dup_keys = (
+        keyed.groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("key")
+    )
+    hits = keyed.join(dup_keys, "key", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .drop("_grp")
+    )
+    spans = spans.withColumn(
+        "span_tokens", F.col("span_end") - F.col("span_start") + 1
+    )
+    # re-attach the span text from the source row (join on doc id — both
+    # sides already hash-partitionable on it; spans << corpus)
+    src = df.select(doc, _raw_tokens(text_col).alias("_t"))
+    return (
+        spans.join(src, "doc_id")
+        .withColumn(
+            "span_text",
+            F.concat_ws(
+                " ", F.slice("_t", F.col("span_start") + 1, F.col("span_tokens"))
+            ),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens", "span_text")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+    hash_exchange: bool = False,
+) -> DataFrame:
+    """Remove every duplicated span (the drop-all policy of Lee et al.
+    substring dedup) — tokens covered by any :func:`duplicate_spans` span
+    are deleted from EVERY document that has them, the rest keep their
+    original order. A fully-duplicated document comes back as ''.
+
+    One extra exchange over detection: covered positions explode from the
+    span table (tiny — bounded by total duplicated tokens) and anti-join
+    the per-token table on (doc, pos); reassembly is a per-document
+    ordered aggregation, partitioned by document — no global sort.
+    """
+    spans = duplicate_spans(df, text_col, id_col, k, min_docs, hash_exchange)
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    doc = F.col(id_col).alias("doc_id")
+    toks_pos = df.select(doc, F.posexplode(_raw_tokens(text_col)).alias("pos", "tok"))
+    kept = toks_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("_cleaned")
+    )
+    return (
+        df.select(doc)
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("_cleaned", F.lit("")).alias("cleaned_text"))
+    )

@@ -531,3 +531,109 @@ def test_corpus_job_pipeline_end_to_end(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(out1).select(key).collect()}
     b = {tuple(r) for r in spark.read.parquet(out2).select(key).collect()}
     assert a == b
+
+
+# --- exact duplicated-span detection ------------------------------------------
+
+
+def _span_docs(spark):
+    """Six tiny docs with a fully-controlled duplication structure (k=3):
+    docs 0/1 share 'a b c d' (two overlapping 3-windows -> ONE merged
+    span of 4 tokens), docs 2/3/4 share 'x y z' exactly, doc 5 is unique,
+    and doc 6 is 'a b c d' verbatim (fully duplicated)."""
+    rows = [
+        (0, "a b c d p q r s"),
+        (1, "m n a b c d t u"),
+        (2, "x y z g h i j"),
+        (3, "k l x y z w v"),
+        (4, "x y z o e f u"),
+        (5, "one two three four five six"),
+        (6, "a b c d"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    from nifi_dicom_spark.functions.dedup_text import duplicate_spans
+
+    docs = _span_docs(spark)
+    got = {
+        (r["doc_id"], r["span_start"]): r
+        for r in duplicate_spans(docs, "text", "doc_id", k=3).collect()
+    }
+    # 'a b c d' in docs 0/1/6: windows 'a b c'+'b c d' chain into one span
+    for doc_id, start in [(0, 0), (1, 2), (6, 0)]:
+        r = got.pop((doc_id, start))
+        assert r["span_tokens"] == 4 and r["span_text"] == "a b c d"
+        assert r["span_end"] == start + 3
+    # 'x y z' in docs 2/3/4: single window, exact span
+    for doc_id, start in [(2, 0), (3, 2), (4, 0)]:
+        r = got.pop((doc_id, start))
+        assert r["span_tokens"] == 3 and r["span_text"] == "x y z"
+    assert got == {}, f"unexpected extra spans: {got}"
+
+
+def test_duplicate_spans_min_docs_and_short_docs(spark):
+    from nifi_dicom_spark.functions.dedup_text import duplicate_spans
+
+    docs = _span_docs(spark)
+    # min_docs=3: the 2-doc 'a b c d' family needs its third member (doc 6);
+    # each window must individually clear the bar — only 'b c d' has all
+    # three (doc 6 is the 4-token doc so both windows survive via 0/1/6)
+    got = duplicate_spans(docs, "text", "doc_id", k=3, min_docs=3).collect()
+    assert {(r["doc_id"], r["span_text"]) for r in got} == {
+        (0, "a b c d"),
+        (1, "a b c d"),
+        (6, "a b c d"),
+        (2, "x y z"),
+        (3, "x y z"),
+        (4, "x y z"),
+    }
+    # a doc shorter than k yields no windows and never crashes slice()
+    tiny = spark.createDataFrame([(0, "a b"), (1, "a b")], "doc_id long, text string")
+    assert duplicate_spans(tiny, "text", "doc_id", k=3).count() == 0
+
+
+def test_duplicate_spans_hash_exchange_parity(spark):
+    """xxhash64 exchange keys give byte-identical results on collision-free
+    data (the 100-TB fast path's correctness contract)."""
+    from nifi_dicom_spark.functions.dedup_text import duplicate_spans
+
+    docs = _span_docs(spark)
+    a = sorted(map(tuple, duplicate_spans(docs, "text", "doc_id", k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            duplicate_spans(docs, "text", "doc_id", k=3, hash_exchange=True).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_strip_duplicate_spans_drop_all_policy(spark):
+    from nifi_dicom_spark.functions.dedup_text import strip_duplicate_spans
+
+    docs = _span_docs(spark)
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in strip_duplicate_spans(docs, "text", "doc_id", k=3).collect()
+    }
+    assert got[0] == "p q r s"
+    assert got[1] == "m n t u"
+    assert got[2] == "g h i j"
+    assert got[3] == "k l w v"
+    assert got[4] == "o e f u"
+    assert got[5] == "one two three four five six"  # untouched
+    assert got[6] == ""  # fully duplicated -> empty, not missing
+
+
+def test_duplicate_spans_validation(spark):
+    import pytest
+
+    from nifi_dicom_spark.functions.dedup_text import duplicate_spans
+
+    docs = _span_docs(spark)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        duplicate_spans(docs, "text", "doc_id", k=1)
+    with pytest.raises(ValueError, match="min_docs must be >= 2"):
+        duplicate_spans(docs, "text", "doc_id", min_docs=1)
