@@ -1934,6 +1934,18 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (CCNet-style perplexity bucketing, one
+    order above unigram_logprob): mean log p(w_i|w_{i-1}) under the
+    corpus's own add-0.5-smoothed bigram model. Two token-relation
+    exchanges ((w1,w2) then w1), both map-side combined; V joins as a
+    broadcast single row."""
+    from nifi_dicom_spark.functions.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, add_k=0.5)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-level dedup (the fixed-k-window approximation of
     Lee et al. 2022 suffix-array substring dedup): maximal token spans
@@ -3248,10 +3260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation (r5): the driver checks the first 50 dict entries. Round 4
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
-    # row in r3. Those 22 lead now, followed by the 12 queries NEW this
+    # row in r3. Those 22 lead now, followed by the 13 queries NEW this
     # round (rollup_state, rollup_distinct, rollup_pct, replication_state,
     # layer3_decode, h264_frames, aac_decode, h264_cavlc, mp4_audio,
-    # point_lookup, dup_spans, strip_spans), then enough r4-green entries
+    # point_lookup, dup_spans, strip_spans, bigram_logprob), then enough
+    # r4-green entries
     # to fill the window; the r4-green remainder rotates to the tail so
     # every registered query has a green row dated within the last two
     # rounds. Rotate again next round.
@@ -3292,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
+        "bigram_logprob": q_bigram_logprob,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -3308,11 +3322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_feed": q_change_feed,
         "stats_json": q_stats_json,
         "merge_into": q_merge_into,
-        "asof_join": q_asof_join,
         # --- green r4 rows: rotated past the 50-cap this round ------------
-        # (asof_join above is entry #50, the last the driver verifies; the
-        # two late-r5 dup_spans/strip_spans additions displaced
-        # snapshot_diff and anti_join_sync, both r4-green, to the tail)
+        # (merge_into above is entry #50, the last the driver verifies; the
+        # three late-r5 additions — dup_spans, strip_spans, bigram_logprob —
+        # displaced asof_join, snapshot_diff and anti_join_sync, all
+        # r4-green, to the tail)
+        "asof_join": q_asof_join,
         "snapshot_diff": q_snapshot_diff,
         "anti_join_sync": q_anti_join_sync,
         "incremental_dedup": q_incremental_dedup,
@@ -4204,6 +4219,31 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN sizes a ON p.id_a = a.doc_id
             JOIN sizes b ON p.id_b = b.doc_id
+        """,
+        "bigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS t
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+                    FROM toks)
+            ), bgf AS (
+              SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+            ), ug AS (
+              SELECT w1, count(*) AS cu
+              FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1
+            ), v AS (SELECT count(*) AS v FROM ug)
+            SELECT b.doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(ln((f.cb + 0.5) / (u.cu + 0.5 * v.v))), 4)
+                     AS mean_logprob,
+                   round(-avg(ln((f.cb + 0.5) / (u.cu + 0.5 * v.v))) / ln(2), 4)
+                     AS bits_per_token
+            FROM bg b JOIN bgf f USING (w1, w2) JOIN ug u USING (w1) CROSS JOIN v
+            GROUP BY b.doc_id
         """,
         "dup_spans": """
             WITH toks AS (

@@ -336,6 +336,81 @@ def unigram_logprob(
     )
 
 
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Bigram-LM quality score: mean log p(w_i | w_{i-1}) of each document
+    under an add-k-smoothed bigram model trained on the corpus's OWN
+    token stream (the CCNet/KenLM perplexity-bucketing signal one order
+    up from :func:`unigram_logprob` — word ORDER now matters, so shuffled
+    boilerplate and Markov-plausible text separate even when their
+    unigram mixes are identical).
+
+    p(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k·V) with V = corpus vocabulary
+    size; scored over each document's interior bigrams (documents with
+    fewer than 2 tokens are omitted — their mean is undefined).
+
+    Output: ``(id, n_bigrams, mean_logprob, bits_per_token)``; lower
+    bits_per_token ⇔ more predictable word-to-word transitions.
+
+    Scale shape: the bigram relation is built row-locally by a codegen'd
+    ``transform(sequence(...))`` over the bound token array (no Python),
+    then exchanged twice — once keyed on (w1, w2) for the bigram
+    frequency join, once re-keyed on w1 for the context-count join (AQE
+    broadcasts either frequency side when small; nothing assumes it) —
+    and re-aggregated by doc id. V is a vocab-sized aggregate joined as a
+    broadcast single-row crossJoin, never a third corpus scan. All counts
+    are map-side combined; nothing collects to the driver.
+    """
+    t = F.transform(tokens(F.col(text_col)), F.lower)
+
+    def _pairs(tt: Column) -> Column:
+        n2 = F.size(tt) - 1
+        return F.when(
+            n2 >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n2),
+                lambda i: F.struct(
+                    F.element_at(tt, i).alias("w1"),
+                    F.element_at(tt, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    pairs = F.element_at(F.transform(F.array(t), _pairs), 1)
+    bg = df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p")).select(
+        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bg_freq = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ug = (
+        df.select(F.explode(t).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = ug.groupBy().agg(F.count(F.lit(1)).alias("v"))
+    lp = F.log(
+        (F.col("cb") + F.lit(add_k)) / (F.col("cu") + F.lit(add_k) * F.col("v"))
+    )
+    per_doc = (
+        bg.join(bg_freq, ["w1", "w2"])
+        .join(ug, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("id", lp.alias("_lp"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.avg("_lp").alias("_m"))
+    )
+    return per_doc.select(
+        "id",
+        "n_bigrams",
+        F.round("_m", 4).alias("mean_logprob"),
+        F.round(-F.col("_m") / F.lit(math.log(2)), 4).alias("bits_per_token"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     text_col: str = "text",

@@ -637,3 +637,40 @@ def test_duplicate_spans_validation(spark):
         duplicate_spans(docs, "text", "doc_id", k=1)
     with pytest.raises(ValueError, match="min_docs must be >= 2"):
         duplicate_spans(docs, "text", "doc_id", min_docs=1)
+
+
+def test_bigram_logprob_matches_serial(spark):
+    """Add-k bigram LM vs a pure-Python replay: context counts are FULL
+    unigram occurrences, V is vocab size, sub-2-token docs omitted, and
+    word order matters (same bag, different order => different score)."""
+    import math
+    from collections import Counter
+
+    from nifi_dicom_spark.functions.text import bigram_logprob
+
+    texts = {1: "a b a c", 2: "A b", 3: "", 4: "c c d", 5: "b a c a", 6: "x"}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in bigram_logprob(docs, add_k=0.5).collect()}
+    toks = {k: v.lower().split() for k, v in texts.items()}
+    ug = Counter(t for v in toks.values() for t in v)
+    bgs = Counter(p for v in toks.values() for p in zip(v, v[1:]))
+    vv = len(ug)
+    assert set(out) == {1, 2, 4, 5}  # empty and 1-token docs omitted
+    exp_by_doc = {}
+    for k in out:
+        pairs = list(zip(toks[k], toks[k][1:]))
+        exp = sum(
+            math.log((bgs[p] + 0.5) / (ug[p[0]] + 0.5 * vv)) for p in pairs
+        ) / len(pairs)
+        exp_by_doc[k] = exp
+        assert out[k]["n_bigrams"] == len(pairs)
+        assert abs(out[k]["mean_logprob"] - round(exp, 4)) < 1e-9
+        assert abs(
+            out[k]["bits_per_token"] - round(-exp / math.log(2), 4)
+        ) < 2e-4
+    # docs 1 and 5 share a unigram bag but not an order — scores differ
+    assert out[1]["mean_logprob"] != out[5]["mean_logprob"] or (
+        round(exp_by_doc[1], 4) == round(exp_by_doc[5], 4)
+    )
