@@ -2548,6 +2548,78 @@ def q_rebucket_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (``SnapshotTable.clone``, the Delta CREATE TABLE ...
+    SHALLOW CLONE analog): even-op_seq events LWW-merge into a source
+    table, a zero-copy clone references its files, then odd-op_seq events
+    merge into the CLONE ONLY (the cloned ledger still gates epochs — the
+    divergence commit is epoch 1 over the copied epoch-0 watermarks). The
+    result unions both tables' winners tagged by table: the clone must
+    show the FULL event set's LWW state, the source only the even half —
+    one row-hash pins zero-copy correctness and isolation in both
+    directions."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="clone-")
+    src = SnapshotTable.create(
+        spark, base + "/src", schema, key_cols=["conv_id", "turn_idx"], n_buckets=4
+    )
+    src.merge(
+        ev.filter(F.col("op_seq") % 2 == 0),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(0, 0)],
+    )
+    clone = SnapshotTable.clone(spark, src, base + "/clone")
+    clone.merge(
+        ev.filter(F.col("op_seq") % 2 == 1),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(1, 0)],
+    )
+    cols = ["conv_id", "turn_idx", "op_seq"]
+
+    def winners(t: SnapshotTable, tag: str) -> DataFrame:
+        return (
+            t.read()
+            .filter(F.col("op") != "delete")
+            .select(
+                F.lit(tag).alias("tbl"),
+                *cols,
+                F.round("value", 4).alias("value"),
+                "ts",
+            )
+        )
+
+    return winners(clone, "clone").unionByName(winners(src, "src"))
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-sidecar point lookup (``lake/bloom.py``,
     ``SnapshotTable.lookup`` — the Hudi bloom-index / unique-key C-FIND
@@ -3284,13 +3356,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation (r5): the driver checks the first 50 dict entries. Round 4
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
-    # row in r3. Those 22 lead now, followed by the 14 queries NEW this
+    # row in r3. Those 22 lead now, followed by the 15 queries NEW this
     # round (rollup_state, rollup_distinct, rollup_pct, replication_state,
     # layer3_decode, h264_frames, aac_decode, h264_cavlc, mp4_audio,
     # point_lookup, dup_spans, strip_spans, bigram_logprob, bpe_tokens —
-    # the last is ROWS-ONLY: iterative merge learning has no SQL oracle,
-    # it is pinned by tests/test_bpe.py instead), then enough
-    # r4-green entries
+    # that one ROWS-ONLY: iterative merge learning has no SQL oracle,
+    # it is pinned by tests/test_bpe.py instead — and clone_read), then
+    # enough r4-green entries
     # to fill the window; the r4-green remainder rotates to the tail so
     # every registered query has a green row dated within the last two
     # rounds. Rotate again next round.
@@ -3333,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_spans": q_strip_spans,
         "bigram_logprob": q_bigram_logprob,
         "bpe_tokens": q_bpe_tokens,
+        "clone_read": q_clone_read,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -3347,12 +3420,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "rebucket_read": q_rebucket_read,
         "change_feed": q_change_feed,
-        "stats_json": q_stats_json,
         # --- green r4 rows: rotated past the 50-cap this round ------------
-        # (stats_json above is entry #50, the last the driver verifies; the
-        # four late-r5 additions — dup_spans, strip_spans, bigram_logprob,
-        # bpe_tokens — displaced merge_into, asof_join, snapshot_diff and
-        # anti_join_sync, all r4-green, to the tail)
+        # (change_feed above is entry #50, the last the driver verifies;
+        # the five late-r5 additions — dup_spans, strip_spans,
+        # bigram_logprob, bpe_tokens, clone_read — displaced stats_json,
+        # merge_into, asof_join, snapshot_diff and anti_join_sync, all
+        # r4-green, to the tail)
+        "stats_json": q_stats_json,
         "merge_into": q_merge_into,
         "asof_join": q_asof_join,
         "snapshot_diff": q_snapshot_diff,
@@ -4630,6 +4704,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, round(value, 4) AS value
             FROM w WHERE rn = 1 AND op <> 'delete'
+        """,
+        "clone_read": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 5 AS INT) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq, event_id AS "offset", value, ts
+              FROM events
+            ), w_all AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY op_seq DESC, "offset" DESC) AS rn
+              FROM ev
+            ), w_even AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY op_seq DESC, "offset" DESC) AS rn
+              FROM ev WHERE op_seq % 2 = 0
+            )
+            SELECT 'clone' AS tbl, conv_id, turn_idx, op_seq,
+                   round(value, 4) AS value, ts
+            FROM w_all WHERE rn = 1 AND op <> 'delete'
+            UNION ALL
+            SELECT 'src' AS tbl, conv_id, turn_idx, op_seq,
+                   round(value, 4) AS value, ts
+            FROM w_even WHERE rn = 1 AND op <> 'delete'
         """,
         "rebucket_read": """
             WITH ev AS (

