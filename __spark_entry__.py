@@ -2620,6 +2620,132 @@ def q_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winners(clone, "clone").unionByName(winners(src, "src"))
 
 
+def q_join_mv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous JOIN materialization end-to-end
+    (``streaming/join_mv.py``): facts LWW-merge into a left table, a
+    7-row category dimension into a right table, the MV backfills their
+    inner join, and the LIVE maintenance stream (one query over BOTH
+    snapshot_cdf feeds → recompute-touched-keys → versioned merge) then
+    absorbs a fact epoch (updates + deletes + category migrations) and a
+    dimension epoch (a relabel fanning out to every fact in the category,
+    and a dimension DELETE dropping its facts from the inner join).
+    Drains via processAllAvailable. Oracle: DuckDB recomputes final facts
+    (global LWW) ⋈ final dims from scratch — convergence means the
+    streamed MV equals the join of the final snapshots exactly."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+    from nifi_dicom_spark.streaming.join_mv import (
+        backfill_join_mv,
+        create_join_mv,
+        join_mv_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.concat(F.lit("cat"), (F.col("event_id") % 7).cast("string")).alias(
+            "category"
+        ),
+        F.col("value"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("op_seq"),
+        F.col("event_id").alias("offset"),
+    )
+    fact_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("category", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+        ]
+    )
+    dim_schema = T.StructType(
+        [
+            T.StructField("category", T.StringType(), False),
+            T.StructField("label", T.StringType(), True),
+            T.StructField("weight", T.DoubleType(), True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("offset", T.LongType(), False),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="jmv-")
+    left = SnapshotTable.create(
+        spark, base + "/facts", fact_schema, key_cols=["conv_id"], n_buckets=8
+    )
+    right = SnapshotTable.create(
+        spark, base + "/dims", dim_schema, key_cols=["category"], n_buckets=2
+    )
+    left.merge(
+        ev.filter(F.col("op_seq") % 2 == 0),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(0, 0)],
+    )
+
+    def dim_rows(rows, seq):
+        return spark.createDataFrame(
+            [(c, l, w, op, seq, seq) for c, l, w, op in rows], dim_schema
+        )
+
+    right.merge(
+        dim_rows(
+            [(f"cat{i}", f"label-{i}", float(i), "insert") for i in range(7)], 1
+        ),
+        op_col="op",
+        policy="versioned_upsert",
+        commit_keys=[(0, 0)],
+    )
+    mv = create_join_mv(
+        spark, base + "/mv", left, right, on=["category"], how="inner"
+    )
+    lv, rv = backfill_join_mv(mv, left, right)
+    q = join_mv_stream(
+        spark, left, right, mv, base + "/ckpt", starting_versions=(lv, rv)
+    )
+    try:
+        q.processAllAvailable()
+        left.merge(
+            ev.filter(F.col("op_seq") % 2 == 1),
+            op_col="op",
+            policy="versioned_upsert",
+            commit_keys=[(1, 0)],
+        )
+        q.processAllAvailable()  # fact epoch: updates/deletes/migrations
+        right.merge(
+            dim_rows(
+                [
+                    ("cat1", "label-1-v2", 1.5, "update"),
+                    ("cat2", "label-2", 2.0, "delete"),
+                ],
+                2,
+            ),
+            op_col="op",
+            policy="versioned_upsert",
+            commit_keys=[(1, 0)],
+        )
+        q.processAllAvailable()  # dim epoch: fan-out relabel + join drop
+    finally:
+        q.stop()
+    return (
+        mv.read()
+        .filter(F.col("op") != "delete")
+        .select(
+            "conv_id",
+            "category",
+            F.round("value", 4).alias("value"),
+            "label",
+            F.round("weight", 4).alias("weight"),
+        )
+    )
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-sidecar point lookup (``lake/bloom.py``,
     ``SnapshotTable.lookup`` — the Hudi bloom-index / unique-key C-FIND
@@ -3356,13 +3482,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Rotation (r5): the driver checks the first 50 dict entries. Round 4
     # verified entries 1-50 of the r4 ordering (debezium_parse ...
     # encrypt_roundtrip, all green); the 22 entries past the cap last had a
-    # row in r3. Those 22 lead now, followed by the 15 queries NEW this
+    # row in r3. Those 22 lead now, followed by the 16 queries NEW this
     # round (rollup_state, rollup_distinct, rollup_pct, replication_state,
     # layer3_decode, h264_frames, aac_decode, h264_cavlc, mp4_audio,
     # point_lookup, dup_spans, strip_spans, bigram_logprob, bpe_tokens —
     # that one ROWS-ONLY: iterative merge learning has no SQL oracle,
-    # it is pinned by tests/test_bpe.py instead — and clone_read), then
-    # enough r4-green entries
+    # it is pinned by tests/test_bpe.py instead — clone_read and
+    # join_mv_state), then enough r4-green entries
     # to fill the window; the r4-green remainder rotates to the tail so
     # every registered query has a green row dated within the last two
     # rounds. Rotate again next round.
@@ -3406,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "bpe_tokens": q_bpe_tokens,
         "clone_read": q_clone_read,
+        "join_mv_state": q_join_mv_state,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -3421,11 +3548,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebucket_read": q_rebucket_read,
         "change_feed": q_change_feed,
         # --- green r4 rows: rotated past the 50-cap this round ------------
-        # (change_feed above is entry #50, the last the driver verifies;
-        # the five late-r5 additions — dup_spans, strip_spans,
-        # bigram_logprob, bpe_tokens, clone_read — displaced stats_json,
-        # merge_into, asof_join, snapshot_diff and anti_join_sync, all
-        # r4-green, to the tail)
+        # (rebucket_read above is entry #50, the last the driver verifies;
+        # the six late-r5 additions — dup_spans, strip_spans,
+        # bigram_logprob, bpe_tokens, clone_read, join_mv_state —
+        # displaced change_feed, stats_json, merge_into, asof_join,
+        # snapshot_diff and anti_join_sync, all r4-green, to the tail)
         "stats_json": q_stats_json,
         "merge_into": q_merge_into,
         "asof_join": q_asof_join,
@@ -4704,6 +4831,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, round(value, 4) AS value
             FROM w WHERE rn = 1 AND op <> 'delete'
+        """,
+        "join_mv_state": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     'cat' || CAST(event_id % 7 AS VARCHAR) AS category,
+                     value,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'update' END AS op,
+                     event_id AS op_seq
+              FROM events
+            ), w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id ORDER BY op_seq DESC) AS rn
+              FROM ev
+            ), facts AS (
+              SELECT conv_id, category, value
+              FROM w WHERE rn = 1 AND op <> 'delete'
+            ), dims(category, label, weight) AS (
+              VALUES ('cat0', 'label-0', 0.0),
+                     ('cat1', 'label-1-v2', 1.5),
+                     ('cat3', 'label-3', 3.0),
+                     ('cat4', 'label-4', 4.0),
+                     ('cat5', 'label-5', 5.0),
+                     ('cat6', 'label-6', 6.0)
+            )
+            SELECT f.conv_id, f.category, round(f.value, 4) AS value,
+                   d.label, round(d.weight, 4) AS weight
+            FROM facts f JOIN dims d USING (category)
         """,
         "clone_read": """
             WITH ev AS (
