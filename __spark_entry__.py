@@ -474,6 +474,165 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML: DELETE FROM table WHERE pred (no source relation) —
+    two-pass stats-pruned copy-on-write built on merge_into. The ranges=
+    hint routes the matching-key scan through manifest min/max pruning;
+    it is implied by the predicate, so it is pure IO (never changes which
+    rows match). Oracle: plain anti-filter of the base table."""
+    import tempfile
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    tab = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="delwhere_") + "/t",
+        cust.schema,
+        key_cols=["c_custkey"],
+        n_buckets=8,
+    )
+    tab.overwrite(cust)
+    tab.delete_where(
+        "c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 5000.0",
+        ranges={"c_acctbal": (None, 5000.0)},
+    )
+    return tab.read().select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 4).alias("bal"),
+        "c_mktsegment",
+    )
+
+
+def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML: UPDATE table SET assignments WHERE pred — expression
+    assignments over the t alias, unlisted columns untouched; same
+    stats-pruned copy-on-write shape as delete_where. Oracle: CASE WHEN
+    projection of the base table."""
+    import tempfile
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    tab = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="updwhere_") + "/t",
+        cust.schema,
+        key_cols=["c_custkey"],
+        n_buckets=8,
+    )
+    tab.overwrite(cust)
+    tab.update_where(
+        {
+            "c_acctbal": "t.c_acctbal + 100.0",
+            "c_mktsegment": "lower(t.c_mktsegment)",
+        },
+        "c_acctbal < 1000.0",
+    )
+    return tab.read().select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 4).alias("bal"),
+        "c_mktsegment",
+    )
+
+
+def q_maxwell_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC wire-format boundary #2: events re-serialized as Maxwell daemon
+    JSON envelopes (type/position/data), then normalized back to the
+    canonical change-event frame by parse_maxwell — one from_json, zero
+    UDFs. The binlog position string composes into the offset/op_seq total
+    order; the oracle recomputes the frame straight from events."""
+    from nifi_dicom_spark.sources.envelopes import parse_maxwell
+
+    ev = _t(spark, sf_dir, "events")
+    ts_ltz = F.col("ts").cast("timestamp_ltz")  # NTZ-safe under pinned UTC
+    img = F.struct(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 1000).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(
+            F.col("event_id") % 2 == 1, F.concat(F.lit("tool_"), F.col("event_type"))
+        ).alias("tool"),
+        F.date_format(ts_ltz, "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+    mtype = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_id") % 9 == 0, "bootstrap-insert")
+        .when(F.col("event_id") % 3 == 0, "insert")
+        .otherwise("update")
+    )
+    position = F.concat(
+        F.lit("master.00000"),
+        (F.col("event_id") % 4 + 1).cast("string"),
+        F.lit(":"),
+        F.col("event_id").cast("string"),
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.lit("db").alias("database"),
+            F.lit("transcripts").alias("table"),
+            mtype.alias("type"),
+            F.unix_seconds(ts_ltz).alias("ts"),
+            F.col("user_id").alias("xid"),
+            F.lit(True).alias("commit"),
+            position.alias("position"),
+            img.alias("data"),
+        )
+    )
+    return parse_maxwell(ev.select(envelope.alias("value")))
+
+
+def q_canal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC wire-format boundary #3: events batched 16-per-envelope into
+    Canal flat messages (data ARRAY, every value stringified), then fanned
+    back out by parse_canal (posexplode keeps within-batch order in the
+    offset). Exercises the from-string casts of the flat-message contract;
+    the oracle recomputes the frame with a window over events."""
+    from nifi_dicom_spark.sources.envelopes import parse_canal
+
+    ev = _t(spark, sf_dir, "events")
+    ts_ltz = F.col("ts").cast("timestamp_ltz")
+    simg = F.struct(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 1000).cast("string").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(
+            F.col("event_id") % 2 == 1, F.concat(F.lit("tool_"), F.col("event_type"))
+        ).alias("tool"),
+        F.date_format(ts_ltz, "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+    batch = (F.col("event_id") / 16).cast("long")
+    grouped = (
+        ev.select(batch.alias("bid"), F.col("event_id").alias("eid"), simg.alias("img"))
+        .groupBy("bid")
+        .agg(F.array_sort(F.collect_list(F.struct("eid", "img"))).alias("rows"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.transform(F.col("rows"), lambda r: r["img"]).alias("data"),
+            F.lit("db").alias("database"),
+            F.lit(1589373515000).alias("es"),
+            F.col("bid").alias("id"),
+            F.lit(False).alias("isDdl"),
+            F.lit("transcripts").alias("table"),
+            F.lit(1589373515477).alias("ts"),
+            F.when(F.col("bid") % 3 == 0, "INSERT")
+            .when(F.col("bid") % 3 == 1, "UPDATE")
+            .otherwise("DELETE")
+            .alias("type"),
+        )
+    )
+    return parse_canal(grouped.select(envelope.alias("value")))
+
+
 def q_anti_join_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5/S6: remote-vs-local anti-join — entities present in the dimension
     but absent from the fact log (the incremental-sync 'what is missing')."""
@@ -3533,6 +3692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "clone_read": q_clone_read,
         "join_mv_state": q_join_mv_state,
+        # --- newer still (r5 final session): predicate DML + the two
+        # remaining binlog envelope dialects ------------------------------
+        "delete_where": q_delete_where,
+        "update_where": q_update_where,
+        "maxwell_parse": q_maxwell_parse,
+        "canal_parse": q_canal_parse,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -3542,6 +3707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_query": q_hierarchy_query,
         "debezium_parse": q_debezium_parse,
         "layer1_decode": q_layer1_decode,
+        # (the 4 final-session additions displaced layer2_decode,
+        # mjpeg_frames, interval_join and rebucket_read — all r4-green —
+        # past the 50-cap to the tail)
         "layer2_decode": q_layer2_decode,
         "mjpeg_frames": q_mjpeg_frames,
         "interval_join": q_interval_join,
@@ -5109,6 +5277,64 @@ def oracle_sql() -> dict[str, str]:
                    ts,
                    2 AS schema_ver
             FROM events
+        """,
+        "delete_where": """
+            SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal, c_mktsegment
+            FROM customer
+            WHERE NOT (c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 5000.0)
+        """,
+        "update_where": """
+            SELECT c_custkey, c_name,
+                   round(CASE WHEN c_acctbal < 1000.0
+                              THEN c_acctbal + 100.0
+                              ELSE c_acctbal END, 4) AS bal,
+                   CASE WHEN c_acctbal < 1000.0
+                        THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+        """,
+        "maxwell_parse": """
+            SELECT (event_id % 4 + 1) * 4294967296 + event_id AS "offset",
+                   0 AS partition_id,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        WHEN event_id % 9 = 0 THEN 'insert'
+                        WHEN event_id % 3 = 0 THEN 'insert'
+                        ELSE 'update' END AS op,
+                   (event_id % 4 + 1) * 4294967296 + event_id AS op_seq,
+                   CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id % 1000 AS INTEGER) AS turn_idx,
+                   event_type AS role,
+                   props AS text,
+                   CASE WHEN event_id % 2 = 1
+                        THEN 'tool_' || event_type END AS tool,
+                   date_trunc('second', ts) AS ts,
+                   2 AS schema_ver
+            FROM events
+        """,
+        "canal_parse": """
+            WITH pos AS (
+              SELECT *,
+                     CAST(event_id // 16 AS BIGINT) AS bid,
+                     row_number() OVER (
+                       PARTITION BY event_id // 16 ORDER BY event_id
+                     ) - 1 AS p
+              FROM events
+            )
+            SELECT bid * 65536 + p AS "offset",
+                   0 AS partition_id,
+                   CASE WHEN bid % 3 = 0 THEN 'insert'
+                        WHEN bid % 3 = 1 THEN 'update'
+                        ELSE 'delete' END AS op,
+                   bid * 65536 + p AS op_seq,
+                   CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id % 1000 AS INTEGER) AS turn_idx,
+                   event_type AS role,
+                   props AS text,
+                   CASE WHEN event_id % 2 = 1
+                        THEN 'tool_' || event_type END AS tool,
+                   date_trunc('second', ts) AS ts,
+                   2 AS schema_ver
+            FROM pos
         """,
         "merge_into": """
             WITH src AS (

@@ -2012,6 +2012,88 @@ class SnapshotTable:
             m, schema, touched, new_files, commit_keys, "merge_into", skipped
         )
 
+    def _where_source(self, predicate, ranges: dict | None) -> DataFrame:
+        """Matching-key discovery pass shared by :meth:`delete_where` /
+        :meth:`update_where` — the "find touched files" scan of Delta's
+        DELETE/UPDATE implementation. ``ranges`` routes the scan through
+        :meth:`scan_ranges` so the manifest's per-file [min, max] stats
+        prune IO before Catalyst's row-group pushdown even starts; the
+        residual ``predicate`` is applied on top (so ranges are a pure
+        IO hint — they never change which rows match)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        base = self.scan_ranges(ranges) if ranges else self.read()
+        if {"op", "op_seq", "offset"} <= set(base.columns):
+            # versioned tables: DML predicates address the LIVE state —
+            # tombstoned keys are already dead, selecting them would only
+            # fan dead keys into the merge join
+            base = base.filter(F.col("op") != F.lit("delete"))
+        if pred is not None:
+            base = base.filter(pred)
+        return base.select(*self.key_cols())
+
+    def delete_where(
+        self,
+        predicate: "Column | str",
+        *,
+        ranges: dict[str, tuple] | None = None,
+        commit_keys: list[tuple[int, int]] | None = None,
+    ) -> MergeStats:
+        """``DELETE FROM this WHERE predicate`` — predicate-driven row
+        deletion without a source relation (the Delta/Iceberg DML surface;
+        reference analog: the study-purge delete at
+        ``DatabaseInformationModel.java:805-892`` keyed by query predicates
+        rather than explicit UIDs).
+
+        Two-pass copy-on-write, exactly Delta's DELETE shape: pass 1 finds
+        matching keys (``ranges`` adds manifest-stats file pruning above
+        the parquet row-group pushdown), pass 2 is a key-bucket-pruned
+        :meth:`merge_into` that rewrites only touched buckets. On
+        versioned (LWW) tables the deletes become TOMBSTONES with a bumped
+        ``op_seq`` — a late CDC replay below that seq stays dead — and the
+        change feed reports them as ordinary delete rows. ``commit_keys``
+        give the same exactly-once replay gate as any merge.
+
+        Rows where the predicate is NULL are kept (SQL WHERE semantics:
+        only TRUE deletes). Deleting a large fraction of the table is
+        better served by ``overwrite(read().filter(~pred))`` — one pass,
+        no join; this method is the sparse-delete path (cost ∝ matching
+        buckets, not table size).
+        """
+        src = self._where_source(predicate, ranges)
+        return self.merge_into(
+            src,
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+            commit_keys=commit_keys,
+        )
+
+    def update_where(
+        self,
+        assignments: dict[str, "Column | str"],
+        predicate: "Column | str",
+        *,
+        ranges: dict[str, tuple] | None = None,
+        commit_keys: list[tuple[int, int]] | None = None,
+    ) -> MergeStats:
+        """``UPDATE this SET assignments WHERE predicate`` — predicate
+        UPDATE without a source relation. ``assignments`` are expressions
+        over the ``t`` alias (the current row), e.g.
+        ``{"text": "upper(t.text)", "tool": "null"}``; unlisted columns
+        keep their values. Same two-pass stats-pruned copy-on-write as
+        :meth:`delete_where`; on versioned tables the rewritten rows get
+        ``op_seq + 1`` so the manual edit wins over replays of the event
+        it superseded (the :meth:`merge_into` synthesis).
+        """
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        src = self._where_source(predicate, ranges)
+        return self.merge_into(
+            src,
+            when_matched_update=assignments,
+            when_not_matched_insert=False,
+            commit_keys=commit_keys,
+        )
+
     def _commit_merge(
         self,
         m: dict,
