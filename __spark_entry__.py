@@ -342,6 +342,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=3)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: trained-centroid clustering (the
+    same exact-replay k-means as ann_ivf) + within-cluster cosine pairing;
+    a row is a duplicate iff a smaller-id row in its cluster is ≥ the
+    threshold. The oracle re-trains identical centroids from the same
+    parquet and replays assignment + pairing in SQL."""
+    from nifi_dicom_spark.functions.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.35, train_sample=256)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: change-capture diff join — synthesize insert/update/delete events
     between two snapshot versions of the customer dimension."""
@@ -3698,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_where": q_update_where,
         "maxwell_parse": q_maxwell_parse,
         "canal_parse": q_canal_parse,
+        "semantic_dedup": q_semantic_dedup,
         # --- green r4 rows: fill the 50-window ---------------------------
         "cdc_lww_replay": q_cdc_lww_replay,
         "cdc_fww_dedup": q_cdc_fww_dedup,
@@ -3706,10 +3719,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_split": q_route_split,
         "hierarchy_query": q_hierarchy_query,
         "debezium_parse": q_debezium_parse,
+        # (the 5 final-session additions — delete_where, update_where,
+        # maxwell_parse, canal_parse, semantic_dedup — displaced
+        # layer1_decode, layer2_decode, mjpeg_frames, interval_join and
+        # rebucket_read, all r4-green, past the 50-cap to the tail;
+        # debezium_parse above is entry #50)
         "layer1_decode": q_layer1_decode,
-        # (the 4 final-session additions displaced layer2_decode,
-        # mjpeg_frames, interval_join and rebucket_read — all r4-green —
-        # past the 50-cap to the tail)
         "layer2_decode": q_layer2_decode,
         "mjpeg_frames": q_mjpeg_frames,
         "interval_join": q_interval_join,
@@ -4003,6 +4018,38 @@ def _ann_ivf_oracle(
         )
         SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def _semantic_dedup_oracle(
+    n_clusters: int = 8, threshold: float = 0.35, seed: int = 42
+) -> str:
+    """semantic_dedup replayed exactly: identical re-trained centroids
+    inlined as literals; cluster = quantized argmax (ties to highest cid),
+    dup = any smaller-id same-cluster row at rounded cosine >= threshold."""
+    cents = _trained_ivf_centroids(n_clusters, seed=seed)
+    values = ",\n".join(f"({i}, {_vec_lit(c)})" for i, c in enumerate(cents))
+    return f"""
+        WITH cent(cid, cv) AS (VALUES {values}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sims AS (
+          SELECT vec_id, cid, round(list_cosine_similarity(v, cv), 6) AS sim
+          FROM e CROSS JOIN cent
+        ), cell AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+            FROM sims) WHERE rn = 1
+        ), ec AS (
+          SELECT e.vec_id, e.v, c.cluster FROM e JOIN cell c USING (vec_id)
+        ), dup AS (
+          SELECT DISTINCT b.vec_id FROM ec a JOIN ec b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+        )
+        SELECT ec.vec_id, CAST(ec.cluster AS INT) AS cluster,
+               (dup.vec_id IS NOT NULL) AS is_dup
+        FROM ec LEFT JOIN dup ON ec.vec_id = dup.vec_id
     """
 
 
@@ -4539,6 +4586,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_near_dup_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "person_match": _person_match_oracle(),
         "png_decode": _png_decode_oracle(),
         "layer1_decode": _layer1_decode_oracle(),

@@ -400,3 +400,110 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    train_sample: int = 256,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space around k centroids, then look for near-duplicate
+    pairs ONLY within each cluster — the pair cost drops from O(n²) to
+    O(Σ cᵢ²) ≈ n²/k, and at corpus scale k grows with n (SemDeDup uses
+    ~100k clusters for 100M examples) so clusters stay bounded.
+
+    Returns the corpus keyed rows annotated with ``cluster`` (int) and
+    ``is_dup`` (bool): a row is a duplicate iff some row with a SMALLER id
+    in the same cluster has cosine similarity ≥ ``threshold`` (rounded to
+    6 dp, the engine's quantized-cosine convention — see ivf_topk). The
+    keep-lowest-id rule is the deterministic greedy variant of SemDeDup's
+    one-per-ε-group selection: no transitive closure, so the decision for
+    a row never depends on which OTHER rows were dropped, and the whole
+    operator replays exactly in SQL (the driver oracle). Filter
+    ``~is_dup`` for the surviving corpus.
+
+    Centroids: caller-supplied, or the deterministic seeded mini-k-means
+    of :func:`train_centroids_from_corpus` (exact-replay training — the
+    DuckDB oracle re-trains identical centroids from the same parquet).
+
+    Scale shape: centroid assignment is a zero-shuffle Arrow-batched
+    matmul with the centroid matrix broadcast in the UDF closure; the
+    pair search is ONE exchange keyed on ``cluster`` followed by a
+    per-cluster join; the dup verdict is a left-semi join keyed on the
+    same cluster column (co-partitioned with the pair exchange). Nothing
+    materializes driver-side beyond the k×dim centroid list.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = train_centroids_from_corpus(
+            corpus, id_col, vec_col, n_clusters, train_sample, seed
+        )
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T
+
+    @F.pandas_udf("integer")
+    def cell_of(v: pd.Series) -> pd.Series:
+        # same quantized argmax as ivf_topk.cell_of: 6-dp rounding, ties
+        # to the HIGHEST cid — training/serving/oracle all agree
+        M = np.array(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / np.where(norms == 0, 1.0, norms)
+        sims = np.round(M @ Cn, 6)
+        return pd.Series(
+            (sims.shape[1] - 1) - np.argmax(sims[:, ::-1], axis=1)
+        ).astype("int32")
+
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), cell_of(F.col(vec_col)).alias("cluster")
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dup_ids = (
+        a.join(b, on="cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(
+                cosine_sim(
+                    F.col("_va").cast("array<double>"),
+                    F.col("_vb").cast("array<double>"),
+                ),
+                6,
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("cluster"), F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.alias("x")
+        .join(
+            dup_ids.withColumn("_dup", F.lit(True)).alias("d"),
+            on=["cluster", id_col],
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -1578,3 +1578,70 @@ def test_simhash_signatures_rejects_oversized_n_bits(spark):
     df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="n_bits"):
         simhash_signatures(df, "text", "doc_id", n_bits=64)
+
+
+# --- semantic dedup (SemDeDup-style) ------------------------------------------
+
+
+def test_semantic_dedup_semantics(spark):
+    """Hand-built clusters: two tight groups + a loner. Within each group
+    only the lowest id survives; cross-cluster similarity is ignored."""
+    from nifi_dicom_spark.functions.similarity import semantic_dedup
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e1b = [0.999, 0.01, 0.0, 0.0]  # near-dup of e1
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    e2b = [0.01, 0.999, 0.0, 0.0]  # near-dup of e2
+    e2c = [0.02, 0.998, 0.0, 0.0]  # near-dup of both e2 and e2b
+    lone = [0.0, 0.0, 1.0, 0.0]
+    rows = [(10, e1), (11, e1b), (20, e2), (21, e2b), (22, e2c), (30, lone)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = semantic_dedup(
+        df,
+        n_clusters=3,
+        threshold=0.95,
+        centroids=[e1, e2, lone],
+    )
+    got = {r.vec_id: (r.cluster, r.is_dup) for r in out.collect()}
+    assert got[10] == (0, False) and got[11] == (0, True)
+    assert got[20] == (1, False) and got[21] == (1, True) and got[22] == (1, True)
+    assert got[30] == (2, False)
+    # survivors = one representative per semantic group
+    assert sorted(k for k, (_, d) in got.items() if not d) == [10, 20, 30]
+
+
+def test_semantic_dedup_is_cluster_scoped(spark):
+    """A near-identical pair SPLIT across clusters is not deduped — the
+    SemDeDup trade: pair search never crosses a cluster boundary."""
+    from nifi_dicom_spark.functions.similarity import semantic_dedup
+
+    # two near-identical vectors, but centroids chosen so each lands in a
+    # different cell (each vector IS one of the centroids)
+    va = [1.0, 0.001, 0.0, 0.0]
+    vb = [1.0, -0.001, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, va), (2, vb)], "vec_id int, embedding array<float>"
+    )
+    out = semantic_dedup(df, threshold=0.9, centroids=[va, vb])
+    got = {r.vec_id: r.is_dup for r in out.collect()}
+    assert got == {1: False, 2: False}
+
+
+def test_semantic_dedup_trained_centroids_deterministic(spark):
+    from nifi_dicom_spark.functions.similarity import semantic_dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = semantic_dedup(df, n_clusters=4, threshold=0.8).toPandas()
+    b = semantic_dedup(df, n_clusters=4, threshold=0.8).toPandas()
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (~a["is_dup"]).sum() >= 1  # something survives
+
+
+def test_semantic_dedup_rejects_bad_threshold(spark):
+    from nifi_dicom_spark.functions.similarity import semantic_dedup
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id int, embedding array<float>")
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(df, threshold=0.0)
