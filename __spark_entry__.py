@@ -554,6 +554,35 @@ def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forget_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge: forget() = scrubbed predicate delete +
+    history-destroying vacuum — after it, the matching payloads exist in NO
+    file under the table (pytest asserts the physical side; this row
+    oracles the surviving logical state as a plain anti-filter)."""
+    import tempfile
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    tab = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="forget_") + "/t",
+        cust.schema,
+        key_cols=["c_custkey"],
+        n_buckets=8,
+    )
+    tab.overwrite(cust)
+    tab.forget("c_mktsegment = 'HOUSEHOLD' AND c_custkey % 3 = 0")
+    return tab.read().select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 4).alias("bal"),
+        "c_mktsegment",
+    )
+
+
 def q_maxwell_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC wire-format boundary #2: events re-serialized as Maxwell daemon
     JSON envelopes (type/position/data), then normalized back to the
@@ -3708,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining binlog envelope dialects ------------------------------
         "delete_where": q_delete_where,
         "update_where": q_update_where,
+        "forget_purge": q_forget_purge,
         "maxwell_parse": q_maxwell_parse,
         "canal_parse": q_canal_parse,
         "semantic_dedup": q_semantic_dedup,
@@ -3718,12 +3748,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermarks": q_watermarks,
         "route_split": q_route_split,
         "hierarchy_query": q_hierarchy_query,
+        # (the 6 final-session additions — delete_where, update_where,
+        # forget_purge, maxwell_parse, canal_parse, semantic_dedup —
+        # displaced debezium_parse, layer1_decode, layer2_decode,
+        # mjpeg_frames, interval_join and rebucket_read, all r4-green,
+        # past the 50-cap to the tail; hierarchy_query above is entry #50)
         "debezium_parse": q_debezium_parse,
-        # (the 5 final-session additions — delete_where, update_where,
-        # maxwell_parse, canal_parse, semantic_dedup — displaced
-        # layer1_decode, layer2_decode, mjpeg_frames, interval_join and
-        # rebucket_read, all r4-green, past the 50-cap to the tail;
-        # debezium_parse above is entry #50)
         "layer1_decode": q_layer1_decode,
         "layer2_decode": q_layer2_decode,
         "mjpeg_frames": q_mjpeg_frames,
@@ -5330,6 +5360,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal, c_mktsegment
             FROM customer
             WHERE NOT (c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 5000.0)
+        """,
+        "forget_purge": """
+            SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal, c_mktsegment
+            FROM customer
+            WHERE NOT (c_mktsegment = 'HOUSEHOLD' AND c_custkey % 3 = 0)
         """,
         "update_where": """
             SELECT c_custkey, c_name,

@@ -2094,6 +2094,96 @@ class SnapshotTable:
             commit_keys=commit_keys,
         )
 
+    def forget(
+        self,
+        predicate: "Column | str",
+        *,
+        ranges: dict[str, tuple] | None = None,
+        min_file_age_s: float = 0.0,
+    ) -> dict:
+        """Right-to-be-forgotten purge: PHYSICALLY erase the payload of
+        every row matching ``predicate`` — not just logically delete it.
+        The privacy analog of the reference's deidentification pipeline
+        (``DeidentifyAndRedact.java``): where deidentify scrubs at INGEST,
+        ``forget`` scrubs retroactively from the stored table.
+
+        Two steps, each an existing primitive:
+
+        1. **Scrubbed delete.** On versioned (LWW) tables a plain
+           :meth:`delete_where` tombstone would CARRY the old payload
+           columns into the new file (the merge keeps unassigned target
+           values), so forget instead merges an update that explicitly
+           sets ``op='delete'`` / ``op_seq = t.op_seq + 1`` AND nulls
+           every non-key payload column — the tombstone keeps only the
+           key identity it needs to hold late CDC replays dead.
+           Un-versioned tables physically drop the rows in the rewrite.
+           The copy-on-write commit also CLEARS the touched buckets'
+           merge-on-read delta entries (no separate compact needed) —
+           every file still carrying the payload is now unreferenced.
+        2. **Destroy history.** :meth:`vacuum(keep_versions=1)` removes
+           every data file (and bloom sidecar) not referenced by the NEW
+           current version — this intentionally burns time travel below
+           the purge (``min_retained_version`` advances; older reads
+           raise :class:`VersionVacuumedError`). ``min_file_age_s``
+           follows vacuum's live-writer guard; the default 0 assumes the
+           caller quiesced writers, as a purge job should.
+
+        What this does NOT erase: the key columns themselves (a
+        versioned table's tombstone identity). If the bucket key is
+        personal data, pseudonymize at ingest (the deidentify operator /
+        ``functions.crypto`` identity envelopes, whose key destruction is
+        crypto-erasure) — retroactive key scrubbing would break the LWW
+        contract for late events.
+
+        Returns a report dict: rows forgotten, touched buckets, commit
+        version, files vacuumed. Scale shape: identical to
+        :meth:`delete_where` (stats-pruned key scan + bucket-pruned
+        merge); vacuum is an O(files) metadata walk with no data read.
+        """
+        m = self.manifest()
+        key_cols = m["key_cols"]
+        schema = self.schema()
+        names = set(schema.fieldNames())
+        versioned = {"op", "op_seq", "offset"} <= names
+        src = self._where_source(predicate, ranges)
+        n_match = src.count()  # the report needs the count; scan is pruned
+        if n_match == 0:
+            return {
+                "rows_forgotten": 0,
+                "touched_buckets": [],
+                "delete_version": None,
+                "files_vacuumed": 0,
+            }
+        bucket = _bucket_expr(key_cols[0], m["n_buckets"], m.get("bucket_fn", "xxhash64"))
+        touched = sorted(
+            r["_b"] for r in src.select(bucket.alias("_b")).distinct().collect()
+        )
+        if versioned:
+            payload = [
+                c
+                for c in schema.fieldNames()
+                if c not in key_cols and c not in ("op", "op_seq", "offset")
+            ]
+            scrub: dict[str, Column] = {
+                c: F.lit(None).cast(schema[c].dataType) for c in payload
+            }
+            scrub["op"] = F.lit("delete")
+            scrub["op_seq"] = F.expr("t.op_seq + 1")
+            stats = self.merge_into(
+                src, when_matched_update=scrub, when_not_matched_insert=False
+            )
+        else:
+            stats = self.merge_into(
+                src, when_matched_delete=True, when_not_matched_insert=False
+            )
+        removed = self.vacuum(keep_versions=1, min_file_age_s=min_file_age_s)
+        return {
+            "rows_forgotten": n_match,
+            "touched_buckets": touched,
+            "delete_version": stats.version,
+            "files_vacuumed": removed,
+        }
+
     def _commit_merge(
         self,
         m: dict,

@@ -183,3 +183,95 @@ def test_change_feed_reports_predicate_deletes(spark, tmp_path):
     ch = table_changes(tab, v0, tab.current_version())
     ops = sorted((r.k, r.op) for r in ch.select("k", "op").collect())
     assert ops == [("b", "delete"), ("c", "delete")]
+
+
+# --- forget(): right-to-be-forgotten physical purge ---------------------------
+
+
+def _all_table_cells(path: str):
+    """Every cell value in every parquet file under the table dir (live,
+    historical, delta — whatever vacuum left), via pandas so compression
+    cannot hide stored payloads from the scan."""
+    import glob
+
+    import pandas as pd
+
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        df = pd.read_parquet(f)
+        for c in df.columns:
+            for v in df[c].tolist():
+                yield f, c, v
+
+
+def test_forget_unversioned_physically_erases(spark, tmp_path):
+    tab = _table(
+        spark,
+        tmp_path,
+        rows=[("a", 1, "SECRET-AAA"), ("b", 2, "keep-b"), ("c", 3, "SECRET-CCC")],
+    )
+    # create some history so vacuum has something to destroy
+    tab.update_where({"v": "t.v + 10"}, "v >= 0")
+    report = tab.forget("note LIKE 'SECRET%'")
+    assert report["rows_forgotten"] == 2
+    assert report["files_vacuumed"] >= 1
+    assert sorted(r.k for r in tab.read().collect()) == ["b"]
+    leaked = [
+        (f, c, v)
+        for f, c, v in _all_table_cells(str(tmp_path / "t"))
+        if isinstance(v, str) and "SECRET" in v
+    ]
+    assert leaked == [], f"payload bytes survived the purge: {leaked}"
+    # history below the purge is burned by design
+    with pytest.raises(Exception, match="vacuum"):
+        tab.read(version=0).collect()
+
+
+def test_forget_versioned_scrubs_tombstone_and_holds_replay(spark, tmp_path):
+    tab = SnapshotTable.create(
+        spark,
+        str(tmp_path / "vt"),
+        VERSIONED_SCHEMA,
+        key_cols=["k"],
+        n_buckets=4,
+    )
+    rows = [("a", "insert", 5, 5, 111), ("b", "insert", 7, 7, 222)]
+    tab.merge(
+        spark.createDataFrame(rows, VERSIONED_SCHEMA), policy="versioned_upsert"
+    )
+    report = tab.forget("v = 111")
+    assert report["rows_forgotten"] == 1
+    # live state: only b
+    live = tab.read().filter(F.col("op") != "delete").collect()
+    assert [r.k for r in live] == ["b"]
+    # the tombstone keeps key identity but the payload column is NULLED
+    tomb = tab.read().filter("op = 'delete'").collect()
+    assert [(r.k, r.op_seq, r.v) for r in tomb] == [("a", 6, None)]
+    # the forgotten payload value exists nowhere on disk
+    leaked = [
+        (f, c, v)
+        for f, c, v in _all_table_cells(str(tmp_path / "vt"))
+        if v == 111
+    ]
+    assert leaked == [], f"payload bytes survived the purge: {leaked}"
+    # a late replay of the forgotten row (seq 5 < tombstone 6) stays dead
+    tab.merge(
+        spark.createDataFrame(
+            [("a", "insert", 5, 5, 111)], VERSIONED_SCHEMA
+        ),
+        policy="versioned_upsert",
+    )
+    live2 = tab.read().filter(F.col("op") != "delete").collect()
+    assert [r.k for r in live2] == ["b"]
+
+
+def test_forget_no_match_reports_zero(spark, tmp_path):
+    tab = _table(spark, tmp_path)
+    v0 = tab.current_version()
+    report = tab.forget("v > 999")
+    assert report == {
+        "rows_forgotten": 0,
+        "touched_buckets": [],
+        "delete_version": None,
+        "files_vacuumed": 0,
+    }
+    assert tab.current_version() == v0
