@@ -554,6 +554,39 @@ def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drop_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE DROP COLUMN: metadata-only narrowing — no file rewrite;
+    post-drop merges write narrow files and the mixed-vintage read projects
+    the pinned schema. Oracle: the same state recomputed without the
+    dropped column."""
+    import tempfile
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    tab = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="dropcol_") + "/t",
+        cust.schema,
+        key_cols=["c_custkey"],
+        n_buckets=8,
+    )
+    tab.overwrite(cust)
+    tab.drop_column("c_mktsegment")
+    tab.merge(  # post-drop write: narrow source, mixed-vintage buckets
+        cust.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey", "c_name", (F.col("c_acctbal") + 1000.0).alias("c_acctbal")
+        ),
+        op_col=None,
+        policy="upsert",
+    )
+    return tab.read().select(
+        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("bal")
+    )
+
+
 def q_forget_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten purge: forget() = scrubbed predicate delete +
     history-destroying vacuum — after it, the matching payloads exist in NO
@@ -3738,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where": q_delete_where,
         "update_where": q_update_where,
         "forget_purge": q_forget_purge,
+        "drop_column_read": q_drop_column_read,
         "maxwell_parse": q_maxwell_parse,
         "canal_parse": q_canal_parse,
         "semantic_dedup": q_semantic_dedup,
@@ -3748,11 +3782,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermarks": q_watermarks,
         "route_split": q_route_split,
         "hierarchy_query": q_hierarchy_query,
-        # (the 6 final-session additions — delete_where, update_where,
-        # forget_purge, maxwell_parse, canal_parse, semantic_dedup —
-        # displaced debezium_parse, layer1_decode, layer2_decode,
-        # mjpeg_frames, interval_join and rebucket_read, all r4-green,
-        # past the 50-cap to the tail; hierarchy_query above is entry #50)
+        # (the 7 final-session additions — delete_where, update_where,
+        # forget_purge, drop_column_read, maxwell_parse, canal_parse,
+        # semantic_dedup — displaced hierarchy_query, debezium_parse,
+        # layer1_decode, layer2_decode, mjpeg_frames, interval_join and
+        # rebucket_read, all r4-green, past the 50-cap to the tail;
+        # route_split above is entry #50)
         "debezium_parse": q_debezium_parse,
         "layer1_decode": q_layer1_decode,
         "layer2_decode": q_layer2_decode,
@@ -5360,6 +5395,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal, c_mktsegment
             FROM customer
             WHERE NOT (c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 5000.0)
+        """,
+        "drop_column_read": """
+            SELECT c_custkey, c_name,
+                   round(CASE WHEN c_custkey % 10 = 0
+                              THEN c_acctbal + 1000.0
+                              ELSE c_acctbal END, 4) AS bal
+            FROM customer
         """,
         "forget_purge": """
             SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal, c_mktsegment

@@ -732,6 +732,106 @@ class SnapshotTable:
         self._try_commit(new)
         return new["version"]
 
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` — metadata-only schema narrowing
+        (no data file is touched, O(manifest) like the lake formats): the
+        new manifest's schema simply omits the field, and every reader
+        pins the manifest schema, so the bytes still present in old files
+        are never projected again. Time travel to pre-drop versions still
+        shows the column (their manifests carry the old schema).
+
+        Guards — the column must not be load-bearing:
+
+        * key / version columns (``op``/``op_seq``/``offset``) are
+          structural;
+        * columns referenced by CHECK constraints, the declared
+          clustering, ``stats_cols``, or any other table prop (rollup
+          aggregate columns and the like) must be detached first.
+
+        **Re-add is refused** (``dropped_columns`` prop): old files still
+        carry the dropped bytes, so a later ADD COLUMN of the same name
+        would silently RESURRECT stale values into rows whose files
+        predate the drop — the classic name-reuse hazard lake formats
+        solve with column-mapping ids. The remedy is a new name, or a
+        full rewrite into a fresh table. Because a merge source that
+        still carries the dropped column would re-add it through schema
+        evolution, such merges raise too (drop the column from the source
+        projection).
+        """
+        m = self.manifest()
+        schema = self.schema()
+        if name not in schema.fieldNames():
+            raise ValueError(f"no such column {name!r}")
+        if name in m["key_cols"]:
+            raise ValueError(f"cannot drop key column {name!r}")
+        if name in ("op", "op_seq", "offset") and {
+            "op", "op_seq", "offset"
+        } <= set(schema.fieldNames()):
+            raise ValueError(f"cannot drop version column {name!r}")
+        props = dict(m.get("props") or {})
+        import re as _re
+
+        word = _re.compile(rf"\b{_re.escape(name)}\b")
+        for cname, expr in (props.get("constraints") or {}).items():
+            if word.search(expr):
+                raise ValueError(
+                    f"column {name!r} is referenced by constraint {cname!r} "
+                    "— drop_constraint first"
+                )
+        for pkey, pval in props.items():
+            if pkey in ("constraints", "dropped_columns"):
+                continue
+            if word.search(json.dumps(pval)):
+                raise ValueError(
+                    f"column {name!r} is referenced by table prop {pkey!r} "
+                    "— detach it first"
+                )
+        clu = self.clustering() or {}
+        if name in (clu.get("sort_by") or []) or name in (clu.get("zorder_by") or []):
+            raise ValueError(
+                f"column {name!r} is part of the declared clustering — "
+                "set_clustering without it first"
+            )
+        dropped = dict(props.get("dropped_columns") or {})
+        dropped[name] = m["version"] + 1
+        props["dropped_columns"] = dropped
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        new = {
+            **m,
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "schema": json.dumps(new_schema.jsonValue()),
+            "props": props,
+            "summary": {"operation": "drop_column", "column": name},
+        }
+        new.pop("committed_at", None)
+        self._try_commit(new)
+        return new["version"]
+
+    def _guard_dropped_columns(
+        self, before: T.StructType, after: T.StructType, m: dict
+    ) -> None:
+        """Refuse schema evolution that re-adds a previously DROPPED column
+        name (see :meth:`drop_column` — old files would resurrect stale
+        values). Concurrent drops are covered separately: dropped_columns
+        lives in props, so the OCC rebase's props-conflict check aborts any
+        racing writer."""
+        dropped = (m.get("props") or {}).get("dropped_columns") or {}
+        if not dropped:
+            return
+        added = set(after.fieldNames()) - set(before.fieldNames())
+        hit = sorted(added & set(dropped))
+        if hit:
+            raise ValueError(
+                f"columns {hit} were previously dropped (old files still "
+                "carry their bytes — re-adding would resurrect stale "
+                "values); use a new name, or rewrite into a fresh table. "
+                "If a merge source still carries the column, project it "
+                "away before merging."
+            )
+
     def drop_constraint(self, name: str) -> int:
         m = self.manifest()
         cons = dict((m.get("props") or {}).get("constraints", {}))
@@ -1383,6 +1483,7 @@ class SnapshotTable:
         """Replace the full table contents (initial snapshot load)."""
         m = self.manifest()
         schema = evolve_schema(self.schema(), df.schema)
+        self._guard_dropped_columns(self.schema(), schema, m)
         df = conform_to_schema(df, schema)
         self._enforce_constraints(
             df, m.get("props"), op_col="op", key_cols=m["key_cols"]
@@ -1556,6 +1657,7 @@ class SnapshotTable:
                 [f for f in source.schema.fields if f.name != op_col]
             )
         schema = evolve_schema(self.schema(), src_payload_schema)
+        self._guard_dropped_columns(self.schema(), schema, m)
 
         # constraints check the CONFORMED view of the batch (the rows as
         # they will be written): a mixed-vintage source missing a

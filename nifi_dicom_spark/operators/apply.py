@@ -173,7 +173,13 @@ def apply_changes(
         # no pre-dedup: versioned_upsert's own LWW reduce dedups in-batch and
         # cross-batch in ONE shuffle (pre-deduping here would add a second
         # full shuffle for no correctness gain)
-        source = valid.select(*STORED_COLUMNS)
+        #
+        # a DROPPED table column (ALTER TABLE DROP COLUMN) is projected
+        # away from the wire frame here — merging it would trip the
+        # re-add/resurrection guard; the wire schema stays the superset,
+        # the TABLE decides what it stores
+        dropped = (table.manifest().get("props") or {}).get("dropped_columns") or {}
+        source = valid.select(*[c for c in STORED_COLUMNS if c not in dropped])
         stats = table.merge(
             source,
             op_col="op",
@@ -212,6 +218,7 @@ def read_final_state(table: SnapshotTable, version: int | None = None) -> DataFr
     """The user-facing transcripts table: tombstones filtered, version
     columns dropped, stable (conv_id, turn_idx) order left to the caller."""
     df = table.read(version)
+    have = set(df.columns)  # a DROPped payload column stays dropped here
     return df.filter(F.col("op") != F.lit("delete")).select(
-        *KEY_COLUMNS, *PAYLOAD_COLUMNS
+        *KEY_COLUMNS, *[c for c in PAYLOAD_COLUMNS if c in have]
     )

@@ -1170,3 +1170,182 @@ def test_shallow_clone_versioned_and_bloom_ownership(spark, tmp_path):
     src.vacuum(keep_versions=1, min_file_age_s=0.0)
     with _pytest.raises(VersionVacuumedError):
         SnapshotTable.clone(spark, src, str(tmp_path / "dead"), version=v_mid)
+
+
+# --- ALTER TABLE DROP COLUMN (metadata-only narrowing) ------------------------
+
+
+def _dc_table(spark, tmp_path, name="dc"):
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), True),
+            T.StructField("note", T.StringType(), True),
+        ]
+    )
+    tab = SnapshotTable.create(
+        spark, str(tmp_path / name), schema, key_cols=["k"], n_buckets=4
+    )
+    tab.overwrite(
+        spark.createDataFrame(
+            [("a", 1, "xa"), ("b", 2, "xb")], schema
+        )
+    )
+    return tab
+
+
+def test_drop_column_is_metadata_only(spark, tmp_path):
+    import glob
+
+    tab = _dc_table(spark, tmp_path)
+    files_before = sorted(glob.glob(str(tmp_path / "dc") + "/**/*.parquet", recursive=True))
+    v_pre = tab.current_version()
+    tab.drop_column("note")
+    files_after = sorted(glob.glob(str(tmp_path / "dc") + "/**/*.parquet", recursive=True))
+    assert files_before == files_after  # no data file written or removed
+    got = tab.read()
+    assert got.columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in got.collect()) == [("a", 1), ("b", 2)]
+    # time travel still shows the dropped column
+    old = tab.read(version=v_pre)
+    assert "note" in old.columns
+    assert sorted(r.note for r in old.collect()) == ["xa", "xb"]
+
+
+def test_drop_column_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    tab = _dc_table(spark, tmp_path)
+    with _pytest.raises(ValueError, match="key column"):
+        tab.drop_column("k")
+    with _pytest.raises(ValueError, match="no such column"):
+        tab.drop_column("ghost")
+    tab.add_constraint("v_pos", "v > 0")
+    with _pytest.raises(ValueError, match="constraint"):
+        tab.drop_column("v")
+    tab.drop_constraint("v_pos")
+    tab.set_clustering(sort_by=["v"])
+    with _pytest.raises(ValueError, match="clustering"):
+        tab.drop_column("v")
+
+
+def test_drop_column_version_cols_protected(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("op_seq", T.LongType(), True),
+            T.StructField("offset", T.LongType(), True),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+    tab = SnapshotTable.create(
+        spark, str(tmp_path / "vdc"), schema, key_cols=["k"], n_buckets=4
+    )
+    with _pytest.raises(ValueError, match="version column"):
+        tab.drop_column("op_seq")
+
+
+def test_drop_column_readd_is_refused(spark, tmp_path):
+    """Old files still carry the dropped bytes — a re-add through ANY
+    evolution path (overwrite or merge) must refuse, or rows from pre-drop
+    files would resurrect stale values."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    tab = _dc_table(spark, tmp_path)
+    tab.drop_column("note")
+    # overwrite path
+    with _pytest.raises(ValueError, match="previously dropped"):
+        tab.overwrite(
+            spark.createDataFrame(
+                [("a", 1, "new")], "k string, v int, note string"
+            )
+        )
+    # merge path (schema evolution would re-append the column)
+    with _pytest.raises(ValueError, match="previously dropped"):
+        tab.merge(
+            spark.createDataFrame(
+                [("c", 3, "zz")], "k string, v int, note string"
+            ),
+            op_col=None,
+            policy="upsert",
+        )
+    # projecting the column away makes the merge legal again
+    tab.merge(
+        spark.createDataFrame([("c", 3)], "k string, v int"),
+        op_col=None,
+        policy="upsert",
+    )
+    assert sorted((r.k, r.v) for r in tab.read().collect()) == [
+        ("a", 1),
+        ("b", 2),
+        ("c", 3),
+    ]
+    # a DIFFERENT new column is fine
+    tab.merge(
+        spark.createDataFrame([("d", 4, "t")], "k string, v int, memo string"),
+        op_col=None,
+        policy="upsert",
+    )
+    assert "memo" in tab.read().columns
+
+
+def test_drop_column_then_writes_and_compaction(spark, tmp_path):
+    """Post-drop merges write narrow files; mixed-vintage buckets (wide
+    pre-drop base + narrow post-drop files) read consistently."""
+    tab = _dc_table(spark, tmp_path)
+    tab.drop_column("note")
+    tab.merge(
+        spark.createDataFrame([("a", 10), ("z", 26)], "k string, v int"),
+        op_col=None,
+        policy="upsert",
+    )
+    got = sorted((r.k, r.v) for r in tab.read().collect())
+    assert got == [("a", 10), ("b", 2), ("z", 26)]
+    assert tab.read().columns == ["k", "v"]
+
+
+def test_drop_column_mid_cdc_replay(spark, tmp_path):
+    """DROP COLUMN between epochs: the apply path auto-projects the dropped
+    wire column away (wire schema stays the superset, the TABLE decides
+    what it stores) and the final state equals the narrowed oracle."""
+    import os
+
+    import pandas as pd
+
+    from nifi_dicom_spark.fixtures import (
+        GeneratorConfig,
+        generate_change_events,
+        replay_oracle,
+        write_event_files,
+    )
+
+    log = generate_change_events(
+        GeneratorConfig(seed=31, n_events=800, malformed_ratio=0.0)
+    )
+    paths = write_event_files(log, str(tmp_path / "ev"), n_files=4)
+    table = create_transcripts_table(spark, str(tmp_path / "t"))
+    for epoch, p in enumerate(paths[:2]):
+        apply_changes(table, spark.read.parquet(p), epoch=epoch)
+    table.drop_column("tool")
+    for epoch, p in enumerate(paths[2:], start=2):
+        apply_changes(table, spark.read.parquet(p), epoch=epoch)
+    final = read_final_state(table).toPandas()
+    assert "tool" not in final.columns
+    oracle = replay_oracle(log).drop(columns=["tool"])
+    cols = oracle.columns.tolist()
+    a = final[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = oracle[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    a["ts"] = a["ts"].astype("datetime64[us]")
+    b["ts"] = b["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(a, b)
