@@ -587,6 +587,42 @@ def q_drop_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rename_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME COLUMN: zero-rewrite rename — old files answer
+    to the new name via the augmented-schema coalesce read; a post-rename
+    merge writes the new name so the bucket holds both vintages. Oracle:
+    the same state recomputed under the new name."""
+    import tempfile
+
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    tab = SnapshotTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="renamecol_") + "/t",
+        cust.schema,
+        key_cols=["c_custkey"],
+        n_buckets=8,
+    )
+    tab.overwrite(cust)
+    tab.rename_column("c_mktsegment", "segment")
+    tab.merge(  # post-rename vintage: every 7th row re-segmented
+        cust.filter(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit("RESEGMENTED").alias("segment"),
+        ),
+        op_col=None,
+        policy="upsert",
+    )
+    return tab.read().select(
+        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("bal"), "segment"
+    )
+
+
 def q_forget_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten purge: forget() = scrubbed predicate delete +
     history-destroying vacuum — after it, the matching payloads exist in NO
@@ -3772,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_where": q_update_where,
         "forget_purge": q_forget_purge,
         "drop_column_read": q_drop_column_read,
+        "rename_column_read": q_rename_column_read,
         "maxwell_parse": q_maxwell_parse,
         "canal_parse": q_canal_parse,
         "semantic_dedup": q_semantic_dedup,
@@ -3782,12 +3819,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermarks": q_watermarks,
         "route_split": q_route_split,
         "hierarchy_query": q_hierarchy_query,
-        # (the 7 final-session additions — delete_where, update_where,
-        # forget_purge, drop_column_read, maxwell_parse, canal_parse,
-        # semantic_dedup — displaced hierarchy_query, debezium_parse,
-        # layer1_decode, layer2_decode, mjpeg_frames, interval_join and
-        # rebucket_read, all r4-green, past the 50-cap to the tail;
-        # route_split above is entry #50)
+        # (the 8 final-session additions — delete_where, update_where,
+        # forget_purge, drop_column_read, rename_column_read,
+        # maxwell_parse, canal_parse, semantic_dedup — displaced
+        # route_split, hierarchy_query, debezium_parse, layer1_decode,
+        # layer2_decode, mjpeg_frames, interval_join and rebucket_read,
+        # all r4-green, past the 50-cap to the tail; watermarks above is
+        # entry #50)
         "debezium_parse": q_debezium_parse,
         "layer1_decode": q_layer1_decode,
         "layer2_decode": q_layer2_decode,
@@ -5395,6 +5433,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal, c_mktsegment
             FROM customer
             WHERE NOT (c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 5000.0)
+        """,
+        "rename_column_read": """
+            SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal,
+                   CASE WHEN c_custkey % 7 = 0 THEN 'RESEGMENTED'
+                        ELSE c_mktsegment END AS segment
+            FROM customer
         """,
         "drop_column_read": """
             SELECT c_custkey, c_name,

@@ -460,7 +460,7 @@ class SnapshotTable:
         delta = self._paths(m, buckets, "delta_files")
         if not base and not delta:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*base, *delta)
+        df = self._load_files(m, schema, [*base, *delta])
         if delta and dedup:
             from nifi_dicom_spark.operators.dedup import lww_dedup
 
@@ -472,6 +472,41 @@ class SnapshotTable:
                 )
             df = lww_dedup(df, m["key_cols"]).select(*schema.fieldNames())
         return df
+
+    def _load_files(
+        self, m: dict, schema: T.StructType, abs_paths: list[str]
+    ) -> DataFrame:
+        """Load data files through the manifest schema, resolving RENAMED
+        columns: files written before a rename carry the historical name,
+        so the read schema is augmented with every historical field (same
+        dtype as its current column) and each renamed column projects
+        ``coalesce(current, newest_old, …)`` — a file holds exactly one
+        era's name, so exactly one leg is non-null per row. Tables with no
+        renames take the plain single-schema read (zero overhead)."""
+        renames = (m.get("props") or {}).get("renamed_columns") or {}
+        cur = {f.name: f for f in schema.fields}
+        live_renames = {
+            new: olds for new, olds in renames.items() if new in cur
+        }
+        if not live_renames:
+            return self.spark.read.schema(schema).parquet(*abs_paths)
+        hist_fields = [
+            T.StructField(o, cur[new].dataType, True)
+            for new, olds in live_renames.items()
+            for o in olds
+        ]
+        read_schema = T.StructType(schema.fields + hist_fields)
+        df = self.spark.read.schema(read_schema).parquet(*abs_paths)
+        return df.select(
+            *[
+                F.coalesce(
+                    F.col(f.name), *[F.col(o) for o in live_renames[f.name]]
+                ).alias(f.name)
+                if f.name in live_renames
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
 
     # ---------------------------------------------------------------- writes
 
@@ -769,31 +804,17 @@ class SnapshotTable:
         } <= set(schema.fieldNames()):
             raise ValueError(f"cannot drop version column {name!r}")
         props = dict(m.get("props") or {})
-        import re as _re
-
-        word = _re.compile(rf"\b{_re.escape(name)}\b")
-        for cname, expr in (props.get("constraints") or {}).items():
-            if word.search(expr):
-                raise ValueError(
-                    f"column {name!r} is referenced by constraint {cname!r} "
-                    "— drop_constraint first"
-                )
-        for pkey, pval in props.items():
-            if pkey in ("constraints", "dropped_columns"):
-                continue
-            if word.search(json.dumps(pval)):
-                raise ValueError(
-                    f"column {name!r} is referenced by table prop {pkey!r} "
-                    "— detach it first"
-                )
-        clu = self.clustering() or {}
-        if name in (clu.get("sort_by") or []) or name in (clu.get("zorder_by") or []):
-            raise ValueError(
-                f"column {name!r} is part of the declared clustering — "
-                "set_clustering without it first"
-            )
+        self._guard_props_reference(name, props)
         dropped = dict(props.get("dropped_columns") or {})
         dropped[name] = m["version"] + 1
+        # dropping a RENAMED column retires its whole name history — the
+        # historical names stay blocked (old files still answer to them)
+        renames = {
+            k: list(v) for k, v in (props.get("renamed_columns") or {}).items()
+        }
+        for o in renames.pop(name, []):
+            dropped.setdefault(o, m["version"] + 1)
+        props["renamed_columns"] = renames
         props["dropped_columns"] = dropped
         new_schema = T.StructType(
             [f for f in schema.fields if f.name != name]
@@ -810,19 +831,129 @@ class SnapshotTable:
         self._try_commit(new)
         return new["version"]
 
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE RENAME COLUMN`` — zero-rewrite rename (no data
+        file is touched, O(manifest) like Iceberg's field-id renames): the
+        new manifest's schema carries the new name and records the old one
+        in ``props["renamed_columns"]`` (newest-first history, chained
+        renames compose). Readers load old files through an AUGMENTED
+        schema that includes the historical names and project
+        ``coalesce(new, old…)`` — a file carries exactly one era's name,
+        so the coalesce picks the one that is present. Time travel below
+        the rename shows the old name (that manifest's schema).
+
+        Pruning note: per-file min/max stats written before the rename are
+        keyed by the old name; :meth:`scan_ranges` on the new name treats
+        those files as stat-less (kept conservatively — correct, just
+        unpruned until a rewrite refreshes their footers).
+
+        Guards mirror :meth:`drop_column`: key/version columns and
+        constraint/clustering/props-referenced columns are structural —
+        detach first. The OLD name can never be re-added (old files still
+        answer to it); CDC sources that still carry it must rename in the
+        projection (``withColumnRenamed``) before merging.
+        """
+        m = self.manifest()
+        schema = self.schema()
+        if old not in schema.fieldNames():
+            raise ValueError(f"no such column {old!r}")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        if old in m["key_cols"]:
+            raise ValueError(f"cannot rename key column {old!r}")
+        if old in ("op", "op_seq", "offset") and {
+            "op", "op_seq", "offset"
+        } <= set(schema.fieldNames()):
+            raise ValueError(f"cannot rename version column {old!r}")
+        if not new.isidentifier():
+            raise ValueError(f"invalid column name {new!r}")
+        props = dict(m.get("props") or {})
+        self._guard_props_reference(old, props)
+        blocked = self._blocked_names(props)
+        if new in blocked:
+            raise ValueError(
+                f"name {new!r} was previously dropped or renamed away — "
+                "old files still answer to it; pick a different name"
+            )
+        renames = {k: list(v) for k, v in (props.get("renamed_columns") or {}).items()}
+        history = [old] + renames.pop(old, [])  # chain: newest old-name first
+        renames[new] = history
+        props["renamed_columns"] = renames
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        mf = {
+            **m,
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "schema": json.dumps(new_schema.jsonValue()),
+            "props": props,
+            "summary": {"operation": "rename_column", "from": old, "to": new},
+        }
+        mf.pop("committed_at", None)
+        self._try_commit(mf)
+        return mf["version"]
+
+    def _guard_props_reference(self, name: str, props: dict) -> None:
+        """Reject dropping/renaming a column that constraints, clustering
+        or any other table prop references (the rename/drop ledgers
+        themselves are exempt — they hold historical names by design)."""
+        import re as _re
+
+        word = _re.compile(rf"\b{_re.escape(name)}\b")
+        for cname, expr in (props.get("constraints") or {}).items():
+            if word.search(expr):
+                raise ValueError(
+                    f"column {name!r} is referenced by constraint {cname!r} "
+                    "— drop_constraint first"
+                )
+        for pkey, pval in props.items():
+            if pkey in ("constraints", "dropped_columns", "renamed_columns"):
+                continue
+            if word.search(json.dumps(pval)):
+                raise ValueError(
+                    f"column {name!r} is referenced by table prop {pkey!r} "
+                    "— detach it first"
+                )
+        clu = self.clustering() or {}
+        if name in (clu.get("sort_by") or []) or name in (clu.get("zorder_by") or []):
+            raise ValueError(
+                f"column {name!r} is part of the declared clustering — "
+                "set_clustering without it first"
+            )
+
+    @staticmethod
+    def _blocked_names(props: dict) -> set:
+        """Names no evolution may (re-)introduce: previously DROPPED
+        columns and historical (renamed-away) names — old files still
+        carry bytes under them."""
+        dropped = set((props or {}).get("dropped_columns") or {})
+        hist = {
+            o
+            for olds in ((props or {}).get("renamed_columns") or {}).values()
+            for o in olds
+        }
+        return dropped | hist
+
     def _guard_dropped_columns(
         self, before: T.StructType, after: T.StructType, m: dict
     ) -> None:
-        """Refuse schema evolution that re-adds a previously DROPPED column
-        name (see :meth:`drop_column` — old files would resurrect stale
-        values). Concurrent drops are covered separately: dropped_columns
-        lives in props, so the OCC rebase's props-conflict check aborts any
+        """Refuse schema evolution that re-adds a previously DROPPED or
+        RENAMED-AWAY column name (see :meth:`drop_column` /
+        :meth:`rename_column` — old files would resurrect stale values).
+        Concurrent drops/renames are covered separately: both ledgers live
+        in props, so the OCC rebase's props-conflict check aborts any
         racing writer."""
-        dropped = (m.get("props") or {}).get("dropped_columns") or {}
-        if not dropped:
+        blocked = self._blocked_names(m.get("props") or {})
+        if not blocked:
             return
         added = set(after.fieldNames()) - set(before.fieldNames())
-        hit = sorted(added & set(dropped))
+        hit = sorted(added & blocked)
         if hit:
             raise ValueError(
                 f"columns {hit} were previously dropped (old files still "
@@ -1063,7 +1194,7 @@ class SnapshotTable:
         if not full_rels:
             return self.spark.createDataFrame([], schema)
         full_paths = [os.path.join(self.data_dir, r) for r in full_rels]
-        full = self.spark.read.schema(schema).parquet(*full_paths)
+        full = self._load_files(m, schema, full_paths)
         if not versioned:
             # un-versioned tables have one file per bucket (no deltas), so
             # in-range files are self-contained: plain pruned read
@@ -1339,11 +1470,9 @@ class SnapshotTable:
         delta_rels = {
             rel for rl in m.get("delta_files", {}).values() for rel in rl
         }
-        df = (
-            self.spark.read.schema(schema)
-            .parquet(*(os.path.join(self.data_dir, rel) for rel in kept))
-            .filter(F.col(key0).isin(values))
-        )
+        df = self._load_files(
+            m, schema, [os.path.join(self.data_dir, rel) for rel in kept]
+        ).filter(F.col(key0).isin(values))
         if any(rel in delta_rels for rel in kept):
             from nifi_dicom_spark.operators.dedup import lww_dedup
 

@@ -174,12 +174,26 @@ def apply_changes(
         # cross-batch in ONE shuffle (pre-deduping here would add a second
         # full shuffle for no correctness gain)
         #
-        # a DROPPED table column (ALTER TABLE DROP COLUMN) is projected
-        # away from the wire frame here — merging it would trip the
-        # re-add/resurrection guard; the wire schema stays the superset,
-        # the TABLE decides what it stores
-        dropped = (table.manifest().get("props") or {}).get("dropped_columns") or {}
-        source = valid.select(*[c for c in STORED_COLUMNS if c not in dropped])
+        # schema-evolution bridge between the FIXED wire frame and the
+        # table's evolved schema: a DROPPED table column is projected away
+        # (merging it would trip the resurrection guard) and a RENAMED one
+        # is aliased to its current name (the wire name is historical) —
+        # the wire schema stays the superset, the TABLE decides what it
+        # stores and what it calls it
+        props = table.manifest().get("props") or {}
+        dropped = props.get("dropped_columns") or {}
+        to_current = {
+            old: new
+            for new, olds in (props.get("renamed_columns") or {}).items()
+            for old in olds
+        }
+        source = valid.select(
+            *[
+                F.col(c).alias(to_current[c]) if c in to_current else F.col(c)
+                for c in STORED_COLUMNS
+                if c not in dropped
+            ]
+        )
         stats = table.merge(
             source,
             op_col="op",
@@ -218,7 +232,18 @@ def read_final_state(table: SnapshotTable, version: int | None = None) -> DataFr
     """The user-facing transcripts table: tombstones filtered, version
     columns dropped, stable (conv_id, turn_idx) order left to the caller."""
     df = table.read(version)
-    have = set(df.columns)  # a DROPped payload column stays dropped here
-    return df.filter(F.col("op") != F.lit("delete")).select(
-        *KEY_COLUMNS, *[c for c in PAYLOAD_COLUMNS if c in have]
-    )
+    # evolved schemas: a DROPped payload column stays dropped, a RENAMED
+    # one surfaces under its current name (the wire name is historical)
+    props = table.manifest(version).get("props") or {}
+    to_current = {
+        old: new
+        for new, olds in (props.get("renamed_columns") or {}).items()
+        for old in olds
+    }
+    have = set(df.columns)
+    cols = [
+        c2
+        for c in PAYLOAD_COLUMNS
+        if (c2 := to_current.get(c, c)) in have
+    ]
+    return df.filter(F.col("op") != F.lit("delete")).select(*KEY_COLUMNS, *cols)

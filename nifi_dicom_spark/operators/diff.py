@@ -156,9 +156,24 @@ def table_changes(
         return df
 
     old, new = state(from_version), state(to_version)
-    # schema evolution between the versions (ADD COLUMN): the old snapshot
-    # reads the added column as typed nulls, so rows differing only there
-    # surface as updates with old_<c> = NULL
+    # schema evolution between the versions:
+    # RENAME — the old snapshot's column answers to a historical name;
+    # translate it through the TO version's rename ledger so the diff
+    # compares the same logical column (not "old null, new value").
+    # DROP — a column present only in the old era is gone from the table;
+    # it cannot be compared, so it leaves the diff.
+    to_props = table.manifest(to_version).get("props") or {}
+    for new_name, olds in (to_props.get("renamed_columns") or {}).items():
+        if new_name in new.columns and new_name not in old.columns:
+            for o in olds:
+                if o in old.columns:
+                    old = old.withColumnRenamed(o, new_name)
+                    break
+    for c in [c for c in old.columns if c not in new.columns]:
+        if c in (to_props.get("dropped_columns") or {}):
+            old = old.drop(c)
+    # ADD COLUMN: the old snapshot reads the added column as typed nulls,
+    # so rows differing only there surface as updates with old_<c> = NULL
     for f in new.schema.fields:
         if f.name not in old.columns:
             old = old.withColumn(f.name, F.lit(None).cast(f.dataType))

@@ -152,6 +152,10 @@ class _BucketDiffPartition(InputPartition):
     #: Spark as pyarrow RecordBatches built against this schema
     #: (vectorized Arrow transfer instead of per-row pickling)
     schema_json: str = ""
+    #: current-name -> [historical names, newest first] (the pinned
+    #: manifest's rename ledger): backlog-era files answering to an old
+    #: name coalesce into the current column
+    renames: dict = field(default_factory=dict)
 
 
 class _CDFStreamReader(DataSourceStreamReader):
@@ -203,6 +207,21 @@ class _CDFStreamReader(DataSourceStreamReader):
         if self.max_diff_bytes <= 0:
             raise ValueError("maxPartitionDiffBytes must be positive")
         self._last_end: int | None = None
+        #: schema ERA pin: the version + rename history current when the
+        #: stream (re)started. Chunks ending at or below this version are
+        #: BACKLOG of an older schema era — their files may carry
+        #: historical (pre-rename) names or lack later-added columns; the
+        #: readers coalesce/null-fill them. Chunks ending ABOVE it whose
+        #: schema differs are LIVE drift and still fail the query.
+        be0 = _backend(self.path)
+        self.pinned_version = be0.current_version()
+        try:
+            m0 = json.loads(be0.load_manifest(self.pinned_version).decode())
+            self.renames = dict(
+                (m0.get("props") or {}).get("renamed_columns") or {}
+            )
+        except FileNotFoundError:
+            self.renames = {}
 
     # -- offsets (driver side, metadata only) ---------------------------
 
@@ -252,15 +271,25 @@ class _CDFStreamReader(DataSourceStreamReader):
         BEFORE the offset commits makes the fix a clean query restart with
         nothing lost."""
         end_cols = [f.name for f in _visible_fields(m_end)[0]]
-        if set(end_cols) != set(self.columns):
-            added = sorted(set(end_cols) - set(self.columns))
-            dropped = sorted(set(self.columns) - set(end_cols))
-            raise RuntimeError(
-                f"table schema changed mid-stream at version {ve} "
-                f"(added={added}, dropped={dropped}): restart the streaming "
-                "query to pick up the new schema — the checkpoint resumes "
-                "exactly before this batch, so no changes are lost"
-            )
+        if set(end_cols) == set(self.columns):
+            return
+        if ve <= self.pinned_version:
+            # BACKLOG chunk of an older schema era (restart below an
+            # add/widen/drop/rename boundary): allowed — the readers
+            # null-fill later-added columns, ignore since-dropped ones and
+            # coalesce historical (pre-rename) names, so the replay is a
+            # clean up-conform into the pinned (current) schema. Before
+            # this era check, a paced restart whose backlog spanned any
+            # schema boundary failed here on every retry — a livelock.
+            return
+        added = sorted(set(end_cols) - set(self.columns))
+        dropped = sorted(set(self.columns) - set(end_cols))
+        raise RuntimeError(
+            f"table schema changed mid-stream at version {ve} "
+            f"(added={added}, dropped={dropped}): restart the streaming "
+            "query to pick up the new schema — the checkpoint resumes "
+            "exactly before this batch, so no changes are lost"
+        )
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         vs, ve = int(start["version"]), int(end["version"])
@@ -331,6 +360,7 @@ class _CDFStreamReader(DataSourceStreamReader):
                     commit_version=ve,
                     split=(i, n),
                     schema_json=self.schema_json,
+                    renames=self.renames,
                 )
                 for i in range(n)
             ]
@@ -385,7 +415,8 @@ class _CDFStreamReader(DataSourceStreamReader):
             # and optimize are merge-operation commits distinguished by
             # their policy) — they rewrite or annotate, never change state
             if op in ("create", "rebucket", "add_constraint",
-                      "drop_constraint", "set_clustering") or (
+                      "drop_constraint", "set_clustering",
+                      "drop_column", "rename_column") or (
                 op == "merge" and policy in ("compact", "optimize")
             ):
                 prev = m
@@ -424,6 +455,7 @@ class _CDFStreamReader(DataSourceStreamReader):
                             commit_version=v,
                             mode="upserts",
                             schema_json=self.schema_json,
+                            renames=self.renames,
                         )
                     )
             prev = m
@@ -502,6 +534,30 @@ class _CDFStreamReader(DataSourceStreamReader):
         return _emit_rows(out, p)
 
 
+def _coalesce_renames(df, renames: dict):
+    """Resolve RENAMED columns in a mixed-era pandas frame: files written
+    before a rename carry a historical name — fold it into the current
+    column (newest-first precedence) and drop the historical column, so
+    downstream code sees only current names. No-op without renames."""
+    if not renames:
+        return df
+    import pandas as pd
+
+    for new_name, olds in renames.items():
+        present = [o for o in olds if o in df.columns]
+        if not present:
+            continue
+        if new_name in df.columns:
+            series = df[new_name]
+        else:
+            series = pd.Series([None] * len(df), index=df.index, dtype=object)
+        for o in present:
+            series = series.where(series.notna(), df[o])
+        df = df.drop(columns=present)
+        df[new_name] = series
+    return df
+
+
 def _read_upserts(p: _BucketDiffPartition):
     """Raw rows of one commit's appended delta files: ``_change_type`` is
     the stored op (insert/update/delete — updates are post-rows only,
@@ -510,6 +566,7 @@ def _read_upserts(p: _BucketDiffPartition):
 
     tables = [_read_parquet(p.data_dir, rel) for rel in p.new_files]
     df = pa.concat_tables(tables, promote_options="permissive").to_pandas()
+    df = _coalesce_renames(df, p.renames)
     for c in p.columns:
         if c not in df.columns:
             df[c] = None
@@ -573,6 +630,14 @@ def _bucket_state(p: _BucketDiffPartition, files: list[str]):
         for rel in files
     ]
     df = pd.concat(frames, ignore_index=True, sort=False)
+    # backlog-era files (restart below a schema boundary): historical
+    # (pre-rename) names fold into their current column; columns added
+    # after this era null-fill; since-dropped extras are simply never
+    # selected into p.columns
+    df = _coalesce_renames(df, p.renames)
+    for c in p.columns:
+        if c not in df.columns:
+            df[c] = None
     if p.versioned:
         # last ROW per key after the stable (op_seq, offset) sort — NOT
         # groupby().last(), which takes the last non-null value PER COLUMN

@@ -1349,3 +1349,189 @@ def test_drop_column_mid_cdc_replay(spark, tmp_path):
     a["ts"] = a["ts"].astype("datetime64[us]")
     b["ts"] = b["ts"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- ALTER TABLE RENAME COLUMN (zero-rewrite) ---------------------------------
+
+
+def test_rename_column_zero_rewrite(spark, tmp_path):
+    import glob
+
+    tab = _dc_table(spark, tmp_path, name="rc")
+    files_before = sorted(
+        glob.glob(str(tmp_path / "rc") + "/**/*.parquet", recursive=True)
+    )
+    v_pre = tab.current_version()
+    tab.rename_column("note", "memo")
+    files_after = sorted(
+        glob.glob(str(tmp_path / "rc") + "/**/*.parquet", recursive=True)
+    )
+    assert files_before == files_after  # no data file touched
+    got = tab.read()
+    assert got.columns == ["k", "v", "memo"]
+    # OLD files' data answers to the NEW name
+    assert sorted((r.k, r.memo) for r in got.collect()) == [("a", "xa"), ("b", "xb")]
+    # time travel below the rename shows the old name
+    old = tab.read(version=v_pre)
+    assert "note" in old.columns and "memo" not in old.columns
+
+
+def test_rename_column_mixed_vintage_write_and_read(spark, tmp_path):
+    tab = _dc_table(spark, tmp_path, name="rc2")
+    tab.rename_column("note", "memo")
+    # post-rename write uses the new name; bucket now holds both vintages
+    tab.merge(
+        spark.createDataFrame(
+            [("c", 3, "xc"), ("a", 10, "ya")], "k string, v int, memo string"
+        ),
+        op_col=None,
+        policy="upsert",
+    )
+    got = sorted((r.k, r.v, r.memo) for r in tab.read().collect())
+    assert got == [("a", 10, "ya"), ("b", 2, "xb"), ("c", 3, "xc")]
+    # scan_ranges over mixed vintages equals read().filter
+    sc = sorted(
+        (r.k, r.memo)
+        for r in tab.scan_ranges({"v": (2, None)}).collect()
+    )
+    assert sc == [("a", None), ("b", "xb"), ("c", "xc")] or sc == [
+        ("a", "ya"),
+        ("b", "xb"),
+        ("c", "xc"),
+    ]  # (a,10) is in range; memo must be its current value
+    assert ("a", "ya") in sc
+
+
+def test_rename_column_guards_and_old_name_blocked(spark, tmp_path):
+    import pytest as _pytest
+
+    tab = _dc_table(spark, tmp_path, name="rc3")
+    with _pytest.raises(ValueError, match="key column"):
+        tab.rename_column("k", "key2")
+    with _pytest.raises(ValueError, match="no such column"):
+        tab.rename_column("ghost", "g2")
+    tab.rename_column("note", "memo")
+    with _pytest.raises(ValueError, match="already exists"):
+        tab.rename_column("v", "memo")
+    # the OLD name can never come back — old files still answer to it
+    with _pytest.raises(ValueError, match="previously dropped"):
+        tab.merge(
+            spark.createDataFrame([("z", 1, "s")], "k string, v int, note string"),
+            op_col=None,
+            policy="upsert",
+        )
+    with _pytest.raises(ValueError, match="previously dropped|renamed"):
+        tab.rename_column("memo", "note")
+
+
+def test_rename_column_chain_and_drop(spark, tmp_path):
+    tab = _dc_table(spark, tmp_path, name="rc4")
+    tab.rename_column("note", "memo")
+    tab.merge(
+        spark.createDataFrame([("c", 3, "mc")], "k string, v int, memo string"),
+        op_col=None,
+        policy="upsert",
+    )
+    tab.rename_column("memo", "remark")
+    got = sorted((r.k, r.remark) for r in tab.read().collect())
+    # all three vintages (note-era a/b, memo-era c) answer to 'remark'
+    assert got == [("a", "xa"), ("b", "xb"), ("c", "mc")]
+    # dropping the renamed column retires the WHOLE name history
+    tab.drop_column("remark")
+    assert tab.read().columns == ["k", "v"]
+    for dead in ("note", "memo", "remark"):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="previously dropped"):
+            tab.merge(
+                spark.createDataFrame(
+                    [("q", 9, "s")], f"k string, v int, {dead} string"
+                ),
+                op_col=None,
+                policy="upsert",
+            )
+
+
+def test_rename_column_lookup_and_point_reads(spark, tmp_path):
+    """lookup() must equal read().filter(isin) across a rename (old files'
+    payload answers to the new name)."""
+    tab = _dc_table(spark, tmp_path, name="rc5")
+    tab.rename_column("note", "memo")
+    tab.build_blooms()
+    got = sorted(
+        (r.k, r.memo) for r in tab.lookup(["a", "b"]).collect()
+    )
+    assert got == [("a", "xa"), ("b", "xb")]
+
+
+def test_table_changes_across_rename_and_drop_boundary(spark, tmp_path):
+    """CDC read side across schema evolution: a diff spanning a RENAME
+    compares the same logical column under its current name (not
+    "old null -> new value"), and a since-DROPPED column leaves the diff."""
+    from nifi_dicom_spark.operators.diff import table_changes
+
+    tab = _dc_table(spark, tmp_path, name="tcrb")
+    v0 = tab.current_version()
+    tab.rename_column("note", "memo")
+    tab.merge(
+        spark.createDataFrame(
+            [("a", 1, "CHANGED"), ("c", 3, "mc")], "k string, v int, memo string"
+        ),
+        op_col=None,
+        policy="upsert",
+    )
+    ch = table_changes(tab, v0)
+    got = {r.k: (r.op, r["old_memo"], r["new_memo"]) for r in ch.collect()}
+    # a: only memo changed (xa -> CHANGED) — an update, with the OLD value
+    # visible under the CURRENT name; b unchanged (absent); c inserted
+    assert got["a"] == ("update", "xa", "CHANGED")
+    assert "b" not in got
+    assert got["c"] == ("insert", None, "mc")
+
+    # now drop v and diff across the drop: v leaves the comparison
+    v1 = tab.current_version()
+    tab.drop_column("v")
+    tab.merge(
+        spark.createDataFrame([("a", "AGAIN")], "k string, memo string"),
+        op_col=None,
+        policy="upsert",
+    )
+    ch2 = table_changes(tab, v1)
+    cols = ch2.columns
+    assert not any("old_v" == c or "new_v" == c for c in cols), cols
+    got2 = {r.k: r.op for r in ch2.collect()}
+    assert got2 == {"a": "update"}
+
+
+def test_rename_column_mid_cdc_replay(spark, tmp_path):
+    """RENAME between epochs: the apply path aliases the wire name to the
+    table's current name, read_final_state surfaces it renamed, and the
+    final state equals the renamed oracle — including a wire-level schema
+    change (late tool column) in the same replay."""
+    import pandas as pd
+
+    from nifi_dicom_spark.fixtures import (
+        GeneratorConfig,
+        generate_change_events,
+        replay_oracle,
+        write_event_files,
+    )
+
+    log = generate_change_events(
+        GeneratorConfig(seed=47, n_events=800, malformed_ratio=0.0, schema_change_at=400)
+    )
+    paths = write_event_files(log, str(tmp_path / "ev"), n_files=4)
+    table = create_transcripts_table(spark, str(tmp_path / "t"))
+    for epoch, p in enumerate(paths[:2]):
+        apply_changes(table, spark.read.parquet(p), epoch=epoch)
+    table.rename_column("text", "body")
+    for epoch, p in enumerate(paths[2:], start=2):
+        apply_changes(table, spark.read.parquet(p), epoch=epoch)
+    final = read_final_state(table).toPandas()
+    oracle = replay_oracle(log).rename(columns={"text": "body"})
+    cols = oracle.columns.tolist()
+    a = final[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = oracle[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    a["ts"] = a["ts"].astype("datetime64[us]")
+    b["ts"] = b["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(a, b)

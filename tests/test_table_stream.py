@@ -1814,3 +1814,84 @@ def test_cdf_pacing_is_a_hard_granularity_guarantee(spark, tmp_path):
             ("A", "update_postimage", v_end),
         ]
     ), unpaced
+
+
+def test_cdf_restart_replays_backlog_across_schema_boundaries(spark, tmp_path):
+    """Era-aware schema guard: a reader (re)started ABOVE a rename/add
+    boundary replays backlog chunks from BELOW it cleanly — historical
+    (pre-rename) names coalesce into the current column and later-added
+    columns null-fill. Before the era check, a paced restart whose backlog
+    spanned any schema boundary failed _guard_schema_drift on every retry
+    (a livelock: the restart re-pins the current schema, the old chunks
+    still differ)."""
+    from nifi_dicom_spark.sources.table_stream import _CDFStreamReader
+
+    spark.dataSource.register(SnapshotCDFDataSource)
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _ev(spark, conv="A", seq=10, text="a1"), epoch=0)
+    v0 = table.current_version()
+    apply_changes(table, _ev(spark, conv="B", seq=20, text="b1"), epoch=1)
+    table.rename_column("text", "body")  # schema boundary inside backlog
+    # the wire frame still says 'text' — the apply path aliases it to the
+    # table's current name through the rename ledger
+    apply_changes(table, _ev(spark, conv="A", seq=30, text="a2"), epoch=2)
+    v_end = table.current_version()
+
+    # reader created AFTER the rename (a restarted query): pinned schema
+    # carries 'body'
+    feed_schema = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table.path)
+        .load()
+        .schema
+    )
+    assert "body" in [f.name for f in feed_schema.fields]
+
+    def rows_for(options):
+        rdr = _CDFStreamReader({"path": table.path, **options}, feed_schema)
+        out = []
+        for p in rdr.partitions({"version": v0}, {"version": v_end}):
+            for batch in rdr.read(p):
+                for d in batch.to_pylist():
+                    out.append(
+                        (d["conv_id"], d["_change_type"], d["body"])
+                    )
+        return sorted(out)
+
+    # paced: B's insert (PRE-rename commit, files carry 'text') must emit
+    # its payload under the CURRENT name 'body'
+    paced = rows_for({"maxversionsperbatch": "1"})
+    assert ("B", "insert", "b1") in paced, paced
+    assert ("A", "update_postimage", "a2") in paced, paced
+    assert ("A", "update_preimage", "a1") in paced, paced
+    # unpaced whole-range diff crosses the boundary in one chunk
+    unpaced = rows_for({})
+    assert ("B", "insert", "b1") in unpaced, unpaced
+    assert ("A", "update_postimage", "a2") in unpaced, unpaced
+
+
+def test_cdf_live_schema_drift_still_fails(spark, tmp_path):
+    """The era check must NOT weaken the live-drift contract: a commit
+    ABOVE the reader's pinned version that changes the schema still fails
+    the query before the offset commits."""
+    import pytest as _pytest
+
+    from nifi_dicom_spark.sources.table_stream import _CDFStreamReader
+
+    spark.dataSource.register(SnapshotCDFDataSource)
+    table = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_changes(table, _ev(spark, conv="A", seq=10, text="a1"), epoch=0)
+    v0 = table.current_version()
+    feed_schema = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table.path)
+        .load()
+        .schema
+    )
+    rdr = _CDFStreamReader({"path": table.path}, feed_schema)  # pins NOW
+    table.rename_column("text", "body")  # live drift: after reader start
+    apply_changes(table, _ev(spark, conv="A", seq=30, text="a2"), epoch=1)
+    with _pytest.raises(Exception, match="schema changed mid-stream"):
+        rdr.partitions(
+            {"version": v0}, {"version": table.current_version()}
+        )
