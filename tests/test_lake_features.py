@@ -1535,3 +1535,21 @@ def test_rename_column_mid_cdc_replay(spark, tmp_path):
     a["ts"] = a["ts"].astype("datetime64[us]")
     b["ts"] = b["ts"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_clone_of_renamed_table_resolves_history(spark, tmp_path):
+    """A shallow clone copies the rename ledger with the manifest, so the
+    clone's coalesce reads resolve the source's historical names in the
+    FOREIGN (absolute-path) files it references."""
+    from nifi_dicom_spark.lake.snapshot_table import SnapshotTable
+
+    src = _dc_table(spark, tmp_path, name="rsrc")
+    src.rename_column("note", "memo")
+    clone = SnapshotTable.clone(spark, src, str(tmp_path / "rclone"))
+    got = sorted((r.k, r.memo) for r in clone.read().collect())
+    assert got == [("a", "xa"), ("b", "xb")]
+    # divergence stays isolated: clone renames again, source unaffected
+    clone.rename_column("memo", "remark")
+    assert "remark" in clone.read().columns
+    assert "memo" in src.read().columns
+    assert sorted(r.remark for r in clone.read().collect()) == ["xa", "xb"]
