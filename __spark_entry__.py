@@ -4492,7 +4492,23 @@ def _near_dup_clusters_oracle() -> str:
     """
 
 
+#: oracle_sql() memo, keyed by the sf dir its data-dependent builders read
+#: (several r5 builders re-run real media codecs over the fixture payloads
+#: to inline expected values — ~2-4 min of pure Python per build; the test
+#: harness calls oracle_sql() once per parameterized test, which without
+#: this cache multiplied that cost by the whole query count)
+_ORACLE_SQL_CACHE: dict[str, dict] = {}
+
+
 def oracle_sql() -> dict[str, str]:
+    sf_dir = _oracle_sf_dir()
+    cached = _ORACLE_SQL_CACHE.get(sf_dir)
+    if cached is None:
+        cached = _ORACLE_SQL_CACHE[sf_dir] = _build_oracle_sql()
+    return dict(cached)  # shallow copy: callers may mutate their view
+
+
+def _build_oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_replay": """
             WITH ranked AS (
